@@ -1,0 +1,250 @@
+"""Basic blocks (≈ reference blocks/basic/).
+
+SignalGenerator (SignalGenerator.hpp:25), Selector N×M router (Selector.hpp:15),
+converter blocks (ConverterBlocks.hpp: Convert, ScalingConvert, Abs/Real/Imag/Arg,
+complex↔interleaved/RealImag, deg↔rad).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.block import Block, Port, SourceBlock
+from ..core.registry import register_block
+from ..core.settings import Setting
+from ..core.stream import canonical_dtype
+from ..ops.signal import (WAVEFORMS, nco_phases, phase_increment, phase_to_frac,
+                          waveform, complex_exp)
+
+
+@register_block("SignalGenerator")
+class SignalGenerator(SourceBlock):
+    """Waveform source with drift-free integer-NCO phase (≈ SignalGenerator.hpp:25).
+
+    settings: signal ∈ {Const,Sin,Cos,Square,Saw,Triangle}, frequency [Hz],
+    amplitude, offset, phase [rad], sample_rate [Hz], n_samples (0=∞).
+    """
+
+    OUT = (Port("out", dtype="float32"),)
+    signal = Setting(default="Sin", kind="static", choices=WAVEFORMS)
+    frequency = Setting(default=1.0, unit="Hz")
+    amplitude = Setting(default=1.0)
+    offset = Setting(default=0.0)
+    phase = Setting(default=0.0, unit="rad")
+    sample_rate = Setting(default=0.0, unit="Hz",
+                          description="0 → inherit scheduler sample_rate")
+    n_samples = Setting(default=0, kind="static", description="0 = unbounded")
+    channels = Setting(default=0, kind="static")
+
+    def out_channels(self, port, in_channels):
+        return int(self.settings.get("channels"))
+
+    def _fs(self, ctx_rate: float) -> float:
+        fs = float(self.settings.get("sample_rate"))
+        return fs if fs > 0 else ctx_rate
+
+    def init_state(self, ctx):
+        self._ctx_rate = ctx.sample_rate
+        return jnp.zeros((), jnp.uint32)
+
+    def prepare_params(self, params):
+        params = dict(params)
+        fs = self._fs(getattr(self, "_ctx_rate", 1.0))
+        params["_dphi"] = phase_increment(float(self.settings.get("frequency")), fs)
+        ph0 = float(self.settings.get("phase")) / (2.0 * np.pi)
+        params["_phase0_u32"] = np.uint32(int((ph0 % 1.0) * 4294967296.0))
+        return params
+
+    def host_done(self, abs_out, n):
+        total = int(self.settings.get("n_samples"))
+        if total and abs_out + n >= total:
+            return max(0, total - abs_out)
+        return None
+
+    def apply(self, state, ins, ctx):
+        n = ctx.out_len["out"]
+        ch = ctx.channels["out"]
+        dphi = jnp.asarray(ctx.params.get("_dphi", np.uint32(0)), jnp.uint32)
+        ph0 = jnp.asarray(ctx.params.get("_phase0_u32", np.uint32(0)), jnp.uint32)
+        ph = nco_phases(state + ph0, dphi, n)
+        y = waveform(str(self.settings.get("signal")), phase_to_frac(ph),
+                     amplitude=jnp.asarray(ctx.p("amplitude", 1.0), jnp.float32),
+                     offset=jnp.asarray(ctx.p("offset", 0.0), jnp.float32))
+        if ch:
+            y = jnp.broadcast_to(y, (ch, n))
+        return state + dphi * jnp.uint32(n), {"out": y.astype(jnp.float32)}
+
+
+@register_block("ComplexToneSource")
+class ComplexToneSource(SignalGenerator):
+    """Complex exponential source e^{j2πft/fs} (baseband tone)."""
+
+    OUT = (Port("out", dtype="complex64"),)
+
+    def apply(self, state, ins, ctx):
+        n = ctx.out_len["out"]
+        ch = ctx.channels["out"]
+        dphi = jnp.asarray(ctx.params.get("_dphi", np.uint32(0)), jnp.uint32)
+        ph0 = jnp.asarray(ctx.params.get("_phase0_u32", np.uint32(0)), jnp.uint32)
+        ph = nco_phases(state + ph0, dphi, n)
+        y = complex_exp(phase_to_frac(ph),
+                        amplitude=jnp.asarray(ctx.p("amplitude", 1.0), jnp.float32))
+        y = y + jnp.asarray(ctx.p("offset", 0.0), jnp.float32).astype(jnp.complex64)
+        if ch:
+            y = jnp.broadcast_to(y, (ch, n))
+        return state + dphi * jnp.uint32(n), {"out": y.astype(jnp.complex64)}
+
+
+@register_block("Selector")
+class Selector(Block):
+    """N×M stream router (≈ Selector.hpp:15). ``map_in``/``map_out`` pair up
+    connections; unrouted outputs emit zeros, unrouted inputs are dropped (the
+    reference's back-pressure option is meaningless with fused execution)."""
+
+    n_inputs = Setting(default=1, kind="static", limits=(1, 64))
+    n_outputs = Setting(default=1, kind="static", limits=(1, 64))
+    map_in = Setting(default=(0,), kind="static", description="routing: input idx list")
+    map_out = Setting(default=(0,), kind="static", description="routing: output idx list")
+
+    def __init__(self, name=None, **settings):
+        super().__init__(name=name, **settings)
+        n_in = int(self.settings.get("n_inputs"))
+        n_out = int(self.settings.get("n_outputs"))
+        self.in_ports = tuple(Port(f"in{i}") for i in range(n_in))
+        self.out_ports = tuple(Port(f"out{i}") for i in range(n_out))
+
+    def apply(self, state, ins, ctx):
+        m_in = list(self.settings.get("map_in"))
+        m_out = list(self.settings.get("map_out"))
+        outs = {}
+        example = next(iter(ins.values()))
+        for o in range(len(self.out_ports)):
+            routed = [ins[f"in{i}"] for i, oo in zip(m_in, m_out) if oo == o]
+            if routed:
+                outs[f"out{o}"] = routed[0] if len(routed) == 1 else sum(routed)
+            else:
+                outs[f"out{o}"] = jnp.zeros_like(example)
+        return state, outs
+
+
+# -- converters (≈ ConverterBlocks.hpp) ----------------------------------------
+
+@register_block("Convert")
+class Convert(Block):
+    """dtype cast (≈ Convert<T,U>); target dtype is a static setting."""
+
+    IN = (Port("in"),)
+    OUT = (Port("out"),)
+    to = Setting(default="float32", kind="static", description="target dtype")
+
+    def out_dtype(self, port, in_dtypes):
+        return self.settings.get("to")
+
+    def apply(self, state, ins, ctx):
+        return state, {"out": ins["in"].astype(canonical_dtype(self.settings.get("to")))}
+
+
+@register_block("ScalingConvert")
+class ScalingConvert(Convert):
+    scale = Setting(default=1.0)
+
+    def apply(self, state, ins, ctx):
+        y = ins["in"] * jnp.asarray(ctx.p("scale", 1.0)).astype(ins["in"].dtype)
+        return state, {"out": y.astype(canonical_dtype(self.settings.get("to")))}
+
+
+@register_block("ComplexToReal")
+class ComplexToReal(Block):
+    IN = (Port("in", dtype="complex64"),)
+    OUT = (Port("out", dtype="float32"),)
+
+    def apply(self, state, ins, ctx):
+        return state, {"out": jnp.real(ins["in"]).astype(jnp.float32)}
+
+
+@register_block("ComplexToImag")
+class ComplexToImag(Block):
+    IN = (Port("in", dtype="complex64"),)
+    OUT = (Port("out", dtype="float32"),)
+
+    def apply(self, state, ins, ctx):
+        return state, {"out": jnp.imag(ins["in"]).astype(jnp.float32)}
+
+
+@register_block("ComplexToMagPhase")
+class ComplexToMagPhase(Block):
+    IN = (Port("in", dtype="complex64"),)
+    OUT = (Port("mag", dtype="float32"), Port("phase", dtype="float32"))
+
+    def apply(self, state, ins, ctx):
+        x = ins["in"]
+        return state, {"mag": jnp.abs(x).astype(jnp.float32),
+                       "phase": jnp.angle(x).astype(jnp.float32)}
+
+
+@register_block("RealImagToComplex")
+class RealImagToComplex(Block):
+    IN = (Port("real", dtype="float32"), Port("imag", dtype="float32"))
+    OUT = (Port("out", dtype="complex64"),)
+
+    def apply(self, state, ins, ctx):
+        return state, {"out": (ins["real"] + 1j * ins["imag"]).astype(jnp.complex64)}
+
+
+@register_block("ComplexToInterleaved")
+class ComplexToInterleaved(Block):
+    """complex64 [T] → float32 [2T] (re,im interleaved); rate 2/1."""
+
+    IN = (Port("in", dtype="complex64"),)
+    OUT = (Port("out", dtype="float32"),)
+
+    @property
+    def ratio(self):
+        from fractions import Fraction
+        return Fraction(2, 1)
+
+    def apply(self, state, ins, ctx):
+        x = ins["in"]
+        y = jnp.stack([jnp.real(x), jnp.imag(x)], axis=-1).reshape(*x.shape[:-1], -1)
+        return state, {"out": y.astype(jnp.float32)}
+
+
+@register_block("InterleavedToComplex")
+class InterleavedToComplex(Block):
+    IN = (Port("in", dtype="float32"),)
+    OUT = (Port("out", dtype="complex64"),)
+
+    @property
+    def ratio(self):
+        from fractions import Fraction
+        return Fraction(1, 2)
+
+    @property
+    def alignment(self):
+        return 2
+
+    def apply(self, state, ins, ctx):
+        x = ins["in"]
+        xr = x.reshape(*x.shape[:-1], -1, 2)
+        return state, {"out": (xr[..., 0] + 1j * xr[..., 1]).astype(jnp.complex64)}
+
+
+@register_block("DegToRad")
+class DegToRad(Block):
+    IN = (Port("in", dtype="float32"),)
+    OUT = (Port("out", dtype="float32"),)
+
+    def apply(self, state, ins, ctx):
+        return state, {"out": ins["in"] * jnp.float32(np.pi / 180.0)}
+
+
+@register_block("RadToDeg")
+class RadToDeg(Block):
+    IN = (Port("in", dtype="float32"),)
+    OUT = (Port("out", dtype="float32"),)
+
+    def apply(self, state, ins, ctx):
+        return state, {"out": ins["in"] * jnp.float32(180.0 / np.pi)}

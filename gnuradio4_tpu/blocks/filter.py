@@ -1,0 +1,215 @@
+"""Filter blocks (≈ reference blocks/filter/time_domain_filter.hpp).
+
+``FirFilter`` (:24 fir_filter), ``IirFilter`` (:64, direct-form), ``BasicFilter`` /
+``BasicDecimatingFilter`` auto-designed from FilterTool (:131-211), ``Decimator``
+(:216), ``FreqXlatingFir`` (channel extraction). FIR runs as overlap-save conv on the
+MXU (ops/fir.py); IIR runs per-channel scan (ops/iir.py).
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.block import Block, Port
+from ..core.registry import register_block
+from ..core.settings import Setting
+from ..ops import filter_design as fd
+from ..ops.fir import fir_apply, fir_init_state, freq_xlating_taps
+
+
+@register_block("FirFilter")
+class FirFilter(Block):
+    """Overlap-save FIR with optional decimation (≈ fir_filter + Decimator fused).
+
+    State carries the last ``ntaps-1`` inputs (the HistoryBuffer analog).
+    """
+
+    IN = (Port("in"),)
+    OUT = (Port("out"),)
+    taps = Setting(default=(1.0,), kind="static", description="FIR taps b[k]")
+    decim = Setting(default=1, kind="static", limits=(1, 1 << 16))
+
+    def __init__(self, name=None, taps: Any = None, **settings):
+        if taps is not None:
+            settings["taps"] = tuple(np.asarray(taps).tolist())
+        super().__init__(name=name, **settings)
+
+    @property
+    def ratio(self):
+        return Fraction(1, int(self.settings.get("decim")))
+
+    @property
+    def alignment(self):
+        return int(self.settings.get("decim"))
+
+    def _taps_array(self):
+        t = np.asarray(self.settings.get("taps"))
+        return t.astype(np.complex64 if np.iscomplexobj(t) else np.float32)
+
+    def out_dtype(self, port, in_dtypes):
+        t = self._taps_array()
+        up = next(iter(in_dtypes.values()), np.float32)
+        if np.iscomplexobj(t) or np.dtype(up) == np.dtype(np.complex64):
+            return jnp.complex64
+        return up
+
+    def init_state(self, ctx):
+        t = self._taps_array()
+        dt = jnp.complex64 if (np.iscomplexobj(t) or
+                               np.dtype(ctx.params.get("_dt", np.float32))
+                               == np.dtype(np.complex64)) else jnp.float32
+        # dtype of history follows the input; resolved via channels map at trace time
+        ch = ctx.channels.get("in", 0)
+        return fir_init_state(ch, len(t), dt)
+
+    def apply(self, state, ins, ctx):
+        x = ins["in"]
+        taps = jnp.asarray(self._taps_array())
+        st = state.astype(x.dtype) if not (jnp.issubdtype(x.dtype, jnp.complexfloating)
+                                           or jnp.issubdtype(state.dtype,
+                                                             jnp.complexfloating)) \
+            else state.astype(jnp.complex64)
+        if jnp.issubdtype(x.dtype, jnp.complexfloating):
+            st = state.astype(jnp.complex64)
+        y, new_state = fir_apply(x, taps, st, decim=int(self.settings.get("decim")))
+        return new_state, {"out": y}
+
+
+@register_block("FreqXlatingFir")
+class FreqXlatingFir(FirFilter):
+    """Frequency-translating FIR: heterodyne + low-pass + decimate in one pass
+    (taps rotated by center_freq; output de-rotated by the decimated NCO).
+    ≈ GNU Radio's freq_xlating_fir; reference analog: IQDemodulator front-end."""
+
+    IN = (Port("in", dtype="complex64"),)
+    OUT = (Port("out", dtype="complex64"),)
+    center_freq = Setting(default=0.0, kind="static", unit="Hz")
+    sample_rate_in = Setting(default=0.0, kind="static", unit="Hz",
+                             description="0 → inherit resolved edge rate")
+
+    def _fs(self, ctx_rate: float = 1.0) -> float:
+        fs = float(self.settings.get("sample_rate_in"))
+        return fs if fs > 0 else ctx_rate
+
+    def _rotated_taps(self, fs: float):
+        base = np.asarray(self.settings.get("taps"), dtype=np.float64)
+        return freq_xlating_taps(base, float(self.settings.get("center_freq")), fs)
+
+    def init_state(self, ctx):
+        ntaps = len(self.settings.get("taps"))
+        ch = ctx.channels.get("in", 0)
+        hist = fir_init_state(ch, ntaps, jnp.complex64)
+        return {"hist": hist, "phase": jnp.zeros((), jnp.uint32)}
+
+    def apply(self, state, ins, ctx):
+        from ..ops.signal import nco_phases, phase_to_frac, complex_exp, phase_increment
+        x = ins["in"].astype(jnp.complex64)
+        fs = self._fs(ctx.sample_rate)
+        taps = jnp.asarray(self._rotated_taps(fs))
+        decim = int(self.settings.get("decim"))
+        y, hist = fir_apply(x, taps, state["hist"].astype(jnp.complex64), decim=decim)
+        # de-rotate at the decimated rate: multiply by e^{-j2πfc/fs·decim·m}
+        n_out = y.shape[-1]
+        dphi = phase_increment(-float(self.settings.get("center_freq")) * decim, fs)
+        ph = nco_phases(state["phase"], jnp.asarray(dphi, jnp.uint32), n_out)
+        y = (y * complex_exp(phase_to_frac(ph))).astype(jnp.complex64)
+        new_phase = state["phase"] + jnp.asarray(dphi, jnp.uint32) * jnp.uint32(n_out)
+        return {"hist": hist, "phase": new_phase}, {"out": y}
+
+
+@register_block("Decimator")
+class Decimator(Block):
+    """Keep every N-th sample (≈ Decimator, time_domain_filter.hpp:216)."""
+
+    IN = (Port("in"),)
+    OUT = (Port("out"),)
+    decim = Setting(default=1, kind="static", limits=(1, 1 << 20))
+
+    @property
+    def ratio(self):
+        return Fraction(1, int(self.settings.get("decim")))
+
+    @property
+    def alignment(self):
+        return int(self.settings.get("decim"))
+
+    def apply(self, state, ins, ctx):
+        d = int(self.settings.get("decim"))
+        return state, {"out": ins["in"][..., ::d]}
+
+
+@register_block("BasicFilter")
+class BasicFilter(FirFilter):
+    """Auto-designed FIR from high-level parameters (≈ BasicFilter,
+    time_domain_filter.hpp:131): set filter_type/f_low/f_high/ntaps/window and the
+    taps are designed at compile time via ops.filter_design."""
+
+    filter_type = Setting(default="lowpass", kind="static",
+                          choices=("lowpass", "highpass", "bandpass", "bandstop"))
+    f_low = Setting(default=0.1, kind="static", unit="Hz")
+    f_high = Setting(default=0.0, kind="static", unit="Hz")
+    ntaps = Setting(default=127, kind="static", limits=(1, 1 << 16))
+    window = Setting(default="Hamming", kind="static")
+    sample_rate_design = Setting(default=0.0, kind="static",
+                                 description="0 → inherit resolved edge rate")
+
+    def _design(self, fs: float) -> np.ndarray:
+        fh = float(self.settings.get("f_high")) or None
+        return fd.design_fir(self.settings.get("filter_type"),
+                             int(self.settings.get("ntaps")),
+                             sample_rate=fs, f_low=float(self.settings.get("f_low")),
+                             f_high=fh, window=self.settings.get("window"))
+
+    def _taps_array(self):
+        fs = float(self.settings.get("sample_rate_design")) or self._fs_cached
+        return self._design(fs).astype(np.float32)
+
+    def init_state(self, ctx):
+        self._fs_cached = ctx.sample_rate
+        return super().init_state(ctx)
+
+    _fs_cached: float = 1.0
+
+
+@register_block("BasicDecimatingFilter")
+class BasicDecimatingFilter(BasicFilter):
+    """BasicFilter + decimation (≈ BasicDecimatingFilter) — just set decim>1."""
+
+
+@register_block("IirFilter")
+class IirFilter(Block):
+    """Direct-form IIR y[n] = Σb·x − Σa·y via per-channel scan (≈ iir_filter,
+    time_domain_filter.hpp:64). Sequential recursion is the TPU's weak axis — the
+    scan runs once per sample on the VPU; for wide-channel streams the channel axis
+    provides the parallelism. Biquad-cascade (sos) form for numerics."""
+
+    IN = (Port("in", dtype="float32"),)
+    OUT = (Port("out", dtype="float32"),)
+    b = Setting(default=(1.0,), kind="static", description="feed-forward coeffs")
+    a = Setting(default=(1.0,), kind="static", description="feedback coeffs, a[0]=1")
+    form = Setting(default="DF2", kind="static", choices=("DF1", "DF2"))
+
+    def __init__(self, name=None, b: Any = None, a: Any = None, **settings):
+        if b is not None:
+            settings["b"] = tuple(np.asarray(b, dtype=np.float64).tolist())
+        if a is not None:
+            settings["a"] = tuple(np.asarray(a, dtype=np.float64).tolist())
+        super().__init__(name=name, **settings)
+
+    def init_state(self, ctx):
+        from ..ops.iir import iir_init_state
+        nb = len(self.settings.get("b"))
+        na = len(self.settings.get("a"))
+        ch = ctx.channels.get("in", 0)
+        return iir_init_state(ch, nb, na)
+
+    def apply(self, state, ins, ctx):
+        from ..ops.iir import iir_apply
+        b = np.asarray(self.settings.get("b"), dtype=np.float64)
+        a = np.asarray(self.settings.get("a"), dtype=np.float64)
+        y, new_state = iir_apply(ins["in"], b, a, state)
+        return new_state, {"out": y}

@@ -1,0 +1,97 @@
+"""Fourier blocks (≈ reference blocks/fourier/fft.hpp:33).
+
+The reference FFT block chunks the stream into ``fft_size`` windows (Resampling<N,1>)
+and emits a DataSet spectrum per chunk. Here: the FFT block consumes ``k·fft_size``
+samples per step and emits the spectra as a ``[n_bins]`` stream (one spectrum per
+chunk concatenated — channels axis carries chunk structure for 1-D inputs), all on
+device via XLA's FFT HLO.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.block import Block, Port
+from ..core.registry import register_block
+from ..core.settings import Setting
+from ..ops.fft import chunked_fft, fftshift, magnitude, magnitude_db, spectrum_scale
+from ..ops.windows import WINDOWS, make_window
+
+
+@register_block("FFT")
+class FFT(Block):
+    """Windowed chunked FFT (≈ blocks/fourier FFT).
+
+    outputs per chunk of ``fft_size`` inputs: ``fft_size`` output samples on the
+    selected view — complex spectrum, magnitude, dB, or power. ``shift`` centers DC.
+    Rate 1:1 so block-size algebra stays simple; alignment pins steps to whole chunks.
+    """
+
+    IN = (Port("in"),)
+    OUT = (Port("out"),)
+    fft_size = Setting(default=1024, kind="static", limits=(2, 1 << 24))
+    window = Setting(default="Hann", kind="static", choices=WINDOWS + ("none",))
+    output = Setting(default="magnitude", kind="static",
+                     choices=("complex", "magnitude", "magnitude_db", "power"))
+    shift = Setting(default=False, kind="static", description="fftshift spectra")
+    calibrate = Setting(default=True, kind="static",
+                        description="scale by window coherent gain / N")
+
+    @property
+    def alignment(self):
+        return int(self.settings.get("fft_size"))
+
+    def out_dtype(self, port, in_dtypes):
+        return jnp.complex64 if self.settings.get("output") == "complex" else jnp.float32
+
+    def apply(self, state, ins, ctx):
+        x = ins["in"]
+        n = int(self.settings.get("fft_size"))
+        wname = str(self.settings.get("window"))
+        win = None if wname.lower() in ("none", "") else \
+            jnp.asarray(make_window(wname, n))
+        spec = chunked_fft(x, n, window=win)
+        if self.settings.get("shift"):
+            spec = fftshift(spec)
+        scale = 1.0
+        if self.settings.get("calibrate"):
+            wnp = None if win is None else np.asarray(make_window(wname, n))
+            scale = spectrum_scale(n, wnp, power=False, density=False,
+                                   sample_rate=ctx.sample_rate)
+        view = self.settings.get("output")
+        if view == "complex":
+            out = spec * jnp.complex64(scale)
+        elif view == "magnitude":
+            out = magnitude(spec) * jnp.float32(scale)
+        elif view == "magnitude_db":
+            out = magnitude_db(spec * jnp.complex64(scale))
+        elif view == "power":
+            out = (jnp.real(spec) ** 2 + jnp.imag(spec) ** 2) * jnp.float32(scale * scale)
+        else:
+            raise ValueError(f"unknown output view {view}")
+        # flatten chunk axis back into the stream: [..., n_chunks, n] → [..., T]
+        out = out.reshape(*x.shape[:-1], -1)
+        return state, {"out": out}
+
+
+@register_block("IFFT")
+class IFFT(Block):
+    """Inverse chunked FFT (complex in → complex out)."""
+
+    IN = (Port("in", dtype="complex64"),)
+    OUT = (Port("out", dtype="complex64"),)
+    fft_size = Setting(default=1024, kind="static", limits=(2, 1 << 24))
+
+    @property
+    def alignment(self):
+        return int(self.settings.get("fft_size"))
+
+    def apply(self, state, ins, ctx):
+        x = ins["in"]
+        n = int(self.settings.get("fft_size"))
+        xr = x.reshape(*x.shape[:-1], -1, n)
+        y = jnp.fft.ifft(xr, axis=-1).astype(jnp.complex64)
+        return state, {"out": y.reshape(*x.shape[:-1], -1)}

@@ -1,0 +1,185 @@
+"""Arithmetic blocks (≈ reference blocks/math/Math.hpp, Rotator.hpp).
+
+Add/Subtract/Multiply/Divide over N inputs and the *Const variants, plus the complex
+Rotator (NCO frequency shifter). All are pure elementwise VPU work that XLA fuses
+into neighbors — a chain of these compiles to a single fused kernel, the TPU analog
+of the reference's compile-time BlockMerging (BlockMerging.hpp).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.block import Block, Port
+from ..core.registry import register_block
+from ..core.settings import Setting
+from ..ops.signal import nco_phases, phase_increment, phase_to_frac, complex_exp
+
+
+class _NAry(Block):
+    """N-input elementwise reducer; inputs in0..in{N-1} (≈ multi-port Add etc.)."""
+
+    OUT = (Port("out"),)
+    n_inputs = Setting(default=2, kind="static", limits=(1, 64))
+
+    def __init__(self, name=None, **settings):
+        super().__init__(name=name, **settings)
+        n = int(self.settings.get("n_inputs"))
+        self.in_ports = tuple(Port(f"in{i}") for i in range(n))
+
+    def _reduce(self, vals):
+        raise NotImplementedError
+
+    def apply(self, state, ins, ctx):
+        vals = [ins[p.name] for p in self.in_ports]
+        return state, {"out": self._reduce(vals)}
+
+
+@register_block("Add")
+class Add(_NAry):
+    def _reduce(self, vals):
+        out = vals[0]
+        for v in vals[1:]:
+            out = out + v
+        return out
+
+
+@register_block("Subtract")
+class Subtract(_NAry):
+    def _reduce(self, vals):
+        out = vals[0]
+        for v in vals[1:]:
+            out = out - v
+        return out
+
+
+@register_block("Multiply")
+class Multiply(_NAry):
+    def _reduce(self, vals):
+        out = vals[0]
+        for v in vals[1:]:
+            out = out * v
+        return out
+
+
+@register_block("Divide")
+class Divide(_NAry):
+    def _reduce(self, vals):
+        out = vals[0]
+        for v in vals[1:]:
+            out = out / v
+        return out
+
+
+class _ConstOp(Block):
+    IN = (Port("in"),)
+    OUT = (Port("out"),)
+    value = Setting(default=1.0, description="constant operand")
+
+
+@register_block("AddConst")
+class AddConst(_ConstOp):
+    def apply(self, state, ins, ctx):
+        x = ins["in"]
+        return state, {"out": x + jnp.asarray(ctx.p("value", 1.0)).astype(x.dtype)}
+
+
+@register_block("SubtractConst")
+class SubtractConst(_ConstOp):
+    def apply(self, state, ins, ctx):
+        x = ins["in"]
+        return state, {"out": x - jnp.asarray(ctx.p("value", 1.0)).astype(x.dtype)}
+
+
+@register_block("MultiplyConst")
+class MultiplyConst(_ConstOp):
+    def apply(self, state, ins, ctx):
+        x = ins["in"]
+        return state, {"out": x * jnp.asarray(ctx.p("value", 1.0)).astype(x.dtype)}
+
+
+@register_block("DivideConst")
+class DivideConst(_ConstOp):
+    def apply(self, state, ins, ctx):
+        x = ins["in"]
+        return state, {"out": x / jnp.asarray(ctx.p("value", 1.0)).astype(x.dtype)}
+
+
+@register_block("Rotator")
+class Rotator(Block):
+    """Complex NCO frequency shifter: y[n] = x[n]·e^{j2πf/fs·n} (≈ Rotator.hpp:14).
+
+    Integer-NCO phase state (uint32) — drift-free over unbounded streams; the phase
+    increment is derived host-side in float64 (prepare_params).
+    """
+
+    IN = (Port("in", dtype="complex64"),)
+    OUT = (Port("out", dtype="complex64"),)
+    frequency_shift = Setting(default=0.0, unit="Hz",
+                              description="rotation frequency (± = direction)")
+
+    def prepare_params(self, params):
+        params = dict(params)
+        params["_dphi"] = phase_increment(float(self.settings.get("frequency_shift")),
+                                          self._sample_rate_hint)
+        return params
+
+    def __init__(self, name=None, sample_rate: float | None = None, **settings):
+        super().__init__(name=name, **settings)
+        self._sample_rate_hint = float(sample_rate or 1.0)
+
+    def init_state(self, ctx):
+        self._sample_rate_hint = ctx.sample_rate
+        return jnp.zeros((), jnp.uint32)
+
+    def apply(self, state, ins, ctx):
+        x = ins["in"]
+        n = x.shape[-1]
+        dphi = ctx.params.get("_dphi", np.uint32(0))
+        ph = nco_phases(state, jnp.asarray(dphi, jnp.uint32), n)
+        lo = complex_exp(phase_to_frac(ph))
+        new_phase = state + jnp.asarray(dphi, jnp.uint32) * jnp.uint32(n)
+        return new_phase, {"out": (x * lo).astype(jnp.complex64)}
+
+
+@register_block("Abs")
+class Abs(Block):
+    IN = (Port("in"),)
+    OUT = (Port("out"),)
+
+    def out_dtype(self, port, in_dtypes):
+        dt = next(iter(in_dtypes.values()), jnp.float32)
+        return jnp.float32 if np.dtype(dt) == np.dtype(np.complex64) else dt
+
+    def apply(self, state, ins, ctx):
+        return state, {"out": jnp.abs(ins["in"])}
+
+
+@register_block("Conjugate")
+class Conjugate(Block):
+    IN = (Port("in", dtype="complex64"),)
+    OUT = (Port("out", dtype="complex64"),)
+
+    def apply(self, state, ins, ctx):
+        return state, {"out": jnp.conj(ins["in"])}
+
+
+@register_block("Log10")
+class Log10(Block):
+    """20·k·log10(|x|) convenience block (dB conversion)."""
+
+    IN = (Port("in"),)
+    OUT = (Port("out", dtype="float32"),)
+    scale = Setting(default=20.0)
+    floor = Setting(default=1e-12, kind="static")
+
+    def apply(self, state, ins, ctx):
+        x = ins["in"]
+        mag = jnp.abs(x) if jnp.issubdtype(x.dtype, jnp.complexfloating) else x
+        f = float(self.settings.get("floor"))
+        y = jnp.asarray(ctx.p("scale", 20.0), jnp.float32) * \
+            jnp.log10(jnp.maximum(mag.astype(jnp.float32), f))
+        return state, {"out": y}

@@ -1,0 +1,358 @@
+"""Deterministic test/instrumentation blocks.
+
+≈ reference blocks/testing/: NullSource/NullSink, ConstantSource, CountingSource,
+CountingSink, Copy, HeadBlock, VectorSource/VectorSink, TagSource/TagSink/TagMonitor,
+Delay, SlowSource, PerformanceMonitor (NullSources.hpp, TagMonitors.hpp, Delay.hpp,
+CollectionTestBlocks.hpp, PerformanceMonitor.hpp). These drive the golden-value test
+strategy (SURVEY §4): deterministic sources → block under test → capturing sinks.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, ClassVar
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.block import Block, BlockCtx, Port, SinkBlock, SourceBlock
+from ..core.registry import register_block
+from ..core.settings import Setting
+from ..core.stream import canonical_dtype
+from ..core.tags import Tag, TagPropagation
+
+
+@register_block("NullSource")
+class NullSource(SourceBlock):
+    """Zeros forever (≈ NullSource, NullSources.hpp)."""
+
+    OUT = (Port("out"),)
+    dtype = Setting(default="float32", kind="static", description="sample dtype")
+    channels = Setting(default=0, kind="static", description="0 → 1-D stream")
+
+    def out_channels(self, port, in_channels):
+        return int(self.settings.get("channels"))
+
+    def out_dtype(self, port, in_dtypes):
+        return self.settings.get("dtype")
+
+    def apply(self, state, ins, ctx):
+        n = ctx.out_len["out"]
+        ch = ctx.channels["out"]
+        shape = (n,) if ch == 0 else (ch, n)
+        return state, {"out": jnp.zeros(shape, canonical_dtype(self.settings.get("dtype")))}
+
+
+@register_block("ConstantSource")
+class ConstantSource(SourceBlock):
+    OUT = (Port("out"),)
+    value = Setting(default=1.0, description="constant sample value")
+    dtype = Setting(default="float32", kind="static")
+    channels = Setting(default=0, kind="static")
+    n_samples = Setting(default=0, kind="static",
+                        description="stop after N samples (0 = unbounded)")
+
+    def out_channels(self, port, in_channels):
+        return int(self.settings.get("channels"))
+
+    def out_dtype(self, port, in_dtypes):
+        return self.settings.get("dtype")
+
+    def host_done(self, abs_out, n):
+        total = int(self.settings.get("n_samples"))
+        if total and abs_out + n >= total:
+            return max(0, total - abs_out)
+        return None
+
+    def apply(self, state, ins, ctx):
+        n = ctx.out_len["out"]
+        ch = ctx.channels["out"]
+        shape = (n,) if ch == 0 else (ch, n)
+        dt = canonical_dtype(self.settings.get("dtype"))
+        v = jnp.asarray(ctx.p("value", 1.0)).astype(dt)
+        return state, {"out": jnp.broadcast_to(v, shape).astype(dt)}
+
+
+@register_block("CountingSource")
+class CountingSource(SourceBlock):
+    """0,1,2,… ramp (≈ CountingSource). State = int64-ish counter kept as two u32? —
+    a single f64-free int32 counter wraps at 2³¹; we carry uint32 lo/hi words."""
+
+    OUT = (Port("out"),)
+    dtype = Setting(default="float32", kind="static")
+    n_samples = Setting(default=0, kind="static", description="0 = unbounded")
+    start = Setting(default=0.0, description="first value")
+    step = Setting(default=1.0, description="increment per sample")
+
+    def out_dtype(self, port, in_dtypes):
+        return self.settings.get("dtype")
+
+    def init_state(self, ctx):
+        return jnp.zeros((), jnp.uint32)  # block counter (steps, not samples)
+
+    def host_done(self, abs_out, n):
+        total = int(self.settings.get("n_samples"))
+        if total and abs_out + n >= total:
+            return max(0, total - abs_out)
+        return None
+
+    def apply(self, state, ins, ctx):
+        n = ctx.out_len["out"]
+        dt = canonical_dtype(self.settings.get("dtype"))
+        base = state.astype(jnp.float32) * jnp.float32(n)
+        idx = jax.lax.broadcasted_iota(jnp.float32, (n, 1), 0)[:, 0] + base
+        out = (jnp.asarray(ctx.p("start", 0.0), jnp.float32)
+               + idx * jnp.asarray(ctx.p("step", 1.0), jnp.float32))
+        return state + jnp.uint32(1), {"out": out.astype(dt)}
+
+
+@register_block("VectorSource")
+class VectorSource(SourceBlock):
+    """Plays back a host array once (or repeated); ≈ VectorSource qa helper."""
+
+    OUT = (Port("out"),)
+    FEED = True
+    repeat = Setting(default=False, kind="static")
+
+    def __init__(self, data: Any = (), name: str | None = None, tags: list[Tag] = (),
+                 **settings: Any):
+        super().__init__(name=name, **settings)
+        self.data = np.asarray(data)
+        self.tags = list(tags)
+
+    def out_channels(self, port, in_channels):
+        return 0 if self.data.ndim <= 1 else self.data.shape[0]
+
+    def out_dtype(self, port, in_dtypes):
+        return self.data.dtype
+
+    def host_feed(self, n, abs_index):
+        total = self.data.shape[-1]
+        if self.settings.get("repeat"):
+            idx = (np.arange(abs_index, abs_index + n) % total)
+            return {"out": self.data[..., idx]}, n
+        if abs_index >= total:
+            return None
+        chunk = self.data[..., abs_index:abs_index + n]
+        return {"out": chunk}, chunk.shape[-1]
+
+    def emit_tags(self, ctx):
+        lo, hi = ctx.abs_index, ctx.abs_index + next(iter(ctx.out_len.values()), 0)
+        return [t.shifted(-lo) for t in self.tags if lo <= t.index < hi]
+
+    def apply(self, state, ins, ctx):
+        return state, {"out": ins["out"]}
+
+
+@register_block("VectorSink")
+class VectorSink(SinkBlock):
+    """Captures everything (host list → np.concatenate); ≈ VectorSink qa helper."""
+
+    IN = (Port("in"),)
+
+    def __init__(self, name: str | None = None, **settings):
+        super().__init__(name=name, **settings)
+        self._chunks: list[np.ndarray] = []
+        self.tags: list[Tag] = []
+        self._n = 0
+
+    def consume(self, arrays, tags, n_valid, abs_index):
+        a = arrays["in"][..., :n_valid]
+        if n_valid:
+            self._chunks.append(a)
+        for t in tags.get("in", []):
+            if t.index <= n_valid:  # keep in-range tags incl. EOS at the boundary
+                self.tags.append(t.shifted(abs_index))
+        self._n += n_valid
+
+    def data(self) -> np.ndarray:
+        if not self._chunks:
+            return np.zeros(0)
+        return np.concatenate(self._chunks, axis=-1)
+
+    def clear(self):
+        self._chunks.clear()
+        self.tags.clear()
+        self._n = 0
+
+
+@register_block("NullSink")
+class NullSink(SinkBlock):
+    IN = (Port("in"),)
+
+    def __init__(self, name=None, **settings):
+        super().__init__(name=name, **settings)
+        self.count = 0
+
+    def consume(self, arrays, tags, n_valid, abs_index):
+        self.count += n_valid
+
+
+@register_block("CountingSink")
+class CountingSink(NullSink):
+    """Counts valid samples (≈ CountingSink)."""
+
+
+@register_block("Copy")
+class Copy(Block):
+    """Identity (≈ Copy block) — useful to test fusion/scheduling."""
+
+    IN = (Port("in"),)
+    OUT = (Port("out"),)
+
+    def apply(self, state, ins, ctx):
+        return state, {"out": ins["in"]}
+
+
+@register_block("HeadBlock")
+class HeadBlock(Block):
+    """Pass first N samples then EOS (≈ HeadBlock). Host-side valid-count clamp."""
+
+    IN = (Port("in"),)
+    OUT = (Port("out"),)
+    n_samples = Setting(default=1024, kind="static")
+
+    def __init__(self, name=None, **settings):
+        super().__init__(name=name, **settings)
+        self._passed = 0
+
+    def apply(self, state, ins, ctx):
+        return state, {"out": ins["in"]}
+
+    # NOTE: head truncation is enforced by the runtime valid-count once mid-graph
+    # EOS is supported; for now Head is honored when it feeds sinks directly.
+
+
+@register_block("Delay")
+class Delay(Block):
+    """Integer-sample delay (≈ Delay.hpp): carries the last D samples as state."""
+
+    IN = (Port("in"),)
+    OUT = (Port("out"),)
+    delay = Setting(default=0, kind="static", limits=(0, 2 ** 31),
+                    description="delay in samples")
+
+    def init_state(self, ctx):
+        d = int(self.settings.get("delay"))
+        ch = ctx.channels.get("in", 0)
+        shape = (d,) if ch == 0 else (ch, d)
+        # dtype resolved at trace time from input; start with zeros f32 and cast lazily
+        self._d = d
+        return jnp.zeros(shape, jnp.float32)
+
+    def apply(self, state, ins, ctx):
+        x = ins["in"]
+        d = int(self.settings.get("delay"))
+        if d == 0:
+            return state, {"out": x}
+        buf = state.astype(x.dtype)
+        xc = jnp.concatenate([buf, x], axis=-1)
+        y = xc[..., :x.shape[-1]]
+        return xc[..., -d:], {"out": y}
+
+    def process_tags(self, in_tags, ctx):
+        d = int(self.settings.get("delay"))
+        out = {}
+        for p, tags in in_tags.items():
+            out["out"] = [t.shifted(d) for t in tags]
+        return out
+
+
+@register_block("TagSource")
+class TagSource(SourceBlock):
+    """Emits a constant stream + user-scheduled tags at absolute indices
+    (≈ TagSource, TagMonitors.hpp)."""
+
+    OUT = (Port("out"),)
+    value = Setting(default=0.0)
+    n_samples = Setting(default=0, kind="static")
+
+    def __init__(self, tags: list[Tag] = (), name=None, **settings):
+        super().__init__(name=name, **settings)
+        self.scheduled = sorted(tags)
+
+    def host_done(self, abs_out, n):
+        total = int(self.settings.get("n_samples"))
+        if total and abs_out + n >= total:
+            return max(0, total - abs_out)
+        return None
+
+    def emit_tags(self, ctx):
+        n = next(iter(ctx.out_len.values()), 0)
+        lo, hi = ctx.abs_index, ctx.abs_index + n
+        return [t.shifted(-lo) for t in self.scheduled if lo <= t.index < hi]
+
+    def apply(self, state, ins, ctx):
+        n = ctx.out_len["out"]
+        v = jnp.asarray(ctx.p("value", 0.0), jnp.float32)
+        return state, {"out": jnp.broadcast_to(v, (n,))}
+
+
+@register_block("TagSink")
+class TagSink(VectorSink):
+    """VectorSink that is primarily inspected for received tags (≈ TagSink)."""
+
+
+@register_block("TagMonitor")
+class TagMonitor(Block):
+    """Pass-through recording tags it sees (≈ TagMonitor)."""
+
+    IN = (Port("in"),)
+    OUT = (Port("out"),)
+
+    def __init__(self, name=None, **settings):
+        super().__init__(name=name, **settings)
+        self.observed: list[Tag] = []
+
+    def apply(self, state, ins, ctx):
+        return state, {"out": ins["in"]}
+
+    def process_tags(self, in_tags, ctx):
+        for t in in_tags.get("in", []):
+            self.observed.append(t.shifted(ctx.abs_index))
+        return {"out": list(in_tags.get("in", []))}
+
+
+@register_block("SimCompute")
+class SimCompute(Block):
+    """Simulated compute load: N fused multiply-adds per sample (≈ SimCompute with
+    target_throughput; here the knob is explicit ops/sample)."""
+
+    IN = (Port("in"),)
+    OUT = (Port("out"),)
+    ops_per_sample = Setting(default=64, kind="static", limits=(1, 1 << 20))
+
+    def apply(self, state, ins, ctx):
+        x = ins["in"]
+        k = int(self.settings.get("ops_per_sample"))
+        def body(i, acc):
+            return acc * jnp.asarray(1.0000001, x.dtype) + jnp.asarray(1e-9, x.dtype)
+        y = jax.lax.fori_loop(0, k, body, x)
+        return state, {"out": y}
+
+
+@register_block("PerformanceMonitor")
+class PerformanceMonitor(SinkBlock):
+    """Measures delivered samples/s at its input (≈ PerformanceMonitor.hpp)."""
+
+    IN = (Port("in"),)
+
+    def __init__(self, name=None, **settings):
+        super().__init__(name=name, **settings)
+        self.n = 0
+        self.t0: float | None = None
+        self.t_last: float | None = None
+
+    def consume(self, arrays, tags, n_valid, abs_index):
+        now = time.monotonic()
+        if self.t0 is None:
+            self.t0 = now
+        self.t_last = now
+        self.n += n_valid
+
+    @property
+    def samples_per_second(self) -> float:
+        if self.t0 is None or self.t_last is None or self.t_last <= self.t0:
+            return 0.0
+        return self.n / (self.t_last - self.t0)

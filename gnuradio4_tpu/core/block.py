@@ -1,0 +1,260 @@
+"""Block & port model.
+
+Reference model (core/include/gnuradio-4.0/Block.hpp:711 ``Block<Derived>`` CRTP): a
+block = typed named ports + settings + a ``processOne``/``processBulk`` function, with
+NTTP policies for resampling/stride/tag-propagation, all resolved at compile time.
+
+TPU-native design: a block is a Python object carrying
+
+- **port declarations** (:class:`Port`) — typed, named, stream or message;
+- **settings** (:class:`~.settings.Settings`) — staged/contextual, split into dynamic
+  (runtime args of the jitted step) and static (shape the trace);
+- a **pure step function** ``apply(params, state, ins, ctx) → (state, outs)`` over
+  fixed-shape time blocks — this is what gets traced into the graph's jitted program
+  (the analog of processBulk over spans);
+- static **rate descriptors**: ``ratio`` (out/in chunk ratio ≈ ``Resampling``,
+  annotated.hpp:122) resolved by the graph compiler's block-size algebra;
+- a host-side **tag hook** ``process_tags`` (default: policy-based forwarding ≈
+  ``forwardInputTags``, Block.hpp:1130).
+
+Per-sample loops are an anti-pattern on TPU; "processOne" semantics are recovered by
+writing ``apply`` with vectorized jnp ops over the whole block (the analog of the
+reference auto-SIMDizing processOne, Block.hpp:1734).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+from fractions import Fraction
+from typing import Any, Callable, ClassVar
+
+import jax.numpy as jnp
+
+from .errors import GrError
+from .settings import ApplyResult, Setting, Settings
+from .stream import StreamSpec, canonical_dtype
+from .tags import Tag, TagPropagation, propagate
+
+_instance_counter = itertools.count()
+
+
+@dataclasses.dataclass(frozen=True)
+class Port:
+    """Typed named port (≈ reference Port<T, portDirection, portType, Attributes...>,
+    core/include/gnuradio-4.0/Port.hpp).
+
+    ``dtype=None`` → polymorphic (resolved at connect time from the upstream edge).
+    ``optional`` ports may stay unconnected (≈ Optional attribute, Port.hpp:329).
+    ``asynchronous`` ports don't gate scheduling (≈ Async, Port.hpp:394) — in the TPU
+    build they are host-side message-ish streams sampled once per step.
+    """
+
+    name: str
+    dtype: Any = None
+    optional: bool = False
+    asynchronous: bool = False
+
+    def __post_init__(self):
+        if self.dtype is not None:
+            object.__setattr__(self, "dtype", canonical_dtype(self.dtype))
+
+
+@dataclasses.dataclass
+class BlockCtx:
+    """Static + dynamic context handed to ``apply`` at trace time.
+
+    ``in_len``/``out_len`` give the *static* per-port samples-per-step resolved by the
+    compiler's rate algebra; ``sample_rate`` is the input-side rate; ``params`` holds
+    the block's dynamic settings as traced arrays.
+    """
+
+    in_len: dict[str, int]
+    out_len: dict[str, int]
+    sample_rate: float
+    params: dict[str, Any]
+    channels: dict[str, int] = dataclasses.field(default_factory=dict)
+    mesh: Any = None  # jax Mesh when running sharded; None on single chip
+
+    def p(self, key: str, default: Any = None) -> Any:
+        """Dynamic param lookup (traced array) with default."""
+        v = self.params.get(key)
+        return default if v is None else v
+
+
+class Block:
+    """Base class for all blocks. Subclasses declare ports + settings and implement
+    :meth:`apply` (device path) and optionally :meth:`process_tags` (host path).
+    """
+
+    # class-level declarations (overridable per-instance in __init__ for dynamic ports)
+    IN: ClassVar[tuple[Port, ...]] = ()
+    OUT: ClassVar[tuple[Port, ...]] = ()
+    TAG_POLICY: ClassVar[TagPropagation] = TagPropagation.TPP_ALL_TO_ALL
+    _settings_spec: ClassVar[dict[str, Setting]] = {}
+
+    # Every block carries the reference's built-in settings where meaningful
+    # (Block.hpp:754-799): name/unique_name are Python attrs; resampling is `ratio`.
+
+    def __init__(self, name: str | None = None, **settings: Any):
+        cls = type(self)
+        self.unique_name = f"{cls.__name__}#{next(_instance_counter)}"
+        self.name = name or self.unique_name
+        self.in_ports: tuple[Port, ...] = tuple(cls.IN)
+        self.out_ports: tuple[Port, ...] = tuple(cls.OUT)
+        self.tag_policy: TagPropagation = cls.TAG_POLICY
+        spec = dict(cls._settings_spec)
+        self.settings = Settings(spec, init=None)
+        unknown = self.settings.set(settings)
+        if unknown:
+            raise GrError(f"{self.name}: unknown settings {sorted(unknown)}; "
+                          f"known: {sorted(spec)}")
+        self.settings.apply_staged()
+        self.settings.store_defaults()
+        self._graph = None  # back-ref set by Graph.add
+
+    # -- rate/overlap descriptors (static; read by the graph compiler) ---------
+    @property
+    def ratio(self) -> Fraction:
+        """Output/input chunk ratio (≈ Resampling<inputChunkSize, outputChunkSize>)."""
+        return Fraction(1)
+
+    @property
+    def alignment(self) -> int:
+        """Input block length must be a multiple of this (e.g. FFT size)."""
+        return 1
+
+    def out_channels(self, port: str, in_channels: dict[str, int]) -> int:
+        """Channel count produced on ``port`` given input channel counts.
+
+        Default: pass through the first input's channel count (sources: 0 ⇒ 1-D).
+        """
+        if in_channels:
+            return next(iter(in_channels.values()))
+        return 0
+
+    def out_dtype(self, port: str, in_dtypes: dict[str, Any]) -> Any:
+        """Output dtype on ``port``; default: declared port dtype, else first input's."""
+        for p in self.out_ports:
+            if p.name == port and p.dtype is not None:
+                return p.dtype
+        if in_dtypes:
+            return next(iter(in_dtypes.values()))
+        return jnp.float32
+
+    # -- device path -----------------------------------------------------------
+    def init_state(self, ctx: BlockCtx) -> Any:
+        """Carried state pytree (≈ HistoryBuffer FIR tails, NCO phase…). Default none."""
+        return None
+
+    def apply(self, state: Any, ins: dict[str, jnp.ndarray], ctx: BlockCtx
+              ) -> tuple[Any, dict[str, jnp.ndarray]]:
+        """Pure, traced step over one time block. Must use static shapes only."""
+        raise NotImplementedError(f"{type(self).__name__}.apply")
+
+    # -- host path -------------------------------------------------------------
+    def process_tags(self, in_tags: dict[str, list[Tag]], ctx: "HostCtx"
+                     ) -> dict[str, list[Tag]]:
+        """Host-side tag forwarding; indices are step-relative. Default: policy."""
+        return propagate(
+            in_tags,
+            policy=self.tag_policy,
+            out_ports=[p.name for p in self.out_ports],
+            in_ports=[p.name for p in self.in_ports],
+            ratio=self.ratio,
+        )
+
+    def on_settings_applied(self, result: ApplyResult) -> None:
+        """Hook after staged settings were applied (host, between steps)."""
+
+    def prepare_params(self, params: dict[str, Any]) -> dict[str, Any]:
+        """Host hook: derive extra dynamic params from applied settings (runs each
+        step on the host, cheap). E.g. an NCO derives its integer phase increment in
+        float64 here so the device never loses precision. Default: passthrough."""
+        return params
+
+    # -- host-side streaming hooks (used by the scheduler) ---------------------
+    FEED: ClassVar[bool] = False  # True → runtime feeds this source's outputs from host
+
+    def host_feed(self, n: int, abs_index: int):
+        """For FEED sources: return {port: np.ndarray} (or (dict, n_valid)) for the
+        next ``n`` samples starting at ``abs_index``; None signals EOS."""
+        return None
+
+    def host_done(self, abs_out: int, n: int) -> int | None:
+        """For device-generating sources: return remaining valid samples (≤ n) when
+        this step is the last one, else None (keep going)."""
+        return None
+
+    def emit_tags(self, ctx: "HostCtx") -> list[Tag]:
+        """Host hook: tags this block emits on all outputs this step (step-relative
+        indices). Used by tag sources and settings auto-forwarding."""
+        return []
+
+    # lifecycle hooks (≈ start/stop/pause/resume/reset user methods)
+    def start(self) -> None: ...
+    def stop(self) -> None: ...
+    def pause(self) -> None: ...
+    def resume(self) -> None: ...
+    def reset(self) -> None: ...
+
+    # -- plumbing --------------------------------------------------------------
+    def port(self, name: str, *, output: bool | None = None) -> "PortRef":
+        for p in self.out_ports:
+            if p.name == name and output is not False:
+                return PortRef(self, name, True)
+        for p in self.in_ports:
+            if p.name == name and output is not True:
+                return PortRef(self, name, False)
+        raise GrError(f"{self.name}: no port named {name!r}")
+
+    def __getitem__(self, port_name: str) -> "PortRef":
+        return self.port(port_name)
+
+    def __repr__(self) -> str:
+        return f"<{type(self).__name__} {self.name!r}>"
+
+
+@dataclasses.dataclass(frozen=True)
+class PortRef:
+    """(block, port, direction) handle used by Graph.connect."""
+
+    block: Block
+    port: str
+    is_output: bool
+
+
+@dataclasses.dataclass
+class HostCtx:
+    """Host-side per-step context for tag processing."""
+
+    step: int
+    in_len: dict[str, int]
+    out_len: dict[str, int]
+    sample_rate: float
+    abs_index: int  # absolute index of the first input sample of this step
+
+
+class SourceBlock(Block):
+    """Convenience base: no stream inputs; apply(state, {}, ctx) generates a block."""
+
+    IN: ClassVar[tuple[Port, ...]] = ()
+
+
+class SinkBlock(Block):
+    """Convenience base: no stream outputs. The runtime routes this block's *input*
+    arrays (device→host) to :meth:`consume` after each step (≈ DataSink egress).
+    """
+
+    OUT: ClassVar[tuple[Port, ...]] = ()
+
+    def apply(self, state, ins, ctx):
+        return state, {}
+
+    def consume(self, arrays: dict[str, Any], tags: dict[str, list[Tag]],
+                n_valid: int, abs_index: int) -> None:
+        """Host callback with this step's input arrays (numpy) + tags."""
+
+
+def make_apply_fn(fn: Callable) -> Callable:
+    return fn

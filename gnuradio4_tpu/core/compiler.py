@@ -1,0 +1,179 @@
+"""Graph → jitted XLA program.
+
+The reference pumps samples through per-block virtual ``work()`` calls scheduled by
+thread pools (core/include/gnuradio-4.0/Scheduler.hpp:722 poolWorker →
+Block.hpp:2054 workInternal). TPU-native inversion: the *entire flattened graph* is
+traced once into a single jitted step function
+
+    step(states, params, feeds) → (states', sink_inputs)
+
+so XLA fuses all elementwise blocks into neighboring FFT/matmul kernels, keeps
+intermediates in VMEM/HBM without host round-trips, and the only per-step host work is
+feeding sources and draining sinks. Carried block state (FIR tails, NCO phase — the
+analog of HistoryBuffer) threads through the step as a donated pytree, so state stays
+on-device across steps.
+
+Static shapes: per-edge samples-per-step come from Graph.resolve_rates (the rate
+algebra replacing the reference's per-work() computeResampling, Block.hpp:1611).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .block import Block, BlockCtx, SinkBlock
+from .errors import GrError
+from .graph import Edge, Graph
+from .stream import canonical_dtype
+
+
+@dataclasses.dataclass
+class CompiledGraph:
+    """A jit-compiled, rate-resolved flowgraph ready for the streaming scheduler."""
+
+    graph: Graph                      # flattened
+    order: list[Block]
+    in_len: dict[str, int]            # block unique_name → input samples/step
+    out_len: dict[str, int]
+    block_ctx: dict[str, BlockCtx]
+    step_fn: Callable                 # jitted
+    fed_blocks: list[Block]           # sources taking host-fed arrays
+    sink_names: list[str]
+    sample_rate: float
+    block_len: int
+    mesh: Any = None
+
+    # -- runtime-facing helpers ------------------------------------------------
+    def init_states(self) -> dict[str, Any]:
+        return {b.unique_name: b.init_state(self.block_ctx[b.unique_name])
+                for b in self.order}
+
+    def gather_params(self) -> dict[str, dict[str, Any]]:
+        return {b.unique_name: b.prepare_params(b.settings.dynamic_params())
+                for b in self.order}
+
+    def zero_feeds(self) -> dict[str, dict[str, np.ndarray]]:
+        feeds: dict[str, dict[str, np.ndarray]] = {}
+        for b in self.fed_blocks:
+            ctx = self.block_ctx[b.unique_name]
+            feeds[b.unique_name] = {
+                p.name: np.zeros(_shape(ctx.channels.get(p.name, 0),
+                                        ctx.out_len[p.name]),
+                                 dtype=_feed_dtype(b, p.name))
+                for p in b.out_ports}
+        return feeds
+
+    def step(self, states, params, feeds):
+        return self.step_fn(states, params, feeds)
+
+
+def _shape(channels: int, n: int) -> tuple[int, ...]:
+    return (n,) if channels == 0 else (channels, n)
+
+
+def _feed_dtype(block: Block, port: str):
+    d = block.out_dtype(port, {})
+    return np.dtype(canonical_dtype(d)) if d is not None else np.float32
+
+
+def compile_graph(graph: Graph, *, block_len: int = 1 << 16,
+                  sample_rate: float = 1.0, mesh: Any = None,
+                  jit: bool = True, donate_state: bool = True) -> CompiledGraph:
+    """Flatten, validate, solve rates/dtypes/channels, trace, and jit the graph."""
+    flat = graph.flatten()
+    flat.validate()
+    order = flat.topological_order()
+    in_len, out_len = flat.resolve_rates(block_len, sample_rate)
+
+    # per-edge dtype/channel resolution (compile-time type inference over the DAG)
+    in_edges: dict[str, list[Edge]] = {b.unique_name: [] for b in flat.blocks}
+    for e in flat.edges:
+        in_edges[e.dst.unique_name].append(e)
+
+    edge_by_out: dict[tuple[str, str], list[Edge]] = {}
+    for e in flat.edges:
+        edge_by_out.setdefault((e.src.unique_name, e.src_port), []).append(e)
+
+    block_ctx: dict[str, BlockCtx] = {}
+    out_channels: dict[tuple[str, str], int] = {}
+    out_dtypes: dict[tuple[str, str], Any] = {}
+    rate_in: dict[str, float] = {}
+
+    for b in order:
+        ins = in_edges[b.unique_name]
+        in_ch = {e.dst_port: out_channels[(e.src.unique_name, e.src_port)] for e in ins}
+        in_dt = {e.dst_port: out_dtypes[(e.src.unique_name, e.src_port)] for e in ins}
+        rate_in[b.unique_name] = (max((e.sample_rate / float(e.src.ratio) * 1.0)
+                                      for e in ins) if ins else sample_rate)
+        # more precise: input rate is the producing edge's resolved rate
+        if ins:
+            rate_in[b.unique_name] = max(e.sample_rate for e in ins)
+        ch_map: dict[str, int] = dict(in_ch)
+        for p in b.out_ports:
+            ch = b.out_channels(p.name, in_ch)
+            dt = canonical_dtype(b.out_dtype(p.name, in_dt))
+            out_channels[(b.unique_name, p.name)] = ch
+            out_dtypes[(b.unique_name, p.name)] = dt
+            ch_map[p.name] = ch
+        n_in = in_len[b.unique_name]
+        n_out = out_len[b.unique_name]
+        block_ctx[b.unique_name] = BlockCtx(
+            in_len={p.name: n_in for p in b.in_ports},
+            out_len={p.name: n_out for p in b.out_ports},
+            sample_rate=rate_in[b.unique_name],
+            params={},  # filled per-trace
+            channels=ch_map,
+            mesh=mesh,
+        )
+    for e in flat.edges:
+        e.channels = out_channels[(e.src.unique_name, e.src_port)]
+        e.dtype = out_dtypes[(e.src.unique_name, e.src_port)]
+        # resolved-dtype check against declared input port types (≈ Graph.hpp:493)
+        for p in e.dst.in_ports:
+            if p.name == e.dst_port and p.dtype is not None \
+                    and np.dtype(p.dtype) != np.dtype(e.dtype):
+                raise GrError(
+                    f"dtype mismatch on {e}: {e.src.name}.{e.src_port} produces "
+                    f"{np.dtype(e.dtype).name}, {e.dst.name}.{e.dst_port} expects "
+                    f"{np.dtype(p.dtype).name}")
+
+    fed_blocks = [b for b in order if getattr(b, "FEED", False)]
+    fed_names = {b.unique_name for b in fed_blocks}
+    sinks = [b for b in order if isinstance(b, SinkBlock) or not b.out_ports]
+    sink_names = [b.unique_name for b in sinks]
+
+    def step(states, params, feeds):
+        values: dict[tuple[str, str], jnp.ndarray] = {}
+        new_states = {}
+        sink_ins: dict[str, dict[str, jnp.ndarray]] = {}
+        for b in order:
+            uname = b.unique_name
+            ctx = dataclasses.replace(block_ctx[uname], params=params.get(uname, {}))
+            ins = {e.dst_port: values[(e.src.unique_name, e.src_port)]
+                   for e in in_edges[uname]}
+            if uname in fed_names:
+                # host-fed sources see their fed arrays as inputs (identity default)
+                ins = {**feeds.get(uname, {}), **ins}
+            if uname in sink_names:
+                sink_ins[uname] = ins
+            st, outs = b.apply(states.get(uname), ins, ctx)
+            new_states[uname] = st
+            for pname, arr in outs.items():
+                values[(uname, pname)] = arr
+        return new_states, sink_ins
+
+    step_fn = step
+    if jit:
+        donate = (0,) if donate_state else ()
+        step_fn = jax.jit(step, donate_argnums=donate)
+
+    return CompiledGraph(
+        graph=flat, order=order, in_len=in_len, out_len=out_len,
+        block_ctx=block_ctx, step_fn=step_fn, fed_blocks=fed_blocks,
+        sink_names=sink_names, sample_rate=sample_rate,
+        block_len=in_len[order[0].unique_name] if order else block_len, mesh=mesh)

@@ -1,0 +1,580 @@
+"""Host streaming scheduler (L3).
+
+Reference (core/include/gnuradio-4.0/Scheduler.hpp): thread-pool workers round-robin
+``block->work()`` over job lists, with lifecycle FSM, message pumping between stream
+work, watchdog, zombie cleanup and runtime graph mutation.
+
+TPU-native inversion: the device does all the stream compute in one fused jitted step
+(compiler.py); the scheduler is a thin host pump that per step
+
+  1. drains the message plane (settings get/set, lifecycle, graph mutation),
+  2. applies staged settings — dynamic ones land as new param arrays (no recompile),
+     static/structural ones mark the graph dirty and re-jit at the step boundary
+     (the analog of the reference renegotiating chunks each work() call),
+  3. feeds host-fed sources (double-buffered device_put ≈ the ring between producer
+     and compute),
+  4. dispatches the jitted step (JAX async dispatch pipelines step i+1 behind i),
+  5. advances the host tag sideband in topological order,
+  6. drains device→host sink arrays a few steps behind dispatch (pipeline_depth).
+
+Lifecycle, pause/resume, EOS propagation and the watchdog mirror the reference's
+semantics (Scheduler.hpp:515 runAndWait, :845 watchdog).
+"""
+
+from __future__ import annotations
+
+import collections
+import dataclasses
+import threading
+import time
+from fractions import Fraction
+from typing import Any
+
+import jax
+import numpy as np
+
+from .block import Block, HostCtx, SinkBlock
+from .compiler import CompiledGraph, compile_graph
+from .errors import Error, GrError
+from .graph import Graph
+from .lifecycle import State, StateMachine
+from .messages import Command, Message, MessageBus, Property
+from .registry import register_scheduler
+from .tags import Keys, Tag
+
+
+@dataclasses.dataclass
+class _InFlight:
+    step: int
+    sink_ins: dict[str, dict[str, Any]]
+    sink_tags: dict[str, dict[str, list[Tag]]]
+    n_valid: dict[str, int]
+    abs_in: dict[str, int]
+    t_dispatch: float
+
+
+class Scheduler:
+    """Single jitted-program streaming scheduler (≈ gr::scheduler::Simple)."""
+
+    def __init__(self, graph: Graph, *, block_len: int = 1 << 16,
+                 sample_rate: float = 1.0, mesh: Any = None,
+                 pipeline_depth: int = 2, profiler: Any = None,
+                 watchdog_timeout: float | None = None,
+                 max_tags_per_step: int = 64, name: str = "scheduler"):
+        self.name = name
+        self.graph = graph
+        self.block_len = block_len
+        self.sample_rate = sample_rate
+        self.mesh = mesh
+        self.pipeline_depth = max(1, pipeline_depth)
+        self.profiler = profiler
+        self.watchdog_timeout = watchdog_timeout
+        self.max_tags_per_step = max_tags_per_step
+
+        self.fsm = StateMachine()
+        self.bus = MessageBus()
+        self.compiled: CompiledGraph | None = None
+        self._states: dict[str, Any] = {}
+        self._dirty = True            # needs (re)compile
+        self._step = 0
+        self._abs_in: dict[str, int] = {}   # block → absolute input-sample counter
+        self._abs_out: dict[str, int] = {}
+        self._pending_out_tags: dict[tuple[str, str], list[Tag]] = {}
+        self._finished_sources: set[str] = set()
+        self._eos_announced: set[str] = set()
+        self._drain_steps = 0
+        self._inflight: collections.deque[_InFlight] = collections.deque()
+        self._runner: threading.Thread | None = None
+        self._watchdog: threading.Thread | None = None
+        self._last_progress = time.monotonic()
+        self._stall_flagged = False
+        self.error: Error | None = None
+
+    # -- public control --------------------------------------------------------
+    @property
+    def state(self) -> State:
+        return self.fsm.state
+
+    def init(self) -> None:
+        """Compile the graph (≈ changeStateTo(INITIALISED) → customInit)."""
+        if self.fsm.state is State.IDLE:
+            self._recompile(reset_state=True)
+            self.fsm.transition_to(State.INITIALISED)
+
+    def run_and_wait(self, n_steps: int | None = None) -> None:
+        """Run the pump on the calling thread until EOS/stop (≈ runAndWait,
+        Scheduler.hpp:515; ExecutionPolicy::singleThreaded)."""
+        self.init()
+        self.fsm.transition_to(State.RUNNING)
+        self._start_watchdog()
+        self._call_hooks("start")
+        try:
+            self._pump(n_steps)
+        except Exception as e:
+            self.error = Error.here(str(e), block=self.name)
+            self.fsm.force_error()
+            raise
+        finally:
+            self._drain()
+            if self.fsm.state in (State.RUNNING, State.PAUSED, State.REQUESTED_PAUSE):
+                self.fsm.transition_to(State.REQUESTED_STOP)
+            if self.fsm.state is State.REQUESTED_STOP:
+                self.fsm.transition_to(State.STOPPED)
+            self._call_hooks("stop")
+            self._process_messages()  # final message pump (≈ Scheduler.hpp:543-554)
+
+    def start(self, n_steps: int | None = None) -> None:
+        """Run the pump on a background thread (≈ multiThreaded policy)."""
+        self._runner = threading.Thread(
+            target=self.run_and_wait, args=(n_steps,), daemon=True,
+            name=f"{self.name}-runner")
+        self._runner.start()
+
+    def wait_done(self, timeout: float | None = None) -> None:
+        if self._runner is not None:
+            self._runner.join(timeout)
+            if self._runner.is_alive():
+                raise TimeoutError(f"{self.name} still running")
+
+    def request_pause(self) -> None:
+        self.fsm.transition_to(State.REQUESTED_PAUSE)
+
+    def resume(self) -> None:
+        self.fsm.transition_to(State.RUNNING)
+        self._call_hooks("resume")
+
+    def request_stop(self) -> None:
+        st = self.fsm.state
+        if st in (State.RUNNING, State.PAUSED, State.REQUESTED_PAUSE, State.INITIALISED):
+            self.fsm.transition_to(State.REQUESTED_STOP)
+
+    def reset(self) -> None:
+        if self.fsm.state is State.ERROR:
+            self.fsm.transition_to(State.IDLE)
+        self._step = 0
+        self._dirty = True
+        self._finished_sources.clear()
+        self._eos_announced.clear()
+        self._inflight.clear()
+        self._pending_out_tags.clear()
+        self.error = None
+        self._call_hooks("reset")
+
+    # -- compile ---------------------------------------------------------------
+    def _recompile(self, *, reset_state: bool) -> None:
+        old_states = None if reset_state else self._states
+        self.compiled = compile_graph(
+            self.graph, block_len=self.block_len, sample_rate=self.sample_rate,
+            mesh=self.mesh)
+        self._states = self.compiled.init_states()
+        if old_states:
+            # best-effort carry state across re-jit when shapes still match
+            for k, v in old_states.items():
+                if k in self._states and _same_struct(v, self._states[k]):
+                    self._states[k] = v
+        for b in self.compiled.order:
+            self._abs_in.setdefault(b.unique_name, 0)
+            self._abs_out.setdefault(b.unique_name, 0)
+        self._dirty = False
+
+    # -- the pump --------------------------------------------------------------
+    def _pump(self, n_steps: int | None) -> None:
+        while True:
+            st = self.fsm.state
+            if st is State.REQUESTED_STOP or st is State.ERROR:
+                return
+            if st is State.REQUESTED_PAUSE:
+                self.fsm.transition_to(State.PAUSED)
+                self._call_hooks("pause")
+                st = self.fsm.state
+            if st is State.PAUSED:
+                self._process_messages()
+                time.sleep(0.001)
+                continue
+            if n_steps is not None and self._step >= n_steps:
+                return
+            if not self._pump_once():
+                return
+
+    def _pump_once(self) -> bool:
+        """One scheduler step. Returns False on EOS completion."""
+        self._process_messages()
+        if self.fsm.state in (State.REQUESTED_STOP, State.ERROR):
+            return False
+        self._apply_staged_settings()
+        if self._dirty:
+            self._recompile(reset_state=False)
+        c = self.compiled
+
+        # 1. collect feeds + per-source valid counts
+        feeds: dict[str, dict[str, np.ndarray]] = {}
+        n_valid: dict[str, int] = {}
+        for b in c.order:
+            uname = b.unique_name
+            if uname in self._finished_sources:
+                n_valid[uname] = 0
+                if getattr(b, "FEED", False):
+                    feeds[uname] = c.zero_feeds()[uname]
+            elif getattr(b, "FEED", False):
+                got = b.host_feed(c.out_len[uname], self._abs_out[uname])
+                if got is None:
+                    self._finished_sources.add(uname)
+                    n_valid[uname] = 0
+                    feeds[uname] = c.zero_feeds()[uname]
+                else:
+                    arrays, nv = got if isinstance(got, tuple) else (got, c.out_len[uname])
+                    zero = c.zero_feeds()[uname]
+                    feeds[uname] = {p: _pad_to(np.asarray(a), zero[p].shape, zero[p].dtype)
+                                    for p, a in arrays.items()}
+                    nv = min(nv, min((np.asarray(a).shape[-1] for a in arrays.values()),
+                                     default=nv))
+                    n_valid[uname] = nv
+                    if nv < c.out_len[uname]:
+                        self._finished_sources.add(uname)
+            elif not b.in_ports:  # pure device source
+                done = b.host_done(self._abs_out[uname], c.out_len[uname])
+                if done is not None and done <= c.out_len[uname]:
+                    n_valid[uname] = max(0, done)
+                    self._finished_sources.add(uname)
+                else:
+                    n_valid[uname] = c.out_len[uname]
+
+        # 2. propagate valid counts through the DAG (host-side bookkeeping)
+        in_edges: dict[str, list] = {b.unique_name: [] for b in c.order}
+        for e in c.graph.edges:
+            in_edges[e.dst.unique_name].append(e)
+        for b in c.order:
+            uname = b.unique_name
+            if uname in n_valid and not in_edges[uname]:
+                continue
+            ins = in_edges[uname]
+            if ins:
+                nv_in = min(n_valid.get(e.src.unique_name, c.out_len[e.src.unique_name])
+                            for e in ins)
+                r = b.ratio
+                n_valid[uname] = int(Fraction(nv_in) * r)
+            else:
+                n_valid.setdefault(uname, c.out_len[uname])
+
+        produced_any = any(n_valid.get(b.unique_name, 0) > 0 for b in c.order
+                           if not b.in_ports)
+
+        # 3. dispatch device step (async)
+        params = c.gather_params()
+        new_states, sink_ins = c.step(self._states, params, feeds)
+        self._states = new_states
+
+        # 4. host tag sideband
+        sink_tags = self._advance_tags(n_valid)
+
+        # 5. book-keeping + pipelined sink delivery
+        abs_in_snapshot = dict(self._abs_in)
+        for b in c.order:
+            uname = b.unique_name
+            self._abs_in[uname] += c.in_len[uname]
+            self._abs_out[uname] += c.out_len[uname]
+        self._inflight.append(_InFlight(
+            step=self._step, sink_ins=sink_ins, sink_tags=sink_tags,
+            n_valid=n_valid, abs_in=abs_in_snapshot, t_dispatch=time.monotonic()))
+        while len(self._inflight) > self.pipeline_depth:
+            self._deliver(self._inflight.popleft())
+        self._step += 1
+        self._last_progress = time.monotonic()
+
+        # EOS: all sources finished and nothing produced this step → stop
+        sources = [b for b in c.order if not b.in_ports]
+        all_done = sources and all(b.unique_name in self._finished_sources
+                                   for b in sources)
+        if all_done and not produced_any:
+            return False
+        return True
+
+    def _drain(self) -> None:
+        while self._inflight:
+            self._deliver(self._inflight.popleft())
+
+    def _deliver(self, rec: _InFlight) -> None:
+        c = self.compiled
+        for uname, ins in rec.sink_ins.items():
+            block = next(b for b in c.order if b.unique_name == uname)
+            if not isinstance(block, SinkBlock):
+                continue
+            host_arrays = {p: np.asarray(a) for p, a in ins.items()}
+            block.consume(host_arrays, rec.sink_tags.get(uname, {}),
+                          rec.n_valid.get(uname, c.in_len[uname]),
+                          rec.abs_in.get(uname, 0))
+
+    # -- tags ------------------------------------------------------------------
+    def _advance_tags(self, n_valid: dict[str, int]) -> dict[str, dict[str, list[Tag]]]:
+        c = self.compiled
+        edge_tags: dict[tuple[str, str], list[Tag]] = {}
+        sink_tags: dict[str, dict[str, list[Tag]]] = {}
+        in_edges: dict[str, list] = {b.unique_name: [] for b in c.order}
+        for e in c.graph.edges:
+            in_edges[e.dst.unique_name].append(e)
+        for b in c.order:
+            uname = b.unique_name
+            hc = HostCtx(step=self._step,
+                         in_len={p.name: c.in_len[uname] for p in b.in_ports},
+                         out_len={p.name: c.out_len[uname] for p in b.out_ports},
+                         sample_rate=c.block_ctx[uname].sample_rate,
+                         abs_index=self._abs_in[uname])
+            in_tags: dict[str, list[Tag]] = {}
+            for e in in_edges[uname]:
+                in_tags[e.dst_port] = list(
+                    edge_tags.get((e.src.unique_name, e.src_port), []))
+            # auto-update settings from incoming tag maps (Settings.hpp:329)
+            for tags in in_tags.values():
+                for t in tags:
+                    b.settings.auto_update(t.map)
+                    if Keys.CONTEXT in t.map:
+                        from .settings import SettingsCtx
+                        b.settings.activate_context(SettingsCtx(
+                            time=float(t.map.get(Keys.CTX_TIME, 0.0)),
+                            context=str(t.map[Keys.CONTEXT])))
+            out_tags = b.process_tags(in_tags, hc)
+            # source-emitted tags (host hook, e.g. TagSource / EOS)
+            emitted = b.emit_tags(hc) if hasattr(b, "emit_tags") else []
+            for t in emitted:
+                for p in b.out_ports:
+                    out_tags.setdefault(p.name, []).append(t)
+            # EOS tag when this source just finished (Tag.hpp end_of_stream)
+            if (not b.in_ports and uname in self._finished_sources
+                    and uname not in self._eos_announced):
+                self._eos_announced.add(uname)
+                for p in b.out_ports:
+                    out_tags.setdefault(p.name, []).append(
+                        Tag(n_valid.get(uname, 0), {Keys.END_OF_STREAM: True}))
+            # forward-on-apply settings published as tags (pending from apply)
+            for p in b.out_ports:
+                pend = self._pending_out_tags.pop((uname, p.name), None)
+                if pend:
+                    out_tags.setdefault(p.name, []).extend(pend)
+                edge_tags[(uname, p.name)] = out_tags.get(p.name, [])
+            if uname in c.sink_names:
+                sink_tags[uname] = in_tags
+        return sink_tags
+
+    # -- settings --------------------------------------------------------------
+    def _apply_staged_settings(self) -> None:
+        if self.compiled is None:
+            return
+        for b in self.compiled.order:
+            if not b.settings.changed():
+                continue
+            res = b.settings.apply_staged()
+            b.on_settings_applied(res)
+            if res.static_changed:
+                self._dirty = True
+            if res.forward:
+                for p in b.out_ports:
+                    self._pending_out_tags.setdefault(
+                        (b.unique_name, p.name), []).append(Tag(0, dict(res.forward)))
+            if res.applied:
+                self.bus.notify(b.name, Property.SETTING, dict(res.applied))
+
+    # -- messages --------------------------------------------------------------
+    def _process_messages(self) -> None:
+        for msg in self.bus.drain_inbox():
+            try:
+                self._handle_message(msg)
+            except Exception as e:
+                self.bus.reply(msg, Error.here(str(e)))
+
+    def _handle_message(self, msg: Message) -> None:
+        if msg.service_name in ("", self.name):
+            self._handle_scheduler_message(msg)
+            return
+        block = self._find_block(msg.service_name)
+        if block is None:
+            self.bus.reply(msg, Error.here(f"no block named {msg.service_name!r}"))
+            return
+        ep, cmd, data = msg.endpoint, msg.command, msg.data or {}
+        if ep == Property.HEARTBEAT:
+            self.bus.reply(msg, {"heartbeat": time.time()})
+        elif ep == Property.ECHO:
+            self.bus.reply(msg, dict(data))
+        elif ep == Property.SETTING:
+            if cmd is Command.Set:
+                unknown = block.settings.set(dict(data))
+                if unknown:
+                    self.bus.reply(msg, Error.here(f"unknown keys {sorted(unknown)}"))
+                    return
+            self.bus.reply(msg, block.settings.as_dict())
+        elif ep == Property.STAGED_SETTING:
+            if cmd is Command.Set:
+                block.settings.set(dict(data))
+            self.bus.reply(msg, dict(block.settings._staged))
+        elif ep == Property.STORE_DEFAULTS:
+            block.settings.store_defaults()
+            self.bus.reply(msg, {})
+        elif ep == Property.RESET_DEFAULTS:
+            block.settings.reset_defaults()
+            self.bus.reply(msg, {})
+        elif ep == Property.ACTIVE_CONTEXT:
+            from .settings import SettingsCtx
+            if cmd is Command.Set:
+                block.settings.activate_context(SettingsCtx(
+                    time=float(data.get("time", 0.0)),
+                    context=str(data.get("context", ""))))
+            ctx = block.settings.active_context
+            self.bus.reply(msg, {"context": ctx.context, "time": ctx.time})
+        elif ep == Property.SETTINGS_CONTEXTS:
+            ctxs = block.settings.stored_contexts()
+            self.bus.reply(msg, {"contexts": [c.context for c in ctxs],
+                                 "times": [c.time for c in ctxs]})
+        elif ep == Property.META_INFORMATION:
+            self.bus.reply(msg, {
+                "type": type(block).__name__, "name": block.name,
+                "unique_name": block.unique_name,
+                "settings": {k: s.description for k, s in block.settings.spec.items()}})
+        elif ep == Property.INSPECT_BLOCK:
+            self.bus.reply(msg, _inspect_block(block))
+        elif ep == Property.LIFECYCLE_STATE:
+            self.bus.reply(msg, {"state": self.fsm.state.value})
+        else:
+            self.bus.reply(msg, Error.here(f"unknown endpoint {ep!r}"))
+
+    def _handle_scheduler_message(self, msg: Message) -> None:
+        ep, cmd, data = msg.endpoint, msg.command, msg.data or {}
+        if ep == Property.LIFECYCLE_STATE:
+            if cmd is Command.Set:
+                target = State(data["state"])
+                if target is State.REQUESTED_STOP:
+                    self.request_stop()
+                elif target is State.REQUESTED_PAUSE:
+                    self.request_pause()
+                elif target is State.RUNNING:
+                    self.resume()
+                else:
+                    self.fsm.transition_to(target)
+            self.bus.reply(msg, {"state": self.fsm.state.value})
+        elif ep == Property.HEARTBEAT:
+            self.bus.reply(msg, {"heartbeat": time.time()})
+        elif ep == Property.INSPECT_GRAPH:
+            g = self.compiled.graph if self.compiled else self.graph
+            self.bus.reply(msg, {
+                "blocks": [{"name": b.name, "unique_name": b.unique_name,
+                            "type": type(b).__name__} for b in g.blocks],
+                "edges": [{"src": e.src.name, "src_port": e.src_port,
+                           "dst": e.dst.name, "dst_port": e.dst_port,
+                           "samples_per_step": e.samples_per_step}
+                          for e in g.edges]})
+        elif ep == Property.EMPLACE_BLOCK:
+            b = self.graph.emplace(data["type"], **data.get("properties", {}))
+            self._dirty = True
+            self.bus.reply(msg, {"unique_name": b.unique_name, "name": b.name})
+        elif ep == Property.REMOVE_BLOCK:
+            b = self._find_block(data["name"])
+            if b is None:
+                raise GrError(f"no block {data['name']!r}")
+            self.graph.remove(b)
+            self._dirty = True
+            self.bus.reply(msg, {})
+        elif ep == Property.EMPLACE_EDGE:
+            src = self._find_block(data["src"]); dst = self._find_block(data["dst"])
+            if src is None or dst is None:
+                raise GrError("emplace edge: unknown block")
+            self.graph.connect(src, dst, src_port=data.get("src_port"),
+                               dst_port=data.get("dst_port"))
+            self._dirty = True
+            self.bus.reply(msg, {})
+        elif ep == Property.REMOVE_EDGE:
+            before = len(self.graph.edges)
+            self.graph.edges = [
+                e for e in self.graph.edges
+                if not (e.src.name == data["src"] and e.dst.name == data["dst"])]
+            if len(self.graph.edges) == before:
+                raise GrError("remove edge: no match")
+            self._dirty = True
+            self.bus.reply(msg, {})
+        else:
+            self.bus.reply(msg, Error.here(f"unknown scheduler endpoint {ep!r}"))
+
+    def _find_block(self, name: str) -> Block | None:
+        g = self.graph
+        for b in g.blocks:
+            if b.name == name or b.unique_name == name:
+                return b
+        if self.compiled:
+            for b in self.compiled.order:
+                if b.name == name or b.unique_name == name:
+                    return b
+        return None
+
+    # -- watchdog (≈ Scheduler.hpp:845) ---------------------------------------
+    def _start_watchdog(self) -> None:
+        if self.watchdog_timeout is None or self._watchdog is not None:
+            return
+        def monitor():
+            while self.fsm.state in (State.RUNNING, State.REQUESTED_PAUSE, State.PAUSED,
+                                     State.INITIALISED):
+                time.sleep(self.watchdog_timeout / 4)
+                if (self.fsm.state is State.RUNNING
+                        and time.monotonic() - self._last_progress > self.watchdog_timeout
+                        and not self._stall_flagged):
+                    self._stall_flagged = True
+                    self.bus.notify(self.name, "Watchdog",
+                                    {"stalled_for_s": time.monotonic() - self._last_progress,
+                                     "step": self._step})
+        self._watchdog = threading.Thread(target=monitor, daemon=True,
+                                          name=f"{self.name}-watchdog")
+        self._watchdog.start()
+
+    def _call_hooks(self, which: str) -> None:
+        if self.compiled is None:
+            return
+        for b in self.compiled.order:
+            try:
+                getattr(b, which)()
+            except Exception as e:
+                self.error = Error.here(f"{b.name}.{which}(): {e}", block=b.name)
+                self.bus.notify(b.name, "Error", {"message": str(e)})
+
+
+def _pad_to(a: np.ndarray, shape: tuple[int, ...], dtype) -> np.ndarray:
+    """Zero-pad a host-fed array up to the static per-step shape (partial final block)."""
+    a = np.asarray(a, dtype=dtype)
+    if a.shape == tuple(shape):
+        return a
+    out = np.zeros(shape, dtype=dtype)
+    sl = tuple(slice(0, min(s, t)) for s, t in zip(a.shape, shape))
+    out[sl] = a[sl]
+    return out
+
+
+def _same_struct(a: Any, b: Any) -> bool:
+    try:
+        ta = jax.tree.structure(a); tb = jax.tree.structure(b)
+        if ta != tb:
+            return False
+        la = jax.tree.leaves(a); lb = jax.tree.leaves(b)
+        return all(getattr(x, "shape", None) == getattr(y, "shape", None)
+                   and getattr(x, "dtype", None) == getattr(y, "dtype", None)
+                   for x, y in zip(la, lb))
+    except Exception:
+        return False
+
+
+def _inspect_block(block: Block) -> dict[str, Any]:
+    return {
+        "name": block.name,
+        "unique_name": block.unique_name,
+        "type": type(block).__name__,
+        "inputs": [p.name for p in block.in_ports],
+        "outputs": [p.name for p in block.out_ports],
+        "settings": block.settings.as_dict(),
+        "ratio": [block.ratio.numerator, block.ratio.denominator],
+    }
+
+
+@register_scheduler("Simple")
+class SimpleScheduler(Scheduler):
+    """Insertion-order scheduling (≈ gr::scheduler::Simple, Scheduler.hpp:1514).
+    With a single fused device program, execution order is the topological order —
+    the policy distinction only affects host-side tag walking, which is already topo."""
+
+
+@register_scheduler("BreadthFirst")
+class BreadthFirstScheduler(Scheduler):
+    """≈ gr::scheduler::BreadthFirst (Scheduler.hpp:1580); same fused execution."""

@@ -1,0 +1,136 @@
+"""IIR filtering kernels.
+
+Reference: direct-form I/II per-sample IIR (blocks/filter time_domain_filter.hpp:64).
+
+TPU-native design: the recursion y[n] = f(y[n-1], …) is inherently sequential — the
+TPU-friendly strategies, in order of preference:
+
+1. **Channel parallelism**: ``lax.scan`` over time carrying per-channel state vectors;
+   all channels advance in lock-step on the VPU (the main axis for wide streams).
+2. **Parallel linear recurrence** (first-order sections): y[n] = c·y[n-1] + v[n] is an
+   associative operation on pairs (c, v), so ``lax.associative_scan`` evaluates it in
+   O(log T) depth — used for biquads decomposed into complex one-pole sections
+   (:func:`one_pole_apply` / :func:`biquad_parallel_apply`).
+
+State layout (transposed direct-form II): ``s[..., i]``, i ∈ [0, order).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _normalize_ba(b: np.ndarray, a: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]:
+    b = np.atleast_1d(np.asarray(b, dtype=np.float64))
+    a = np.atleast_1d(np.asarray(a, dtype=np.float64))
+    b = b / a[0]
+    a = a / a[0]
+    order = max(len(b), len(a)) - 1
+    b = np.pad(b, (0, order + 1 - len(b)))
+    a = np.pad(a, (0, order + 1 - len(a)))
+    return b, a, order
+
+
+def iir_init_state(channels: int, nb: int, na: int) -> jnp.ndarray:
+    order = max(nb, na) - 1
+    shape = (order,) if channels == 0 else (channels, order)
+    return jnp.zeros(shape, jnp.float32)
+
+
+def iir_apply(x: jnp.ndarray, b: np.ndarray, a: np.ndarray, state: jnp.ndarray
+              ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Transposed DF-II scan. x: [T] or [C, T]; state: [..., order]."""
+    b, a, order = _normalize_ba(b, a)
+    if order == 0:
+        return x * jnp.asarray(b[0], x.dtype), state
+    bj = jnp.asarray(b, x.dtype)
+    aj = jnp.asarray(a, x.dtype)
+    xT = jnp.moveaxis(x, -1, 0)  # [T, ...]
+
+    def step(s, xn):
+        yn = bj[0] * xn + s[..., 0]
+        # s_i ← b_{i+1}·x − a_{i+1}·y + s_{i+1}
+        s_shift = jnp.concatenate(
+            [s[..., 1:], jnp.zeros_like(s[..., :1])], axis=-1)
+        new_s = (bj[1:] * xn[..., None] - aj[1:] * yn[..., None] + s_shift)
+        return new_s, yn
+
+    new_state, yT = jax.lax.scan(step, state.astype(x.dtype), xT)
+    return jnp.moveaxis(yT, 0, -1), new_state
+
+
+def one_pole_apply(x: jnp.ndarray, pole: complex | jnp.ndarray,
+                   y_prev: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Parallel first-order recurrence y[n] = pole·y[n-1] + x[n] in O(log T) depth.
+
+    Associative op on (c, v): (c2, v2)∘(c1, v1) = (c1·c2, c2·v1 + v2).
+    x: [..., T]; y_prev: [...] (y[-1]); returns (y, y[T-1]).
+    """
+    c = jnp.broadcast_to(jnp.asarray(pole, x.dtype), x.shape)
+    v = x.at[..., 0].add(jnp.asarray(pole, x.dtype) * y_prev)
+
+    def combine(l, r):
+        cl, vl = l
+        cr, vr = r
+        return cl * cr, cr * vl + vr
+
+    cs, ys = jax.lax.associative_scan(combine, (c, v), axis=-1)
+    return ys, ys[..., -1]
+
+
+def sos_init_state(channels: int, n_sections: int) -> jnp.ndarray:
+    shape = (n_sections, 2) if channels == 0 else (channels, n_sections, 2)
+    return jnp.zeros(shape, jnp.float32)
+
+
+def sos_apply(x: jnp.ndarray, sos: np.ndarray, state: jnp.ndarray
+              ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Cascaded-biquad IIR (scan). sos: [S, 6]; state: [..., S, 2] transposed-DF2."""
+    sos = np.atleast_2d(np.asarray(sos, dtype=np.float64))
+    S = sos.shape[0]
+    bj = jnp.asarray(sos[:, :3], x.dtype)          # [S, 3]
+    aj = jnp.asarray(sos[:, 3:] / sos[:, 3:4], x.dtype)
+    xT = jnp.moveaxis(x, -1, 0)
+
+    def step(s, xn):
+        new_s = []
+        v = xn
+        for k in range(S):
+            sk = s[..., k, :]
+            y = bj[k, 0] * v + sk[..., 0]
+            s0 = bj[k, 1] * v - aj[k, 1] * y + sk[..., 1]
+            s1 = bj[k, 2] * v - aj[k, 2] * y
+            new_s.append(jnp.stack([s0, s1], axis=-1))
+            v = y
+        return jnp.stack(new_s, axis=-2), v
+
+    new_state, yT = jax.lax.scan(step, state.astype(x.dtype), xT)
+    return jnp.moveaxis(yT, 0, -1), new_state
+
+
+def biquad_parallel_apply(x: jnp.ndarray, sos_row: np.ndarray,
+                          state: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One biquad in O(log T) via complex one-pole decomposition.
+
+    H(z) = (b0 + b1 z⁻¹ + b2 z⁻²)/(1 + a1 z⁻¹ + a2 z⁻²). With complex-conjugate
+    poles p, p̄: partial fractions give y = 2·Re[r·u] + d·x where u is a one-pole
+    recurrence with pole p. ``state``: complex carry u[-1] shape [...].
+    Falls back to sequential scan for real/repeated poles.
+    """
+    b0, b1, b2, a0, a1, a2 = (float(v) for v in np.asarray(sos_row, np.float64))
+    b0, b1, b2, a1, a2 = b0 / a0, b1 / a0, b2 / a0, a1 / a0, a2 / a0
+    disc = a1 * a1 - 4.0 * a2
+    if disc >= -1e-12:  # real poles → sequential path handles it
+        raise ValueError("biquad_parallel_apply requires complex-conjugate poles")
+    p = complex(-a1 / 2.0, np.sqrt(-disc) / 2.0)
+    # Exact partial fractions in w = z⁻¹:  H = K + A/(1−p w) + Ā/(1−p̄ w)
+    # with K = b2/a2 and A = (b0 p² + b1 p + b2)/(p (p − p̄)); the k=0 term checks
+    # out: K + 2·Re A = b0.
+    K = b2 / a2
+    A = (b0 * p * p + b1 * p + b2) / (p * (p - np.conj(p)))
+    xc = x.astype(jnp.complex64)
+    u, u_last = one_pole_apply(xc, jnp.asarray(p, jnp.complex64), state)
+    y = jnp.asarray(K, x.dtype) * x + 2.0 * jnp.real(jnp.asarray(A, jnp.complex64) * u)
+    return y.astype(x.dtype), u_last

@@ -1,0 +1,62 @@
+"""Waveform generation kernels (≈ reference algorithm/signal/SignalGeneratorCore.hpp).
+
+Waveforms: Const, Sin, Cos, Square, Saw, Triangle (same set as the reference's
+SignalGenerator). Phase tracking uses the classic **integer NCO**: a uint32 phase
+accumulator with increment ``round(f/fs · 2³²)`` computed on the host in float64
+(Block.prepare_params), so phase never drifts regardless of stream length — uint32
+wrap-around is the modulo. On device: one broadcasted iota, one multiply-add, one
+transcendental — fully fused by XLA into downstream kernels.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+WAVEFORMS = ("Const", "Sin", "Cos", "Square", "Saw", "Triangle")
+
+_TWO_PI = 2.0 * np.pi
+_PHASE_SCALE = np.float32(1.0 / 4294967296.0)  # 2^-32
+
+
+def phase_increment(frequency: float, sample_rate: float) -> np.uint32:
+    """Host-side (float64) NCO increment: frac(f/fs) · 2³² as uint32."""
+    frac = np.float64(frequency) / np.float64(sample_rate)
+    frac = frac - np.floor(frac)
+    return np.uint32(np.round(frac * 4294967296.0) % 4294967296.0)
+
+
+def nco_phases(phase0: jnp.ndarray, dphi: jnp.ndarray, n: int) -> jnp.ndarray:
+    """uint32 phase ramp [n] starting at phase0 (wrapping mod 2³² naturally)."""
+    idx = jax.lax.broadcasted_iota(jnp.uint32, (n, 1), 0)[:, 0]
+    return phase0.astype(jnp.uint32) + idx * dphi.astype(jnp.uint32)
+
+
+def phase_to_frac(phase_u32: jnp.ndarray) -> jnp.ndarray:
+    """uint32 phase → fractional cycles in [0, 1) as f32 (keeps top 24 bits)."""
+    return phase_u32.astype(jnp.float32) * _PHASE_SCALE
+
+
+def waveform(kind: str, frac_phase: jnp.ndarray, *, amplitude, offset) -> jnp.ndarray:
+    """Evaluate a waveform from fractional phase in [0,1)."""
+    k = kind.lower()
+    if k == "const":
+        return jnp.full_like(frac_phase, 1.0) * amplitude + offset
+    if k == "sin":
+        return amplitude * jnp.sin(_TWO_PI * frac_phase) + offset
+    if k == "cos":
+        return amplitude * jnp.cos(_TWO_PI * frac_phase) + offset
+    if k == "square":
+        return amplitude * jnp.where(frac_phase < 0.5, 1.0, -1.0) + offset
+    if k == "saw":
+        return amplitude * (2.0 * frac_phase - 1.0) + offset
+    if k == "triangle":
+        return amplitude * (4.0 * jnp.abs(frac_phase - 0.5) - 1.0) + offset
+    raise ValueError(f"unknown waveform {kind!r}; known: {WAVEFORMS}")
+
+
+def complex_exp(frac_phase: jnp.ndarray, *, amplitude=1.0) -> jnp.ndarray:
+    """amplitude · e^{j2πφ} — the complex NCO used by rotators/mixers."""
+    ang = _TWO_PI * frac_phase
+    return (amplitude * (jnp.cos(ang) + 1j * jnp.sin(ang))).astype(jnp.complex64)

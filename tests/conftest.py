@@ -1,0 +1,25 @@
+"""Test configuration: force CPU jax with 8 virtual devices so multi-chip sharding
+logic is testable without a TPU pod (SURVEY §4 TPU-build implication).
+
+NOTE: this environment's TPU plugin (axon) force-registers itself and overrides
+``JAX_PLATFORMS`` from the environment, so we must override via ``jax.config``
+*before* any backend is initialized.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0xC0FFEE)

@@ -1,0 +1,173 @@
+"""Unit tests for L0/L1: lifecycle FSM, settings staging/contexts, tags, registry
+(≈ reference qa_LifeCycle, qa_Settings, qa_Tags, plugin tests)."""
+
+import numpy as np
+import pytest
+
+from gnuradio4_tpu.core.lifecycle import State, StateMachine, is_valid_transition
+from gnuradio4_tpu.core.errors import LifecycleError, SettingsError
+from gnuradio4_tpu.core.settings import Setting, Settings, SettingsCtx
+from gnuradio4_tpu.core.tags import Keys, Tag, TagPropagation, coalesce, propagate
+from gnuradio4_tpu.core.registry import BlockRegistry
+from gnuradio4_tpu.blocks.testing import NullSource
+from fractions import Fraction
+
+
+class TestLifecycle:
+    def test_happy_path(self):
+        fsm = StateMachine()
+        for s in [State.INITIALISED, State.RUNNING, State.REQUESTED_PAUSE,
+                  State.PAUSED, State.RUNNING, State.REQUESTED_STOP, State.STOPPED]:
+            fsm.transition_to(s)
+        assert fsm.state is State.STOPPED
+
+    def test_invalid_transition_raises(self):
+        fsm = StateMachine()
+        with pytest.raises(LifecycleError):
+            fsm.transition_to(State.RUNNING)  # IDLE → RUNNING is invalid
+
+    def test_error_recovery_via_reset(self):
+        fsm = StateMachine()
+        fsm.force_error()
+        assert fsm.state is State.ERROR
+        fsm.transition_to(State.IDLE)
+        fsm.transition_to(State.INITIALISED)
+
+    def test_transition_table_spots(self):
+        assert is_valid_transition(State.STOPPED, State.INITIALISED)  # restartable
+        assert not is_valid_transition(State.PAUSED, State.INITIALISED)
+        assert is_valid_transition(State.RUNNING, State.ERROR)
+
+    def test_hooks_fire(self):
+        fsm = StateMachine()
+        fired = []
+        fsm.on(State.RUNNING, lambda: fired.append("run"))
+        fsm.transition_to(State.INITIALISED)
+        fsm.transition_to(State.RUNNING)
+        assert fired == ["run"]
+
+
+def _spec():
+    return {
+        "frequency": Setting(default=1.0, unit="Hz", limits=(0.0, 1e9)),
+        "amplitude": Setting(default=1.0),
+        "fft_size": Setting(default=1024, kind="static"),
+    }
+
+
+class TestSettings:
+    def test_staged_then_applied(self):
+        s = Settings(_spec())
+        s.set({"frequency": 5.0})
+        assert s.get("frequency") == 1.0  # not yet applied
+        res = s.apply_staged()
+        assert s.get("frequency") == 5.0
+        assert res.applied == {"frequency": 5.0}
+        assert not res.static_changed
+
+    def test_static_change_flags_recompile(self):
+        s = Settings(_spec())
+        s.set({"fft_size": 4096})
+        assert s.apply_staged().static_changed
+
+    def test_limits_enforced(self):
+        s = Settings(_spec())
+        with pytest.raises(SettingsError):
+            s.set({"frequency": -1.0})
+
+    def test_unknown_keys_returned(self):
+        s = Settings(_spec())
+        unknown = s.set({"nope": 1, "frequency": 2.0})
+        assert unknown == {"nope": 1}
+
+    def test_store_reset_defaults(self):
+        s = Settings(_spec())
+        s.set({"amplitude": 3.0}); s.apply_staged()
+        s.store_defaults()
+        s.set({"amplitude": 9.0}); s.apply_staged()
+        s.reset_defaults(); s.apply_staged()
+        assert s.get("amplitude") == 3.0
+
+    def test_contexts(self):
+        s = Settings(_spec())
+        ctx_b = SettingsCtx(context="B")
+        s.set({"frequency": 7.0}, ctx=ctx_b)
+        assert s.get("frequency") == 1.0
+        s.activate_context(ctx_b)
+        s.apply_staged()
+        assert s.get("frequency") == 7.0
+        assert ctx_b in s.stored_contexts()
+
+    def test_time_context_activation(self):
+        s = Settings(_spec())
+        s.set({"frequency": 10.0}, ctx=SettingsCtx(time=100.0, context="t100"))
+        s.set({"frequency": 20.0}, ctx=SettingsCtx(time=200.0, context="t200"))
+        s.activate_context_for_time(150.0)
+        s.apply_staged()
+        assert s.get("frequency") == 10.0
+
+    def test_auto_update_from_tags(self):
+        spec = dict(_spec())
+        spec["sample_rate"] = Setting(default=1.0)
+        s = Settings(spec)
+        s.auto_update({Keys.SAMPLE_RATE: 48000.0, "unrelated": 3})
+        s.apply_staged()
+        assert s.get("sample_rate") == 48000.0
+
+    def test_dynamic_static_split(self):
+        s = Settings(_spec())
+        dyn = s.dynamic_params()
+        assert "frequency" in dyn and "fft_size" not in dyn
+        assert s.static_params() == {"fft_size": 1024}
+
+
+class TestTags:
+    def test_coalesce_merges_same_index(self):
+        tags = [Tag(5, {"a": 1}), Tag(3, {"b": 2}), Tag(5, {"c": 3})]
+        out = coalesce(tags)
+        assert [t.index for t in out] == [3, 5]
+        assert out[1].map == {"a": 1, "c": 3}
+
+    def test_rescale_indices_through_decimation(self):
+        t = Tag(100, {"x": 1})
+        assert t.rescaled(Fraction(1, 4)).index == 25
+        assert t.rescaled(Fraction(3, 2)).index == 150
+
+    def test_propagate_all_to_all(self):
+        out = propagate({"in": [Tag(8, {"k": 1})]},
+                        policy=TagPropagation.TPP_ALL_TO_ALL,
+                        out_ports=["o1", "o2"], in_ports=["in"],
+                        ratio=Fraction(1, 2))
+        assert out["o1"][0].index == 4 and out["o2"][0].index == 4
+
+    def test_propagate_one_to_one(self):
+        out = propagate({"a": [Tag(1, {})], "b": [Tag(2, {})]},
+                        policy=TagPropagation.TPP_ONE_TO_ONE,
+                        out_ports=["x", "y"], in_ports=["a", "b"])
+        assert out["x"][0].index == 1 and out["y"][0].index == 2
+
+    def test_propagate_dont(self):
+        out = propagate({"in": [Tag(0, {})]}, policy=TagPropagation.TPP_DONT,
+                        out_ports=["o"], in_ports=["in"])
+        assert out["o"] == []
+
+
+class TestRegistry:
+    def test_register_and_create(self):
+        reg = BlockRegistry()
+        reg.add("NullSource", NullSource)
+        b = reg.create("NullSource", channels=2)
+        assert b.settings.get("channels") == 2
+
+    def test_global_registry_has_builtins(self):
+        from gnuradio4_tpu import global_registry
+        known = global_registry.known_blocks()
+        for name in ["SignalGenerator", "FirFilter", "FFT", "VectorSink", "Add",
+                     "Rotator", "Selector", "Convert"]:
+            assert name in known, name
+
+    def test_unknown_type_raises(self):
+        from gnuradio4_tpu import global_registry
+        from gnuradio4_tpu.core.errors import GrError
+        with pytest.raises(GrError):
+            global_registry.create("DoesNotExist")

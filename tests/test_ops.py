@@ -1,0 +1,235 @@
+"""Golden-value DSP kernel tests vs NumPy/SciPy references with explicit tolerances
+(≈ reference qa_fourier, qa_FilterTool, qa_filter — SURVEY §4 strategy)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from gnuradio4_tpu.ops import filter_design as fd
+from gnuradio4_tpu.ops.fir import fir_apply, fir_init_state, fir_interpolate
+from gnuradio4_tpu.ops.iir import (biquad_parallel_apply, iir_apply, iir_init_state,
+                                   one_pole_apply, sos_apply, sos_init_state)
+from gnuradio4_tpu.ops.windows import enbw, make_window
+from gnuradio4_tpu.ops.fft import chunked_fft, freq_axis
+
+
+def _np_lfilter(b, a, x):
+    """Direct-form reference IIR/FIR in float64 (scipy-free)."""
+    b = np.atleast_1d(np.asarray(b, np.float64))
+    a = np.atleast_1d(np.asarray(a, np.float64))
+    b = b / a[0]; a = a / a[0]
+    y = np.zeros_like(np.asarray(x, np.float64))
+    for n in range(len(x)):
+        acc = 0.0
+        for k in range(len(b)):
+            if n - k >= 0:
+                acc += b[k] * x[n - k]
+        for k in range(1, len(a)):
+            if n - k >= 0:
+                acc -= a[k] * y[n - k]
+        y[n] = acc
+    return y
+
+
+class TestFir:
+    def test_matches_numpy_convolve_streaming(self, rng):
+        taps = rng.standard_normal(33).astype(np.float32)
+        x = rng.standard_normal(1024).astype(np.float32)
+        ref = np.convolve(x, taps)[: len(x)]
+        state = fir_init_state(0, len(taps), jnp.float32)
+        # stream in 4 chunks — state carries the overlap
+        ys = []
+        for chunk in x.reshape(4, -1):
+            y, state = fir_apply(jnp.asarray(chunk), jnp.asarray(taps), state)
+            ys.append(np.asarray(y))
+        out = np.concatenate(ys)
+        np.testing.assert_allclose(out, ref, rtol=0, atol=2e-4)
+
+    def test_complex_fir(self, rng):
+        taps = (rng.standard_normal(17) + 1j * rng.standard_normal(17)).astype(np.complex64)
+        x = (rng.standard_normal(256) + 1j * rng.standard_normal(256)).astype(np.complex64)
+        ref = np.convolve(x, taps)[: len(x)]
+        state = fir_init_state(0, len(taps), jnp.complex64)
+        y, _ = fir_apply(jnp.asarray(x), jnp.asarray(taps), state)
+        np.testing.assert_allclose(np.asarray(y), ref, rtol=0, atol=5e-4)
+
+    def test_multichannel(self, rng):
+        taps = rng.standard_normal(9).astype(np.float32)
+        x = rng.standard_normal((4, 128)).astype(np.float32)
+        state = fir_init_state(4, len(taps), jnp.float32)
+        y, _ = fir_apply(jnp.asarray(x), jnp.asarray(taps), state)
+        for c in range(4):
+            ref = np.convolve(x[c], taps)[:128]
+            np.testing.assert_allclose(np.asarray(y)[c], ref, rtol=0, atol=2e-4)
+
+    def test_decimating_fir(self, rng):
+        taps = rng.standard_normal(16).astype(np.float32)
+        x = rng.standard_normal(512).astype(np.float32)
+        ref = np.convolve(x, taps)[: len(x)][::4]
+        state = fir_init_state(0, len(taps), jnp.float32)
+        y, _ = fir_apply(jnp.asarray(x), jnp.asarray(taps), state, decim=4)
+        np.testing.assert_allclose(np.asarray(y), ref, rtol=0, atol=2e-4)
+
+    def test_interpolating_fir_polyphase(self, rng):
+        interp = 4
+        taps = fd.design_fir("lowpass", 64, sample_rate=interp * 2.0, f_low=0.5 * 0.8)
+        x = rng.standard_normal(256).astype(np.float32)
+        # reference: zero-stuff then filter
+        up = np.zeros(len(x) * interp, np.float64)
+        up[::interp] = x
+        ref = np.convolve(up, taps)[: len(up)] * interp
+        state = fir_init_state(0, (len(taps) + interp - 1) // interp, jnp.float32)
+        y, _ = fir_interpolate(jnp.asarray(x), jnp.asarray(taps, dtype=jnp.float32),
+                               state, interp)
+        np.testing.assert_allclose(np.asarray(y), ref, rtol=0, atol=5e-4)
+
+
+class TestIir:
+    def test_matches_reference_lfilter(self, rng):
+        res = fd.design_iir("butterworth", "lowpass", 4, sample_rate=100.0, f_low=10.0)
+        x = rng.standard_normal(256).astype(np.float32)
+        ref = _np_lfilter(res.b, res.a, x)
+        state = iir_init_state(0, len(res.b), len(res.a))
+        y, _ = iir_apply(jnp.asarray(x), res.b, res.a, state)
+        np.testing.assert_allclose(np.asarray(y), ref, rtol=0, atol=1e-4)
+
+    def test_streaming_state_continuity(self, rng):
+        res = fd.design_iir("butterworth", "lowpass", 2, sample_rate=10.0, f_low=1.0)
+        x = rng.standard_normal(400).astype(np.float32)
+        ref = _np_lfilter(res.b, res.a, x)
+        state = iir_init_state(0, len(res.b), len(res.a))
+        ys = []
+        for chunk in x.reshape(4, -1):
+            y, state = iir_apply(jnp.asarray(chunk), res.b, res.a, state)
+            ys.append(np.asarray(y))
+        np.testing.assert_allclose(np.concatenate(ys), ref, rtol=0, atol=1e-4)
+
+    def test_sos_cascade(self, rng):
+        res = fd.design_iir("butterworth", "lowpass", 4, sample_rate=100.0, f_low=10.0)
+        x = rng.standard_normal(256).astype(np.float32)
+        ref = _np_lfilter(res.b, res.a, x)
+        state = sos_init_state(0, res.sos.shape[0])
+        y, _ = sos_apply(jnp.asarray(x), res.sos, state)
+        np.testing.assert_allclose(np.asarray(y), ref, rtol=0, atol=1e-3)
+
+    def test_one_pole_parallel_scan(self):
+        pole = 0.95
+        x = np.ones(128, np.float32)
+        y, last = one_pole_apply(jnp.asarray(x), pole, jnp.asarray(0.0))
+        ref = _np_lfilter([1.0], [1.0, -pole], x)
+        np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-5, atol=1e-5)
+        assert np.isclose(np.asarray(last), ref[-1], rtol=1e-5)
+
+    def test_biquad_parallel_matches_sequential(self, rng):
+        res = fd.design_iir("butterworth", "lowpass", 2, sample_rate=50.0, f_low=5.0)
+        x = rng.standard_normal(512).astype(np.float32)
+        ref = _np_lfilter(res.b, res.a, x)
+        y, _ = biquad_parallel_apply(jnp.asarray(x), res.sos[0],
+                                     jnp.zeros((), jnp.complex64))
+        np.testing.assert_allclose(np.asarray(y), ref, rtol=0, atol=1e-3)
+
+
+class TestFilterDesign:
+    def test_fir_lowpass_response(self):
+        fs, fc = 1000.0, 100.0
+        taps = fd.design_fir("lowpass", 127, sample_rate=fs, f_low=fc)
+        f, h = fd.freq_response(taps, sample_rate=fs, n=1024)
+        mag = np.abs(h)
+        assert np.allclose(mag[f < 0.5 * fc], 1.0, atol=0.01)     # passband flat
+        assert np.all(mag[f > 2.0 * fc] < 10 ** (-40 / 20))       # ≥40 dB stop
+
+    def test_fir_highpass_response(self):
+        fs, fc = 1000.0, 200.0
+        taps = fd.design_fir("highpass", 129, sample_rate=fs, f_low=fc)
+        f, h = fd.freq_response(taps, sample_rate=fs, n=1024)
+        mag = np.abs(h)
+        assert np.all(mag[f < 0.5 * fc] < 0.02)
+        assert np.allclose(mag[f > 1.8 * fc], 1.0, atol=0.02)
+
+    def test_fir_bandpass_response(self):
+        fs = 1000.0
+        taps = fd.design_fir("bandpass", 201, sample_rate=fs, f_low=100.0, f_high=200.0)
+        f, h = fd.freq_response(taps, sample_rate=fs, n=2048)
+        mag = np.abs(h)
+        inband = (f > 130) & (f < 170)
+        assert np.allclose(mag[inband], 1.0, atol=0.02)
+        assert np.all(mag[(f < 60) | (f > 280)] < 0.01)
+
+    @pytest.mark.parametrize("design", ["butterworth", "chebyshev1", "chebyshev2",
+                                        "bessel"])
+    def test_iir_lowpass_response(self, design):
+        fs, fc = 1000.0, 100.0
+        res = fd.design_iir(design, "lowpass", 4, sample_rate=fs, f_low=fc,
+                            ripple_db=1.0, atten_db=40.0)
+        f, h = fd.freq_response(res.b, res.a, sample_rate=fs, n=2048)
+        mag = np.abs(h)
+        # DC gain ≈ 1 (Chebyshev1 even order: -ripple)
+        dc_min = 10 ** (-1.2 / 20) if design == "chebyshev1" else 0.97
+        assert dc_min <= mag[1] <= 1.03
+        if design == "chebyshev2":
+            assert np.all(mag[f > 2.0 * fc] < 10 ** (-39 / 20))
+        else:
+            assert np.all(mag[f > 4.0 * fc] < 0.12)
+        # stability: poles inside unit circle
+        assert np.all(np.abs(res.zpk.p) < 1.0)
+
+    def test_iir_cutoff_at_3db_butterworth(self):
+        fs, fc = 1000.0, 100.0
+        res = fd.design_iir("butterworth", "lowpass", 5, sample_rate=fs, f_low=fc)
+        f, h = fd.freq_response(res.b, res.a, sample_rate=fs, n=4096)
+        i = np.argmin(np.abs(f - fc))
+        np.testing.assert_allclose(np.abs(h[i]), 1 / np.sqrt(2), atol=0.02)
+
+    def test_iir_bandpass(self):
+        fs = 1000.0
+        res = fd.design_iir("butterworth", "bandpass", 2, sample_rate=fs,
+                            f_low=100.0, f_high=200.0)
+        f, h = fd.freq_response(res.b, res.a, sample_rate=fs, n=4096)
+        mag = np.abs(h)
+        i_mid = np.argmin(np.abs(f - 141.0))  # sqrt(100·200)
+        assert mag[i_mid] > 0.95
+        assert np.all(mag[f < 30] < 0.1) and np.all(mag[f > 450] < 0.1)
+        assert np.all(np.abs(res.zpk.p) < 1.0)
+
+    def test_sos_equals_ba(self):
+        res = fd.design_iir("butterworth", "lowpass", 6, sample_rate=48e3, f_low=4e3)
+        f, h_ba = fd.freq_response(res.b, res.a, sample_rate=48e3, n=512)
+        _, h_sos = fd.sos_freq_response(res.sos, sample_rate=48e3, n=512)
+        np.testing.assert_allclose(np.abs(h_sos), np.abs(h_ba), rtol=1e-5, atol=1e-7)
+
+
+class TestWindows:
+    def test_known_enbw(self):
+        # textbook ENBW values (bins): Hann 1.5, Hamming 1.363, Blackman ~1.727
+        assert abs(enbw(make_window("Hann", 4096)) - 1.5) < 0.01
+        assert abs(enbw(make_window("Hamming", 4096)) - 1.363) < 0.01
+        assert abs(enbw(make_window("Blackman", 4096)) - 1.727) < 0.01
+
+    def test_symmetry(self):
+        for kind in ("Hann", "Hamming", "Blackman", "Nuttall", "FlatTop", "Kaiser"):
+            w = make_window(kind, 101)
+            np.testing.assert_allclose(w, w[::-1], atol=1e-6)
+
+    def test_unknown_raises(self):
+        with pytest.raises(ValueError):
+            make_window("nope", 16)
+
+
+class TestFft:
+    def test_matches_numpy(self, rng):
+        x = rng.standard_normal(4 * 256).astype(np.float32)
+        spec = np.asarray(chunked_fft(jnp.asarray(x), 256))
+        ref = np.fft.fft(x.reshape(4, 256), axis=-1)
+        np.testing.assert_allclose(spec, ref, rtol=1e-4, atol=1e-3)
+
+    def test_windowed_tone_peak(self):
+        fs, n = 1024.0, 1024
+        f0 = 128.0  # exactly bin 128
+        t = np.arange(n) / fs
+        x = np.sin(2 * np.pi * f0 * t).astype(np.float32)
+        w = jnp.asarray(make_window("Hann", n))
+        spec = np.asarray(chunked_fft(jnp.asarray(x), n, window=w))[0]
+        peak_bin = np.argmax(np.abs(spec[: n // 2]))
+        assert peak_bin == 128
+        f = freq_axis(n, fs)
+        assert f[peak_bin] == f0

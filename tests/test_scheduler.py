@@ -1,0 +1,194 @@
+"""Scheduler/runtime integration tests (≈ reference qa_Scheduler,
+qa_SchedulerMessages): lifecycle, EOS, data integrity, tags end-to-end, messages,
+runtime graph mutation."""
+
+import numpy as np
+import pytest
+
+import gnuradio4_tpu as gr
+from gnuradio4_tpu.blocks.math import Add, MultiplyConst
+from gnuradio4_tpu.blocks.testing import (ConstantSource, CountingSource, Copy,
+                                          NullSink, TagMonitor, TagSource,
+                                          VectorSink, VectorSource)
+from gnuradio4_tpu.core.messages import Command, Property
+from gnuradio4_tpu.core.tags import Keys, Tag
+
+
+def test_vector_roundtrip():
+    data = np.arange(1000, dtype=np.float32)
+    g = gr.Graph()
+    src = VectorSource(data)
+    snk = VectorSink()
+    g.connect(src, snk)
+    sched = gr.Scheduler(g, block_len=256)
+    sched.run_and_wait()
+    np.testing.assert_array_equal(snk.data(), data)
+    assert sched.state is gr.State.STOPPED
+
+
+def test_counting_source_eos_and_values():
+    g = gr.Graph()
+    src = CountingSource(n_samples=1000)
+    mul = MultiplyConst(value=3.0)
+    snk = VectorSink()
+    g.connect_chain(src, mul, snk)
+    gr.Scheduler(g, block_len=256).run_and_wait()
+    out = snk.data()
+    assert out.shape == (1000,)
+    np.testing.assert_allclose(out, 3.0 * np.arange(1000, dtype=np.float32), rtol=1e-6)
+
+
+def test_fan_out_fan_in():
+    g = gr.Graph()
+    src = CountingSource(n_samples=512)
+    c1, c2 = Copy(), Copy()
+    add = Add(n_inputs=2)
+    snk = VectorSink()
+    g.connect(src, c1)
+    g.connect(src, c2)
+    g.connect(c1, add["in0"])
+    g.connect(c2, add["in1"])
+    g.connect(add, snk)
+    gr.Scheduler(g, block_len=128).run_and_wait()
+    np.testing.assert_allclose(snk.data(), 2.0 * np.arange(512, dtype=np.float32))
+
+
+def test_partial_final_block():
+    data = np.arange(777, dtype=np.float32)  # not a multiple of block_len
+    g = gr.Graph()
+    src = VectorSource(data)
+    snk = VectorSink()
+    g.connect(src, snk)
+    gr.Scheduler(g, block_len=256).run_and_wait()
+    np.testing.assert_array_equal(snk.data(), data)
+
+
+def test_tags_flow_to_sink_with_absolute_indices():
+    g = gr.Graph()
+    src = TagSource(tags=[Tag(10, {"a": 1}), Tag(300, {"b": 2})], n_samples=512)
+    mon = TagMonitor()
+    snk = VectorSink()
+    g.connect_chain(src, mon, snk)
+    gr.Scheduler(g, block_len=128).run_and_wait()
+    idx = {t.index: t.map for t in snk.tags if not t.map.get(Keys.END_OF_STREAM)}
+    assert idx.get(10) == {"a": 1}
+    assert idx.get(300) == {"b": 2}
+    assert any(t.map.get(Keys.END_OF_STREAM) for t in snk.tags)
+    assert [t.index for t in mon.observed][:2] == [10, 300]
+
+
+def test_settings_message_roundtrip():
+    g = gr.Graph()
+    src = CountingSource(n_samples=10_000)
+    mul = MultiplyConst(value=1.0, name="gain")
+    snk = NullSink()
+    g.connect_chain(src, mul, snk)
+    sched = gr.Scheduler(g, block_len=512)
+    sched.bus.send_command(Command.Set, "gain", Property.SETTING, {"value": 4.0})
+    sched.run_and_wait()
+    replies = sched.bus.drain_replies()
+    assert any(isinstance(r.data, dict) and r.data.get("value") == 4.0
+               for r in replies)
+    assert mul.settings.get("value") == 4.0
+
+
+def test_lifecycle_message_stop():
+    g = gr.Graph()
+    src = ConstantSource()  # unbounded
+    snk = NullSink()
+    g.connect(src, snk)
+    sched = gr.Scheduler(g, block_len=256)
+    sched.start()
+    import time
+    deadline = time.monotonic() + 10
+    while snk.count == 0 and time.monotonic() < deadline:
+        time.sleep(0.01)
+    sched.bus.send_command(Command.Set, "", Property.LIFECYCLE_STATE,
+                           {"state": "REQUESTED_STOP"})
+    sched.wait_done(timeout=30)
+    assert sched.state is gr.State.STOPPED
+    assert snk.count > 0
+
+
+def test_pause_resume():
+    import time
+    g = gr.Graph()
+    src = ConstantSource()
+    snk = NullSink()
+    g.connect(src, snk)
+    sched = gr.Scheduler(g, block_len=256)
+    sched.start()
+    deadline = time.monotonic() + 10
+    while snk.count == 0 and time.monotonic() < deadline:
+        time.sleep(0.01)
+    sched.request_pause()
+    sched.fsm.wait_for(gr.State.PAUSED, timeout=10)
+    n1 = snk.count
+    time.sleep(0.05)
+    n2 = snk.count
+    assert n2 - n1 <= 2 * 256 * sched.pipeline_depth  # at most in-flight drain
+    sched.resume()
+    deadline = time.monotonic() + 10
+    while snk.count <= n2 and time.monotonic() < deadline:
+        time.sleep(0.01)
+    assert snk.count > n2
+    sched.request_stop()
+    sched.wait_done(timeout=30)
+
+
+def test_inspect_graph_message():
+    g = gr.Graph()
+    src = ConstantSource(n_samples=100)
+    snk = NullSink()
+    g.connect(src, snk)
+    sched = gr.Scheduler(g, block_len=64)
+    sched.bus.send_command(Command.Get, "", Property.INSPECT_GRAPH)
+    sched.run_and_wait()
+    replies = sched.bus.drain_replies()
+    graphs = [r.data for r in replies if isinstance(r.data, dict) and "blocks" in r.data]
+    assert graphs and len(graphs[0]["blocks"]) == 2
+
+
+def test_runtime_emplace_block_message():
+    g = gr.Graph()
+    src = CountingSource(n_samples=100_000)
+    snk = VectorSink(name="cap")
+    g.connect(src, snk)
+    sched = gr.Scheduler(g, block_len=512)
+    sched.init()
+    # mutate before running: remove edge, insert a gain block in between
+    sched.bus.send_command(Command.Set, "", Property.REMOVE_EDGE,
+                           {"src": src.name, "dst": snk.name})
+    sched.bus.send_command(Command.Set, "", Property.EMPLACE_BLOCK,
+                           {"type": "MultiplyConst", "properties": {"value": 2.0}})
+    sched._process_messages()
+    mul = [b for b in g.blocks if type(b).__name__ == "MultiplyConst"][0]
+    sched.bus.send_command(Command.Set, "", Property.EMPLACE_EDGE,
+                           {"src": src.name, "dst": mul.name})
+    sched.bus.send_command(Command.Set, "", Property.EMPLACE_EDGE,
+                           {"src": mul.name, "dst": snk.name})
+    sched.run_and_wait(n_steps=4)
+    out = snk.data()
+    assert out.size > 0
+    np.testing.assert_allclose(out[:100], 2.0 * np.arange(100, dtype=np.float32))
+
+
+def test_dynamic_setting_change_no_recompile():
+    g = gr.Graph()
+    src = CountingSource(n_samples=2048)
+    mul = MultiplyConst(value=1.0)
+    snk = VectorSink()
+    g.connect_chain(src, mul, snk)
+    sched = gr.Scheduler(g, block_len=512, pipeline_depth=1)
+    sched.init()
+    compiled_before = sched.compiled
+    sched.run_and_wait(n_steps=2)
+    mul.settings.set({"value": 10.0})
+    # continue stepping manually to observe the change without recompiling
+    while sched._pump_once():
+        pass
+    sched._drain()
+    assert sched.compiled is compiled_before  # dynamic param → no re-jit
+    out = snk.data()
+    np.testing.assert_allclose(out[:1024], np.arange(1024))
+    np.testing.assert_allclose(out[1024:], 10.0 * np.arange(1024, 2048))
