@@ -1,0 +1,84 @@
+"""Headline benchmark: complex Msamples/s/chip on the FIR+FFT+demod chain
+(BASELINE.json metric). Prints ONE JSON line.
+
+Chain (all on device, no host transfer in the hot loop):
+  complex tone → 127-tap freq-xlating FIR → {4096-pt FFT magnitude, quadrature
+  demod → audio decim FIR} — i.e. BASELINE config 1 + config 3's demod arm fused.
+
+vs_baseline: fraction of the north-star per-chip rate. North star = 10 Gsps
+aggregate on v5e-16 ⇒ 625 Msps/chip (BASELINE.md).
+
+Runs on the default platform (TPU under axon; CPU elsewhere). First TPU contact
+through the tunnel can take ~2 min — warmup is excluded from timing.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+NORTH_STAR_PER_CHIP_MSPS = 625.0
+
+
+def build_step(block_len: int):
+    import jax
+    import gnuradio4_tpu as gr
+    from gnuradio4_tpu.blocks.basic import ComplexToneSource
+    from gnuradio4_tpu.blocks.filter import FirFilter, FreqXlatingFir
+    from gnuradio4_tpu.blocks.fourier import FFT
+    from gnuradio4_tpu.blocks.sdr import QuadratureDemod
+    from gnuradio4_tpu.blocks.testing import NullSink
+    from gnuradio4_tpu.ops import filter_design as fd
+
+    fs = 20e6
+    g = gr.Graph()
+    src = ComplexToneSource(frequency=1e6)
+    taps = fd.design_fir("lowpass", 127, sample_rate=fs, f_low=2e6)
+    fir = FreqXlatingFir(taps=taps.astype(np.float32), center_freq=3e6,
+                         sample_rate_in=fs, decim=1)
+    fft = FFT(fft_size=4096, window="Hann", output="magnitude", calibrate=False)
+    dem = QuadratureDemod(gain=1.0)
+    audio = FirFilter(taps=fd.design_fir("lowpass", 63, sample_rate=fs,
+                                         f_low=1e6).astype(np.float32), decim=8)
+    s1, s2 = NullSink(name="spec"), NullSink(name="audio")
+    g.connect_chain(src, fir, fft, s1)
+    g.connect(fir, dem)
+    g.connect_chain(dem, audio, s2)
+    compiled = gr.compile_graph(g, block_len=block_len, sample_rate=fs)
+    return compiled
+
+
+def main() -> None:
+    import jax
+    block_len = 1 << 20
+    steps = 20
+    compiled = build_step(block_len)
+    states = compiled.init_states()
+    params = compiled.gather_params()
+
+    # warmup: compile + tunnel establishment
+    for _ in range(3):
+        states, sink_ins = compiled.step(states, params, {})
+    jax.block_until_ready((states, sink_ins))
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        states, sink_ins = compiled.step(states, params, {})
+    jax.block_until_ready((states, sink_ins))
+    dt = time.perf_counter() - t0
+
+    msps = steps * block_len / dt / 1e6
+    platform = jax.devices()[0].platform
+    print(json.dumps({
+        "metric": f"complex Msamples/s/chip, FIR127+FFT4096+demod chain ({platform})",
+        "value": round(msps, 2),
+        "unit": "Msps",
+        "vs_baseline": round(msps / NORTH_STAR_PER_CHIP_MSPS, 4),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,4 +1,4 @@
 """Block library (≈ reference blocks/): importing this package registers all built-in
 blocks with the global registry."""
 
-from . import basic, filter, fourier, math, testing  # noqa: F401
+from . import basic, channelizer, filter, fourier, math, sdr, testing  # noqa: F401

@@ -98,6 +98,54 @@ class ComplexToneSource(SignalGenerator):
         return state + dphi * jnp.uint32(n), {"out": y.astype(jnp.complex64)}
 
 
+@register_block("NoiseSource")
+class NoiseSource(SourceBlock):
+    """Gaussian/uniform noise source generated on-device (≈ NoiseGenerator +
+    Xoshiro256pp; here counter-based threefry so the VPU generates in parallel)."""
+
+    OUT = (Port("out"),)
+    noise = Setting(default="gaussian", kind="static",
+                    choices=("gaussian", "uniform", "complex_gaussian"))
+    std = Setting(default=1.0, description="std-dev / half-range")
+    mean = Setting(default=0.0)
+    seed = Setting(default=0, kind="static")
+    channels = Setting(default=0, kind="static")
+    n_samples = Setting(default=0, kind="static")
+
+    def out_channels(self, port, in_channels):
+        return int(self.settings.get("channels"))
+
+    def out_dtype(self, port, in_dtypes):
+        return (jnp.complex64 if self.settings.get("noise") == "complex_gaussian"
+                else jnp.float32)
+
+    def init_state(self, ctx):
+        from ..ops.noise import noise_init_state
+        return noise_init_state(int(self.settings.get("seed")))
+
+    def host_done(self, abs_out, n):
+        total = int(self.settings.get("n_samples"))
+        if total and abs_out + n >= total:
+            return max(0, total - abs_out)
+        return None
+
+    def apply(self, state, ins, ctx):
+        from ..ops import noise as nz
+        n = ctx.out_len["out"]
+        ch = ctx.channels["out"]
+        shape = (n,) if ch == 0 else (ch, n)
+        kind = self.settings.get("noise")
+        std = jnp.asarray(ctx.p("std", 1.0), jnp.float32)
+        mean = jnp.asarray(ctx.p("mean", 0.0), jnp.float32)
+        if kind == "gaussian":
+            y, key = nz.gaussian(state, shape, std=std, mean=mean)
+        elif kind == "uniform":
+            y, key = nz.uniform(state, shape, low=mean - std, high=mean + std)
+        else:
+            y, key = nz.complex_gaussian(state, shape, std=std)
+        return key, {"out": y}
+
+
 @register_block("Selector")
 class Selector(Block):
     """N×M stream router (≈ Selector.hpp:15). ``map_in``/``map_out`` pair up

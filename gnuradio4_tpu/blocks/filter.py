@@ -59,23 +59,17 @@ class FirFilter(Block):
 
     def init_state(self, ctx):
         t = self._taps_array()
-        dt = jnp.complex64 if (np.iscomplexobj(t) or
-                               np.dtype(ctx.params.get("_dt", np.float32))
-                               == np.dtype(np.complex64)) else jnp.float32
-        # dtype of history follows the input; resolved via channels map at trace time
+        in_dt = np.dtype(ctx.dtype("in", jnp.float32))
+        dt = jnp.complex64 if (np.iscomplexobj(t)
+                               or in_dt == np.dtype(np.complex64)) else in_dt
         ch = ctx.channels.get("in", 0)
         return fir_init_state(ch, len(t), dt)
 
     def apply(self, state, ins, ctx):
         x = ins["in"]
         taps = jnp.asarray(self._taps_array())
-        st = state.astype(x.dtype) if not (jnp.issubdtype(x.dtype, jnp.complexfloating)
-                                           or jnp.issubdtype(state.dtype,
-                                                             jnp.complexfloating)) \
-            else state.astype(jnp.complex64)
-        if jnp.issubdtype(x.dtype, jnp.complexfloating):
-            st = state.astype(jnp.complex64)
-        y, new_state = fir_apply(x, taps, st, decim=int(self.settings.get("decim")))
+        y, new_state = fir_apply(x, taps, state,
+                                 decim=int(self.settings.get("decim")))
         return new_state, {"out": y}
 
 
@@ -178,6 +172,49 @@ class BasicFilter(FirFilter):
 @register_block("BasicDecimatingFilter")
 class BasicDecimatingFilter(BasicFilter):
     """BasicFilter + decimation (≈ BasicDecimatingFilter) — just set decim>1."""
+
+
+@register_block("RationalResampler")
+class RationalResampler(Block):
+    """L/M polyphase rational resampler (BASELINE config 2).
+
+    Up-by-L as one conv with L feature planes, down-by-M fused into conv stride
+    (L==1) or strided slice. Auto-designs Kaiser taps unless given.
+    """
+
+    IN = (Port("in"),)
+    OUT = (Port("out"),)
+    interp = Setting(default=1, kind="static", limits=(1, 1 << 16))
+    decim = Setting(default=1, kind="static", limits=(1, 1 << 16))
+    taps = Setting(default=(), kind="static")
+    ntaps_per_phase = Setting(default=16, kind="static", limits=(2, 1024))
+
+    def _kernel(self):
+        from ..ops.resample import RationalResamplerKernel
+        t = self.settings.get("taps")
+        return RationalResamplerKernel(
+            int(self.settings.get("interp")), int(self.settings.get("decim")),
+            taps=(np.asarray(t) if t is not None and len(t) else None),
+            ntaps_per_phase=int(self.settings.get("ntaps_per_phase")))
+
+    @property
+    def ratio(self):
+        k = self._kernel()
+        return Fraction(k.interp, k.decim)
+
+    @property
+    def alignment(self):
+        return int(self.settings.get("decim"))
+
+    def init_state(self, ctx):
+        k = self._kernel()
+        ch = ctx.channels.get("in", 0)
+        return k.init_state(ch, ctx.dtype("in", jnp.float32))
+
+    def apply(self, state, ins, ctx):
+        k = self._kernel()
+        y, st = k.apply(ins["in"], state)
+        return st, {"out": y}
 
 
 @register_block("IirFilter")

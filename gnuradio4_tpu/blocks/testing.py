@@ -237,9 +237,7 @@ class Delay(Block):
         d = int(self.settings.get("delay"))
         ch = ctx.channels.get("in", 0)
         shape = (d,) if ch == 0 else (ch, d)
-        # dtype resolved at trace time from input; start with zeros f32 and cast lazily
-        self._d = d
-        return jnp.zeros(shape, jnp.float32)
+        return jnp.zeros(shape, ctx.dtype("in", jnp.float32))
 
     def apply(self, state, ins, ctx):
         x = ins["in"]

@@ -74,12 +74,20 @@ class BlockCtx:
     sample_rate: float
     params: dict[str, Any]
     channels: dict[str, int] = dataclasses.field(default_factory=dict)
+    dtypes: dict[str, Any] = dataclasses.field(default_factory=dict)  # per-port, resolved
     mesh: Any = None  # jax Mesh when running sharded; None on single chip
 
     def p(self, key: str, default: Any = None) -> Any:
         """Dynamic param lookup (traced array) with default."""
         v = self.params.get(key)
         return default if v is None else v
+
+    def dtype(self, port: str, default: Any = None) -> Any:
+        d = self.dtypes.get(port)
+        if d is None:
+            import jax.numpy as jnp
+            return default if default is not None else jnp.float32
+        return d
 
 
 class Block:

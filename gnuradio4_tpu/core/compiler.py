@@ -122,12 +122,16 @@ def compile_graph(graph: Graph, *, block_len: int = 1 << 16,
             ch_map[p.name] = ch
         n_in = in_len[b.unique_name]
         n_out = out_len[b.unique_name]
+        dt_map = dict(in_dt)
+        for p in b.out_ports:
+            dt_map[p.name] = out_dtypes[(b.unique_name, p.name)]
         block_ctx[b.unique_name] = BlockCtx(
             in_len={p.name: n_in for p in b.in_ports},
             out_len={p.name: n_out for p in b.out_ports},
             sample_rate=rate_in[b.unique_name],
             params={},  # filled per-trace
             channels=ch_map,
+            dtypes=dt_map,
             mesh=mesh,
         )
     for e in flat.edges:
