@@ -1,0 +1,108 @@
+"""CLI runner: ``python -m gnuradio4_tpu <command>``.
+
+Commands (the app surface of the framework — ≈ running a GRC flowgraph):
+  run <flow.yaml> [--steps N] [--block-len N] [--sample-rate FS] [--cpu]
+  blocks                      list registered block types
+  inspect <flow.yaml>         parse + validate + print the resolved graph
+  bench                       run the headline benchmark
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="gnuradio4_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    run_p = sub.add_parser("run", help="run a YAML flowgraph")
+    run_p.add_argument("flowgraph")
+    run_p.add_argument("--steps", type=int, default=None)
+    run_p.add_argument("--block-len", type=int, default=None)
+    run_p.add_argument("--sample-rate", type=float, default=None)
+    run_p.add_argument("--cpu", action="store_true", help="force CPU platform")
+    run_p.add_argument("--profile", metavar="TRACE_JSON", default=None,
+                       help="write a chrome://tracing profile")
+
+    sub.add_parser("blocks", help="list registered block types")
+
+    insp = sub.add_parser("inspect", help="validate + describe a flowgraph")
+    insp.add_argument("flowgraph")
+    insp.add_argument("--block-len", type=int, default=4096)
+
+    sub.add_parser("bench", help="run the headline benchmark")
+
+    args = ap.parse_args(argv)
+
+    if getattr(args, "cpu", False):
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    if args.cmd == "blocks":
+        from .core.registry import global_registry
+        from . import blocks  # noqa: F401
+        for name in global_registry.known_blocks():
+            print(name)
+        return 0
+
+    if args.cmd == "inspect":
+        import gnuradio4_tpu as gr
+        from .core.yaml_io import load_grc
+        with open(args.flowgraph) as f:
+            g = load_grc(f.read())
+        flat = g.flatten()
+        flat.validate()
+        meta = getattr(g, "yaml_meta", {})
+        in_len, out_len = flat.resolve_rates(
+            meta.get("block_len", args.block_len),
+            sample_rate=meta.get("sample_rate", 1.0))
+        print(f"graph {g.name!r}: {len(flat.blocks)} blocks, {len(flat.edges)} edges")
+        for b in flat.topological_order():
+            print(f"  {b.name:30s} {type(b).__name__:24s} "
+                  f"in={in_len[b.unique_name]:>8d} out={out_len[b.unique_name]:>8d}")
+        for e in flat.edges:
+            print(f"  edge {e.src.name}.{e.src_port} → {e.dst.name}.{e.dst_port} "
+                  f"({e.samples_per_step} samp/step @ {e.sample_rate:g} Hz)")
+        return 0
+
+    if args.cmd == "run":
+        from .core.yaml_io import load_grc
+        from .core.scheduler import Scheduler
+        with open(args.flowgraph) as f:
+            g = load_grc(f.read())
+        meta = getattr(g, "yaml_meta", {})
+        kw = {}
+        kw["sample_rate"] = args.sample_rate or meta.get("sample_rate", 1.0)
+        kw["block_len"] = args.block_len or meta.get("block_len", 1 << 16)
+        profiler = None
+        if args.profile:
+            from .core.profiler import Profiler
+            profiler = Profiler()
+            kw["profiler"] = profiler
+        sched = Scheduler(g, **kw)
+        try:
+            sched.run_and_wait(args.steps)
+        except KeyboardInterrupt:
+            sched.request_stop()
+        if profiler is not None:
+            profiler.write(args.profile)
+            print(f"profile written to {args.profile}", file=sys.stderr)
+        print(f"done: state={sched.state.value} steps={sched._step}",
+              file=sys.stderr)
+        return 0
+
+    if args.cmd == "bench":
+        import runpy
+        from pathlib import Path
+        bench = Path(__file__).resolve().parent.parent / "bench.py"
+        runpy.run_path(str(bench), run_name="__main__")
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,4 +1,6 @@
 """Block library (≈ reference blocks/): importing this package registers all built-in
 blocks with the global registry."""
 
-from . import basic, channelizer, filter, fourier, math, sdr, testing  # noqa: F401
+from . import (acquisition, basic, channelizer, filter, fourier, math, sdr,  # noqa: F401
+               testing)
+from ..core import datasink as _datasink  # noqa: F401  (registers DataSink)

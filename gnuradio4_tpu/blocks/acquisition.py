@@ -1,0 +1,113 @@
+"""Acquisition blocks: StreamToDataSet windows + DataSetSink
+(≈ reference blocks/basic StreamToDataSet.hpp:27, DataSink.hpp DataSetSink).
+
+TPU-native shape: DataSet assembly is host-side egress (device streams carry only
+dense sample blocks); the trigger windowing reuses the DataSink poller machinery,
+so a StreamToDataSet is a sink whose ``datasets`` queue yields the captured
+windows — the same capability surface as the reference's DataSet stream feeding a
+DataSetSink."""
+
+from __future__ import annotations
+
+import queue
+from typing import Any
+
+import numpy as np
+
+from ..core.block import Port, SinkBlock
+from ..core.dataset import DataSet
+from ..core.datasink import MultiplexedPoller, StreamChunk, TriggerPoller
+from ..core.registry import register_block
+from ..core.settings import Setting
+from ..core.tags import Keys
+
+
+@register_block("StreamToDataSet")
+class StreamToDataSet(SinkBlock):
+    """Trigger-windowed stream capture → DataSets.
+
+    modes: 'triggered' (pre/post around a matcher), 'multiplexed' (start→stop),
+    'continuous' (fixed-length back-to-back windows).
+    """
+
+    IN = (Port("in"),)
+    mode = Setting(default="triggered", kind="static",
+                   choices=("triggered", "multiplexed", "continuous"))
+    filter = Setting(default="", kind="static",
+                     description="trigger matcher DSL (start matcher)")
+    filter_stop = Setting(default="", kind="static",
+                          description="stop matcher for multiplexed mode")
+    n_pre = Setting(default=0, kind="static", limits=(0, 1 << 24))
+    n_post = Setting(default=1024, kind="static", limits=(1, 1 << 24))
+    n_length = Setting(default=1024, kind="static", limits=(1, 1 << 24),
+                       description="window length for continuous mode")
+    sample_rate_hint = Setting(default=1.0, kind="static")
+
+    def __init__(self, name=None, **settings):
+        super().__init__(name=name, **settings)
+        self.datasets: "queue.Queue[DataSet]" = queue.Queue()
+        mode = self.settings.get("mode")
+        fs = float(self.settings.get("sample_rate_hint"))
+        if mode == "triggered":
+            self._impl = TriggerPoller(str(self.settings.get("filter")),
+                                       pre=int(self.settings.get("n_pre")),
+                                       post=int(self.settings.get("n_post")),
+                                       sample_rate=fs, max_windows=1024)
+            self._impl.q = self.datasets
+        elif mode == "multiplexed":
+            self._impl = MultiplexedPoller(str(self.settings.get("filter")),
+                                           str(self.settings.get("filter_stop")),
+                                           sample_rate=fs, max_windows=1024)
+            self._impl.q = self.datasets
+        else:
+            self._impl = None
+            self._acc: list[np.ndarray] = []
+            self._acc_n = 0
+            self._start_abs = 0
+
+    def consume(self, arrays, tags, n_valid, abs_index):
+        data = arrays["in"][..., :n_valid]
+        if n_valid == 0:
+            return
+        if self._impl is not None:
+            self._impl._feed(StreamChunk(
+                data=data, tags=[t for t in tags.get("in", [])
+                                 if t.index <= n_valid],
+                abs_index=abs_index))
+            return
+        # continuous windows
+        n_len = int(self.settings.get("n_length"))
+        self._acc.append(data)
+        self._acc_n += data.shape[-1]
+        while self._acc_n >= n_len:
+            joined = np.concatenate(self._acc, axis=-1)
+            win, rest = joined[..., :n_len], joined[..., n_len:]
+            self.datasets.put(DataSet.from_stream(
+                win, sample_rate=float(self.settings.get("sample_rate_hint")),
+                start_index=self._start_abs, signal_name=self.name))
+            self._start_abs += n_len
+            self._acc = [rest] if rest.shape[-1] else []
+            self._acc_n = rest.shape[-1]
+
+    def read(self, timeout: float | None = 1.0) -> DataSet | None:
+        try:
+            return self.datasets.get(timeout=timeout)
+        except queue.Empty:
+            return None
+
+    def read_all(self) -> list[DataSet]:
+        out = []
+        while True:
+            try:
+                out.append(self.datasets.get_nowait())
+            except queue.Empty:
+                return out
+
+
+@register_block("DataSetSink")
+class DataSetSink(StreamToDataSet):
+    """Continuous fixed-window capture (DataSet consumer endpoint)."""
+
+    def __init__(self, name=None, **settings):
+        settings.setdefault("mode", "continuous")
+        super().__init__(name=name, **settings)

@@ -67,7 +67,8 @@ class Scheduler:
         self.sample_rate = sample_rate
         self.mesh = mesh
         self.pipeline_depth = max(1, pipeline_depth)
-        self.profiler = profiler
+        from .profiler import NullProfiler
+        self.profiler = profiler if profiler is not None else NullProfiler()
         self.watchdog_timeout = watchdog_timeout
         self.max_tags_per_step = max_tags_per_step
 
@@ -198,12 +199,17 @@ class Scheduler:
 
     def _pump_once(self) -> bool:
         """One scheduler step. Returns False on EOS completion."""
+        with self.profiler.duration("scheduler.step", step=self._step):
+            return self._pump_once_inner()
+
+    def _pump_once_inner(self) -> bool:
         self._process_messages()
         if self.fsm.state in (State.REQUESTED_STOP, State.ERROR):
             return False
         self._apply_staged_settings()
         if self._dirty:
-            self._recompile(reset_state=False)
+            with self.profiler.duration("scheduler.compile"):
+                self._recompile(reset_state=False)
         c = self.compiled
 
         # 1. collect feeds + per-source valid counts
@@ -260,12 +266,14 @@ class Scheduler:
                            if not b.in_ports)
 
         # 3. dispatch device step (async)
-        params = c.gather_params()
-        new_states, sink_ins = c.step(self._states, params, feeds)
-        self._states = new_states
+        with self.profiler.duration("scheduler.dispatch", step=self._step):
+            params = c.gather_params()
+            new_states, sink_ins = c.step(self._states, params, feeds)
+            self._states = new_states
 
         # 4. host tag sideband
-        sink_tags = self._advance_tags(n_valid)
+        with self.profiler.duration("scheduler.tags"):
+            sink_tags = self._advance_tags(n_valid)
 
         # 5. book-keeping + pipelined sink delivery
         abs_in_snapshot = dict(self._abs_in)
@@ -295,14 +303,15 @@ class Scheduler:
 
     def _deliver(self, rec: _InFlight) -> None:
         c = self.compiled
-        for uname, ins in rec.sink_ins.items():
-            block = next(b for b in c.order if b.unique_name == uname)
-            if not isinstance(block, SinkBlock):
-                continue
-            host_arrays = {p: np.asarray(a) for p, a in ins.items()}
-            block.consume(host_arrays, rec.sink_tags.get(uname, {}),
-                          rec.n_valid.get(uname, c.in_len[uname]),
-                          rec.abs_in.get(uname, 0))
+        with self.profiler.duration("scheduler.deliver", step=rec.step):
+            for uname, ins in rec.sink_ins.items():
+                block = next(b for b in c.order if b.unique_name == uname)
+                if not isinstance(block, SinkBlock):
+                    continue
+                host_arrays = {p: np.asarray(a) for p, a in ins.items()}
+                block.consume(host_arrays, rec.sink_tags.get(uname, {}),
+                              rec.n_valid.get(uname, c.in_len[uname]),
+                              rec.abs_in.get(uname, 0))
 
     # -- tags ------------------------------------------------------------------
     def _advance_tags(self, n_valid: dict[str, int]) -> dict[str, dict[str, list[Tag]]]:
