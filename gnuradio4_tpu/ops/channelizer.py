@@ -39,6 +39,23 @@ def design_pfb_taps(n_channels: int, taps_per_phase: int = 8, *,
     return np.pad(h, (0, m * taps_per_phase + m - len(h)))[: m * taps_per_phase]
 
 
+def branch_fir_macs(xc: jnp.ndarray, hp: jnp.ndarray, r: int) -> jnp.ndarray:
+    """Per-branch FIR via shift-multiply-accumulate.
+
+    xc: [..., P−1+R, M] rows-with-history; hp: [P, M] branch taps → [..., R, M].
+    P small (taps/phase): P fused elementwise FMAs on the VPU — no conv HLO.
+    """
+    p = hp.shape[0]
+    real_h = hp.astype(jnp.real(xc).dtype if jnp.issubdtype(
+        xc.dtype, jnp.complexfloating) else xc.dtype)
+    acc = None
+    for j in range(p):
+        seg = xc[..., (p - 1 - j): (p - 1 - j) + r, :]
+        term = seg * real_h[j]
+        acc = term if acc is None else acc + term
+    return acc
+
+
 def pfb_init_state(n_channels: int, taps_per_phase: int, dtype=jnp.complex64
                    ) -> jnp.ndarray:
     """Branch FIR history: [taps_per_phase-1, M] previous corner-turn rows."""
@@ -55,30 +72,13 @@ def pfb_analyze(x: jnp.ndarray, taps: jnp.ndarray, state: jnp.ndarray
     m = state.shape[-1]
     p = state.shape[0] + 1
     rows = x.reshape(-1, m)                           # [T/M, M] corner turn
+    r = rows.shape[0]
     xc = jnp.concatenate([state.astype(rows.dtype), rows], axis=0)  # [P-1+T/M, M]
-    # branch taps: phase p of the prototype, time-reversed for conv-as-correlation
     hp = jnp.asarray(taps).reshape(p, m)              # h[j·M + p] → [P, M]
-    cx = jnp.issubdtype(rows.dtype, jnp.complexfloating)
-    # grouped conv over the time axis with M independent feature channels:
-    # lhs [batch=1, feat=M, T'], rhs [out=M, in=1, P] with feature_group_count=M
-    lhs = jnp.moveaxis(xc, 0, 1)[None]                # [1, M, T']
-    rhs = jnp.moveaxis(hp, 0, 1)[:, None, ::-1]       # [M, 1, P]
-    if cx:
-        re = jax.lax.conv_general_dilated(
-            jnp.real(lhs), jnp.asarray(jnp.real(rhs), jnp.real(lhs).dtype),
-            (1,), "VALID", dimension_numbers=("NCH", "OIH", "NCH"),
-            feature_group_count=m, precision=jax.lax.Precision.HIGHEST)
-        im = jax.lax.conv_general_dilated(
-            jnp.imag(lhs), jnp.asarray(jnp.real(rhs), jnp.real(lhs).dtype),
-            (1,), "VALID", dimension_numbers=("NCH", "OIH", "NCH"),
-            feature_group_count=m, precision=jax.lax.Precision.HIGHEST)
-        v = (re + 1j * im)[0]                         # [M, T/M] (real prototype)
-    else:
-        v = jax.lax.conv_general_dilated(
-            lhs, jnp.asarray(rhs, lhs.dtype), (1,), "VALID",
-            dimension_numbers=("NCH", "OIH", "NCH"), feature_group_count=m,
-            precision=jax.lax.Precision.HIGHEST)[0]
-    v = jnp.moveaxis(v, 0, 1)                         # [T/M, M]
+    # branch FIR as P shift-MAC slices (P is small, XLA fuses into one pass;
+    # avoids XLA's conv HLO which compiles pathologically on TPU):
+    #   v[n, p] = Σ_j hp[j, p] · xc[n + (P−1) − j, p]
+    v = branch_fir_macs(xc, hp, r)
     # channel m (centered at +m·fs/M) picks the e^{-j2πpm/M} combination → FFT.
     # branch gain ≈ 1/M (prototype sums to 1) × FFT sum M → unity channel gain.
     y = jnp.fft.fft(v, axis=-1)
@@ -98,17 +98,7 @@ def pfb_synthesize(channels: jnp.ndarray, taps: jnp.ndarray, state: jnp.ndarray
     rows = jnp.fft.ifft(jnp.moveaxis(channels, 0, 1), axis=-1) * m   # [N, M]
     xc = jnp.concatenate([state.astype(rows.dtype), rows], axis=0)
     hp = jnp.asarray(taps).reshape(p, m) * m
-    lhs = jnp.moveaxis(xc, 0, 1)[None]
-    rhs = jnp.moveaxis(hp, 0, 1)[:, None, ::-1]
-    re = jax.lax.conv_general_dilated(
-        jnp.real(lhs), jnp.asarray(jnp.real(rhs), jnp.real(lhs).dtype), (1,),
-        "VALID", dimension_numbers=("NCH", "OIH", "NCH"), feature_group_count=m,
-        precision=jax.lax.Precision.HIGHEST)
-    im = jax.lax.conv_general_dilated(
-        jnp.imag(lhs), jnp.asarray(jnp.real(rhs), jnp.real(lhs).dtype), (1,),
-        "VALID", dimension_numbers=("NCH", "OIH", "NCH"), feature_group_count=m,
-        precision=jax.lax.Precision.HIGHEST)
-    v = jnp.moveaxis((re + 1j * im)[0], 0, 1)                   # [N, M]
+    v = branch_fir_macs(xc, hp, n)                              # [N, M]
     new_state = xc[-(p - 1):] if p > 1 else xc[:0]
     return v.reshape(-1).astype(jnp.complex64), new_state
 

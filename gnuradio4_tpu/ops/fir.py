@@ -6,15 +6,28 @@ history: core HistoryBuffer.hpp:68).
 
 TPU-native design: **overlap-save over time blocks** — the carried state is the last
 ``ntaps-1`` input samples (the exact analog of the HistoryBuffer tail); each step
-convolves ``concat([state, x])`` "valid", producing exactly ``len(x)`` outputs.
-The convolution maps onto XLA's conv HLO (which the TPU backend lowers onto the MXU
-for large tap counts) with channels as the batch dim; complex data is handled by a
-2×2 real kernel mixing re/im feature planes (one conv call, MXU-friendly). Decimation
-fuses into the conv via ``window_strides`` so no wasted output compute.
+filters ``concat([state, x])`` "valid", producing exactly ``len(x)`` outputs.
+
+Three lowering strategies, selected by ``method`` (default ``auto``):
+
+- ``matmul`` (TPU default, K ≤ ~512): conv-as-matmul on the MXU. The stream is
+  framed into overlapping tiles [n_tiles, L+K−1] using two *reshape/slice* ops
+  (no gather): with A = xc.reshape(n_tiles+1, L) and K−1 ≤ L, frames =
+  concat([A[:-1], A[1:, :K−1]], axis=1). One dense [L+K−1, L/decim] banded-
+  Toeplitz matmul per tile → ~2× MAC overhead but runs at MXU rate, orders of
+  magnitude above the VPU, and never touches XLA's conv HLO (which lowers
+  catastrophically for long 1-D convs on this TPU toolchain).
+- ``fft`` (long taps): classic FFT overlap-save — frames FFT'd, multiplied by the
+  taps' spectrum, inverse-FFT'd, valid region kept.
+- ``conv``: XLA conv HLO (good on CPU; decimation fused via window_strides).
+
+Complex data decomposes into re/im rails sharing the real pipelines (complex taps
+use the full 4-matmul mix).
 """
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Any
 
 import jax
@@ -61,26 +74,178 @@ def _conv_valid_complex(x2: jnp.ndarray, taps: jnp.ndarray, stride: int) -> jnp.
     return (y[:, 0, :] + 1j * y[:, 1, :]).astype(x2.dtype)
 
 
+def _frame_overlapping(xc: jnp.ndarray, step: int, width: int) -> jnp.ndarray:
+    """[B, n·step + (width−step)] → overlapping frames [B, n, width] with NO gather:
+    two reshape/slice ops. Requires overlap = width − step ≤ step."""
+    b, t = xc.shape
+    overlap = width - step
+    n = (t - overlap) // step
+    assert overlap <= step, (overlap, step)
+    # pad one extra tile so A[1:] slicing below stays in range
+    pad = (n + 1) * step - t
+    a = jnp.pad(xc, ((0, 0), (0, pad))).reshape(b, n + 1, step)
+    if overlap == 0:
+        return a[:, :n, :]
+    return jnp.concatenate([a[:, :-1, :], a[:, 1:, :overlap]], axis=2)
+
+
+@lru_cache(maxsize=256)
+def _toeplitz_np(taps_key, ntaps: int, tile: int, decim: int) -> np.ndarray:
+    """Banded Toeplitz weights W[j, i]: frame[j] → output column i (decimated).
+
+    frame[m, j] = xc[m·L + j]; y[m·L + i·decim] = Σ_k h[k]·xc[m·L + i·decim +
+    (K−1) − k]  ⇒  W[j, i] = h[i·decim + K−1 − j] (0 ≤ · < K).
+    """
+    h = np.asarray(taps_key)
+    k = ntaps
+    n_out = tile // decim
+    w = np.zeros((tile + k - 1, n_out), dtype=h.dtype)
+    for i in range(n_out):
+        j0 = i * decim
+        w[j0: j0 + k, i] = h[::-1]
+    return w
+
+
+def _choose_tile(n: int, ntaps: int, decim: int) -> int:
+    """Tile length: ≥ ntaps−1 (framing constraint), multiple of decim, divides n,
+    MXU-friendly (~256–1024)."""
+    base = max(128, _next_pow2(ntaps - 1), decim)
+    tile = base
+    while tile < n and n % tile:
+        tile <<= 1
+    if tile > n or n % tile or tile % decim:
+        return n  # single tile fallback (callers guarantee decim | n)
+    return tile
+
+
+def _next_pow2(v: int) -> int:
+    p = 1
+    while p < v:
+        p <<= 1
+    return p
+
+
+def _fir_matmul(xc: jnp.ndarray, taps: jnp.ndarray, decim: int) -> jnp.ndarray:
+    """MXU path: frames [B, n, L+K−1] @ W [L+K−1, L/decim] → [B, n·L/decim]."""
+    b, tc = xc.shape
+    k = taps.shape[-1]
+    t = tc - (k - 1)
+    tile = _choose_tile(t, k, decim)
+    taps_np = np.asarray(jax.device_get(taps)) if isinstance(taps, jnp.ndarray) \
+        else np.asarray(taps)
+    cx_t = np.iscomplexobj(taps_np)
+    cx_x = jnp.issubdtype(xc.dtype, jnp.complexfloating)
+    real_dt = jnp.float32
+    if cx_t:
+        wr = jnp.asarray(_toeplitz_np(tuple(taps_np.real.tolist()), k, tile, decim),
+                         real_dt)
+        wi = jnp.asarray(_toeplitz_np(tuple(taps_np.imag.tolist()), k, tile, decim),
+                         real_dt)
+    else:
+        wr = jnp.asarray(_toeplitz_np(tuple(taps_np.tolist()), k, tile, decim),
+                         real_dt)
+        wi = None
+    dot = lambda a, w: jnp.einsum("bnj,ji->bni", a, w,
+                                  precision=jax.lax.Precision.HIGHEST,
+                                  preferred_element_type=real_dt)
+    if cx_x or cx_t:
+        xr = jnp.real(xc).astype(real_dt)
+        xi = jnp.imag(xc).astype(real_dt) if cx_x else jnp.zeros_like(xr)
+        fr = _frame_overlapping_general(xr, tile, tile + k - 1)
+        fi = _frame_overlapping_general(xi, tile, tile + k - 1)
+        if wi is None:
+            yr, yi = dot(fr, wr), dot(fi, wr)
+        else:
+            yr = dot(fr, wr) - dot(fi, wi)
+            yi = dot(fr, wi) + dot(fi, wr)
+        y = (yr + 1j * yi).astype(jnp.complex64)
+    else:
+        frames = _frame_overlapping_general(xc, tile, tile + k - 1)
+        y = dot(frames.astype(real_dt), wr).astype(xc.dtype)
+    return y.reshape(b, -1)
+
+
+def _fir_fft(xc: jnp.ndarray, taps: jnp.ndarray, decim: int) -> jnp.ndarray:
+    """FFT overlap-save: good for long taps. Frame step L, FFT size N = L + K − 1
+    rounded to power of two; valid region = last L samples of each ifft."""
+    b, tc = xc.shape
+    k = taps.shape[-1]
+    t = tc - (k - 1)
+    nfft = 1 << int(np.ceil(np.log2(max(4 * k, 1024))))
+    step = nfft - (k - 1)
+    # pad stream so step divides t
+    pad = (-t) % step
+    xcp = jnp.pad(xc, ((0, 0), (0, pad)))
+    frames = _frame_overlapping_general(xcp, step, nfft)
+    cx = jnp.issubdtype(xc.dtype, jnp.complexfloating) or _as_cx(taps)
+    h = jnp.fft.fft(taps.astype(jnp.complex64 if cx else jnp.float32), n=nfft)
+    spec = jnp.fft.fft(frames, n=nfft, axis=-1) * h
+    y = jnp.fft.ifft(spec, axis=-1)[..., k - 1:]
+    y = y.reshape(b, -1)[:, : t]
+    if not cx:
+        y = jnp.real(y).astype(xc.dtype)
+    else:
+        y = y.astype(jnp.complex64)
+    if decim > 1:
+        y = y[:, ::decim]
+    return y
+
+
+def _frame_overlapping_general(xc: jnp.ndarray, step: int, width: int
+                               ) -> jnp.ndarray:
+    """Overlapping frames for arbitrary overlap (may exceed step): built from
+    ceil(overlap/step)+1 shifted reshapes — still gather-free."""
+    b, t = xc.shape
+    overlap = width - step
+    n = (t - overlap) // step
+    if overlap <= step:
+        return _frame_overlapping(xc, step, width)
+    parts = []
+    n_shift = int(np.ceil(width / step))
+    pad = (n + n_shift) * step - t
+    a = jnp.pad(xc, ((0, 0), (0, pad))).reshape(b, n + n_shift, step)
+    for s in range(n_shift):
+        need = min(step, width - s * step)
+        if need <= 0:
+            break
+        parts.append(a[:, s: s + n, :need])
+    return jnp.concatenate(parts, axis=2)
+
+
 def fir_apply(x: jnp.ndarray, taps: jnp.ndarray, state: jnp.ndarray,
-              *, decim: int = 1) -> tuple[jnp.ndarray, jnp.ndarray]:
+              *, decim: int = 1, method: str = "auto"
+              ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Overlap-save FIR step.
 
     ``x``: [T] or [C, T]; ``state``: prehistory [*, K-1]; returns
-    ``(y, new_state)`` with ``y`` of length T//decim (on the decimated grid aligned to
-    the first input sample) and new_state = last K-1 inputs.
+    ``(y, new_state)`` with ``y`` of length T//decim (on the decimated grid aligned
+    to the first input sample) and new_state = last K-1 inputs.
     """
     ntaps = taps.shape[-1]
     squeeze = x.ndim == 1
     x2 = x[None, :] if squeeze else x
     st2 = state[None, :] if squeeze else state
-    xc = jnp.concatenate([st2.astype(x2.dtype), x2], axis=-1)
     cx = jnp.issubdtype(x2.dtype, jnp.complexfloating) or _as_cx(taps)
-    if cx:
-        xc = xc.astype(jnp.complex64) if not jnp.issubdtype(
-            xc.dtype, jnp.complexfloating) else xc
-        y = _conv_valid_complex(xc, taps.astype(jnp.complex64), decim)
+    if cx and not jnp.issubdtype(x2.dtype, jnp.complexfloating):
+        x2 = x2.astype(jnp.complex64)
+    xc = jnp.concatenate([st2.astype(x2.dtype), x2], axis=-1)
+    if method == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        if isinstance(taps, jax.core.Tracer):
+            method = "fft" if on_tpu else "conv"  # matmul needs concrete taps
+        elif on_tpu:
+            method = "matmul" if ntaps <= 512 else "fft"
+        else:
+            method = "conv"
+    if method == "matmul" and ntaps > 1:
+        y = _fir_matmul(xc, taps, decim)
+    elif method == "fft" and ntaps > 1:
+        y = _fir_fft(xc, taps, decim)
     else:
-        y = _conv_valid_real(xc, taps.astype(x2.dtype), decim)
+        if cx:
+            y = _conv_valid_complex(xc, taps.astype(jnp.complex64), decim)
+        else:
+            y = _conv_valid_real(xc, taps.astype(x2.dtype), decim)
     new_state = xc[:, -(ntaps - 1):] if ntaps > 1 else xc[:, :0]
     if squeeze:
         return y[0], new_state[0]
@@ -103,16 +268,14 @@ def fir_interpolate(x: jnp.ndarray, taps: jnp.ndarray, state: jnp.ndarray,
     squeeze = x.ndim == 1
     x2 = x[None, :] if squeeze else x
     st2 = state[None, :] if squeeze else state
-    xc = jnp.concatenate([st2.astype(x2.dtype), x2], axis=-1)
-    cx = jnp.issubdtype(xc.dtype, jnp.complexfloating)
+    # each phase is an ordinary FIR over the same input; route through fir_apply
+    # so the TPU path uses the MXU framing, not conv HLO
     outs = []
     for p in range(phases.shape[0]):
-        tp_p = phases[p]
-        if cx:
-            outs.append(_conv_valid_complex(xc, tp_p.astype(jnp.complex64), 1))
-        else:
-            outs.append(_conv_valid_real(xc, tp_p.astype(x2.dtype), 1))
+        yp, _ = fir_apply(x2, phases[p], st2)
+        outs.append(yp)
     y = jnp.stack(outs, axis=-1).reshape(x2.shape[0], -1) * interp
+    xc = jnp.concatenate([st2.astype(x2.dtype), x2], axis=-1)
     new_state = xc[:, -(k_per_phase - 1):] if k_per_phase > 1 else xc[:, :0]
     if squeeze:
         return y[0], new_state[0]

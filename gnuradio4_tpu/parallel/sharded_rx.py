@@ -46,17 +46,16 @@ class ShardedRxConfig:
 
 def _grouped_branch_fir(rT: jnp.ndarray, hp: jnp.ndarray) -> jnp.ndarray:
     """rT: [B, M, R'] complex rows-with-halo; hp: [P, M] real branch taps →
-    [B, M, R' − P + 1] via one grouped conv per rail."""
-    m = rT.shape[1]
-    rhs = jnp.moveaxis(hp, 0, 1)[:, None, ::-1]          # [M, 1, P]
-    conv = partial(jax.lax.conv_general_dilated, window_strides=(1,),
-                   padding="VALID", dimension_numbers=("NCH", "OIH", "NCH"),
-                   feature_group_count=m,
-                   precision=jax.lax.Precision.HIGHEST)
-    rhs_r = jnp.asarray(rhs, jnp.float32)
-    re = conv(jnp.real(rT), rhs_r)
-    im = conv(jnp.imag(rT), rhs_r)
-    return re + 1j * im
+    [B, M, R' − P + 1] via P shift-MAC slices (no conv HLO — it compiles
+    pathologically on TPU; P is small so the VPU fuses this into one pass)."""
+    p = hp.shape[0]
+    r = rT.shape[-1] - (p - 1)
+    acc = None
+    for j in range(p):
+        seg = rT[..., (p - 1 - j): (p - 1 - j) + r]
+        term = seg * hp[j][None, :, None]
+        acc = term if acc is None else acc + term
+    return acc
 
 
 def build_sharded_rx(mesh: Mesh, cfg: ShardedRxConfig):
@@ -103,16 +102,16 @@ def build_sharded_rx(mesh: Mesh, cfg: ShardedRxConfig):
         d = chans * jnp.conj(prev)
         audio = jnp.arctan2(jnp.imag(d), jnp.real(d)) * jnp.float32(cfg.demod_gain)
         new_last = chans[..., -1]
-        # audio low-pass + decimate (overlap-save, carried history)
-        ah = jnp.concatenate([state["audio_hist"], audio], axis=-1)
+        # audio low-pass + decimate (overlap-save, carried history; MXU framing
+        # on TPU via fir_apply's auto method)
+        from ..ops.fir import fir_apply
         k = audio_taps.shape[0]
-        lhs = ah.reshape(-1, 1, ah.shape[-1])
-        y = jax.lax.conv_general_dilated(
-            lhs, audio_taps[::-1].reshape(1, 1, -1), (cfg.audio_decim,), "VALID",
-            dimension_numbers=("NCH", "OIH", "NCH"),
-            precision=jax.lax.Precision.HIGHEST)
-        y = y.reshape(*audio.shape[:-1], -1)
-        new_audio_hist = ah[..., -(k - 1):]
+        flat = audio.reshape(-1, audio.shape[-1])
+        y2, new_hist_flat = fir_apply(flat, audio_taps,
+                                      state["audio_hist"].reshape(-1, k - 1),
+                                      decim=cfg.audio_decim)
+        y = y2.reshape(*audio.shape[:-1], -1)
+        new_audio_hist = new_hist_flat.reshape(*audio.shape[:-1], k - 1)
         # new PFB edge state: the global last P−1 rows live on the last sp shard
         idx = jax.lax.axis_index("sp")
         tail = jnp.where(idx == sp - 1, rows[..., -(p_ - 1):], 0)
