@@ -1,0 +1,461 @@
+"""Remaining reference block families: FunctionGenerator, ClockSource, SyncBlock,
+SchmittTrigger, FrequencyEstimator, SavitzkyGolayFilter, SvdDenoiser, BurstTaper,
+Expression blocks (≈ blocks/basic FunctionGenerator.hpp:138, ClockSource.hpp:25,
+SyncBlock.hpp:13, Trigger.hpp; blocks/filter FrequencyEstimator.hpp,
+SavitzkyGolay, SvdDenoiser; blocks/math ExpressionBlocks.hpp:68)."""
+
+from __future__ import annotations
+
+import time
+from fractions import Fraction
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.block import Block, Port, SourceBlock
+from ..core.errors import GrError
+from ..core.registry import register_block
+from ..core.settings import Setting
+from ..core.tags import Keys, Tag
+from ..ops.estimators import schmitt_device
+from ..ops.savgol import design_savgol
+from ..ops.fir import fir_apply, fir_init_state
+
+
+FUNCTION_MODES = ("Const", "LinearRamp", "ParabolicRamp", "CubicSpline")
+
+
+@register_block("FunctionGenerator")
+class FunctionGenerator(SourceBlock):
+    """Segment-programmable function source (≈ FunctionGenerator.hpp:138).
+
+    One segment at a time: ``signal_type`` ∈ {Const, LinearRamp, ParabolicRamp,
+    CubicSpline} from ``start_value`` → ``final_value`` over ``duration`` seconds.
+    Segments are switched by (context) tags or Set messages — applying settings
+    restarts the segment clock (state reset), matching the reference's
+    context-tag-driven operation.
+    """
+
+    OUT = (Port("out", dtype="float32"),)
+    signal_type = Setting(default="Const", kind="static", choices=FUNCTION_MODES)
+    start_value = Setting(default=0.0)
+    final_value = Setting(default=0.0)
+    duration = Setting(default=1.0, unit="s", limits=(1e-12, 1e12))
+    round_off_time = Setting(default=0.0, unit="s",
+                             description="parabolic ease-in/out time")
+    sample_rate = Setting(default=0.0, unit="Hz")
+    n_samples = Setting(default=0, kind="static")
+
+    def init_state(self, ctx):
+        self._ctx_rate = ctx.sample_rate
+        return jnp.zeros((), jnp.uint32)  # samples since segment start (blocks)
+
+    def on_settings_applied(self, result):
+        if result.applied:
+            self._state_reset = True  # restart segment clock on any change
+
+    def host_done(self, abs_out, n):
+        total = int(self.settings.get("n_samples"))
+        if total and abs_out + n >= total:
+            return max(0, total - abs_out)
+        return None
+
+    def apply(self, state, ins, ctx):
+        n = ctx.out_len["out"]
+        fs = float(self.settings.get("sample_rate")) or ctx.sample_rate
+        idx = jax.lax.broadcasted_iota(jnp.float32, (n, 1), 0)[:, 0]
+        t = (state.astype(jnp.float32) + idx) / jnp.float32(fs)
+        a = jnp.asarray(ctx.p("start_value", 0.0), jnp.float32)
+        b = jnp.asarray(ctx.p("final_value", 0.0), jnp.float32)
+        dur = jnp.asarray(ctx.p("duration", 1.0), jnp.float32)
+        u = jnp.clip(t / dur, 0.0, 1.0)
+        mode = str(self.settings.get("signal_type"))
+        if mode == "Const":
+            y = jnp.broadcast_to(a, (n,))
+        elif mode == "LinearRamp":
+            y = a + (b - a) * u
+        elif mode == "CubicSpline":
+            y = a + (b - a) * (3.0 * u * u - 2.0 * u * u * u)  # smoothstep
+        else:  # ParabolicRamp: parabolic ease for round_off_time at both ends
+            r = jnp.asarray(ctx.p("round_off_time", 0.0), jnp.float32)
+            rho = jnp.clip(r / dur, 0.0, 0.5)
+            # piecewise: parabola [0,ρ], linear [ρ,1−ρ], parabola [1−ρ,1]
+            denom = jnp.maximum(1.0 - rho, 1e-9)
+            v = 1.0 / denom  # peak slope so the curve still spans 0→1
+            seg1 = 0.5 * v / jnp.maximum(rho, 1e-9) * u * u
+            seg2 = v * (u - 0.5 * rho)
+            seg3 = 1.0 - 0.5 * v / jnp.maximum(rho, 1e-9) * (1.0 - u) ** 2
+            shape = jnp.where(u < rho, seg1, jnp.where(u > 1.0 - rho, seg3, seg2))
+            shape = jnp.where(rho <= 0.0, u, jnp.clip(shape, 0.0, 1.0))
+            y = a + (b - a) * shape
+        return state + jnp.uint32(n), {"out": y.astype(jnp.float32)}
+
+
+@register_block("ClockSource")
+class ClockSource(SourceBlock):
+    """Wall-clock-paced source emitting zeros + scheduled trigger tags
+    (≈ ClockSource.hpp:25 + BlockingSync). ``do_zero_order_hold`` semantics: the
+    sample content is a constant; the value of the block is its tag timeline.
+    """
+
+    OUT = (Port("out", dtype="uint8"),)
+    FEED = True
+    sample_rate = Setting(default=1000.0, unit="Hz", kind="static")
+    n_samples = Setting(default=0, kind="static")
+    realtime = Setting(default=False, kind="static",
+                       description="pace host feed at sample_rate wall-clock")
+
+    def __init__(self, name=None, tag_times: list[float] = (),
+                 tag_values: list[dict] = (), **settings):
+        super().__init__(name=name, **settings)
+        self.tag_times = list(tag_times)   # seconds
+        self.tag_values = [dict(v) for v in tag_values] or \
+            [{Keys.TRIGGER_NAME: f"trigger{i}"} for i in range(len(self.tag_times))]
+        self._t0: float | None = None
+
+    def start(self):
+        self._t0 = time.monotonic()
+
+    def host_feed(self, n, abs_index):
+        total = int(self.settings.get("n_samples"))
+        fs = float(self.settings.get("sample_rate"))
+        if total and abs_index >= total:
+            return None
+        if self.settings.get("realtime"):
+            if self._t0 is None:
+                self._t0 = time.monotonic()
+            target = self._t0 + (abs_index + n) / fs
+            delay = target - time.monotonic()
+            if delay > 0:
+                time.sleep(delay)
+        nv = n if not total else min(n, total - abs_index)
+        return {"out": np.zeros(n, np.uint8)}, nv
+
+    def emit_tags(self, ctx):
+        fs = float(self.settings.get("sample_rate"))
+        n = next(iter(ctx.out_len.values()), 0)
+        lo, hi = ctx.abs_index, ctx.abs_index + n
+        out = []
+        for t_s, tmap in zip(self.tag_times, self.tag_values):
+            idx = int(round(t_s * fs))
+            if lo <= idx < hi:
+                m = dict(tmap)
+                m.setdefault(Keys.TRIGGER_TIME, t_s)
+                out.append(Tag(idx - lo, m))
+        return out
+
+    def apply(self, state, ins, ctx):
+        return state, {"out": ins["out"]}
+
+
+@register_block("SchmittTrigger")
+class SchmittTrigger(Block):
+    """Hysteresis comparator: emits the binary gate state (±1) as a stream
+    (≈ blocks/basic Trigger.hpp). Edge *positions* (sub-sample) are host-side —
+    use ops.estimators.schmitt_edges on captured data, or a DataSink."""
+
+    IN = (Port("in", dtype="float32"),)
+    OUT = (Port("out", dtype="float32"),)
+    low = Setting(default=-0.5, kind="static")
+    high = Setting(default=0.5, kind="static")
+
+    def init_state(self, ctx):
+        ch = ctx.channels.get("in", 0)
+        return jnp.zeros(() if ch == 0 else (ch,), jnp.bool_)
+
+    def apply(self, state, ins, ctx):
+        states, carry = schmitt_device(ins["in"], state,
+                                       low=float(self.settings.get("low")),
+                                       high=float(self.settings.get("high")))
+        return carry, {"out": jnp.where(states, 1.0, -1.0).astype(jnp.float32)}
+
+
+@register_block("FrequencyEstimator")
+class FrequencyEstimator(Block):
+    """Chunked frequency estimation (≈ FrequencyEstimator.hpp, decimating).
+
+    method 'fft': windowed FFT + parabolic peak interpolation per chunk;
+    method 'zero_crossing': mean spacing of sign changes. One estimate per
+    ``chunk`` samples (rate fs/chunk).
+    """
+
+    IN = (Port("in", dtype="float32"),)
+    OUT = (Port("out", dtype="float32"),)
+    chunk = Setting(default=1024, kind="static", limits=(8, 1 << 24))
+    method = Setting(default="fft", kind="static",
+                     choices=("fft", "zero_crossing"))
+
+    @property
+    def ratio(self):
+        return Fraction(1, int(self.settings.get("chunk")))
+
+    @property
+    def alignment(self):
+        return int(self.settings.get("chunk"))
+
+    def apply(self, state, ins, ctx):
+        n = int(self.settings.get("chunk"))
+        x = ins["in"]
+        xw = x.reshape(*x.shape[:-1], -1, n)
+        fs = ctx.sample_rate
+        if self.settings.get("method") == "fft":
+            w = jnp.asarray(np.hanning(n), jnp.float32)
+            spec = jnp.abs(jnp.fft.rfft(xw * w, axis=-1))
+            spec = spec.at[..., 0].set(0.0)  # ignore DC
+            k = jnp.argmax(spec, axis=-1)
+            # parabolic interpolation around the peak
+            km = jnp.clip(k, 1, n // 2 - 1)
+            a = jnp.take_along_axis(spec, km[..., None] - 1, axis=-1)[..., 0]
+            b = jnp.take_along_axis(spec, km[..., None], axis=-1)[..., 0]
+            c = jnp.take_along_axis(spec, km[..., None] + 1, axis=-1)[..., 0]
+            denom = a - 2 * b + c
+            d = jnp.where(jnp.abs(denom) > 1e-20, 0.5 * (a - c) / denom, 0.0)
+            freq = (km.astype(jnp.float32) + d) * (fs / n)
+        else:
+            sign = jnp.signbit(xw)
+            crossings = jnp.sum(sign[..., 1:] != sign[..., :-1], axis=-1)
+            freq = crossings.astype(jnp.float32) * fs / (2.0 * (n - 1))
+        return state, {"out": freq.astype(jnp.float32)}
+
+
+@register_block("SavitzkyGolayFilter")
+class SavitzkyGolayFilter(Block):
+    """Polynomial smoothing / differentiation (≈ SavitzkyGolayFilter). An FIR with
+    S-G designed taps → MXU framing path; centered output (group-delay removed)
+    costs (window−1)/2 samples of latency carried in state."""
+
+    IN = (Port("in", dtype="float32"),)
+    OUT = (Port("out", dtype="float32"),)
+    window = Setting(default=11, kind="static", limits=(3, 4097))
+    poly_order = Setting(default=3, kind="static", limits=(0, 32))
+    deriv = Setting(default=0, kind="static", limits=(0, 8))
+
+    def _taps(self):
+        return design_savgol(int(self.settings.get("window")),
+                             int(self.settings.get("poly_order")),
+                             deriv=int(self.settings.get("deriv"))
+                             ).astype(np.float32)
+
+    def init_state(self, ctx):
+        ch = ctx.channels.get("in", 0)
+        return fir_init_state(ch, int(self.settings.get("window")), jnp.float32)
+
+    def apply(self, state, ins, ctx):
+        y, st = fir_apply(ins["in"], jnp.asarray(self._taps()), state)
+        return st, {"out": y}
+
+
+@register_block("SvdDenoiser")
+class SvdDenoiser(Block):
+    """Truncated-SVD (Hankel) denoiser per chunk (≈ SvdDenoiser)."""
+
+    IN = (Port("in", dtype="float32"),)
+    OUT = (Port("out", dtype="float32"),)
+    chunk = Setting(default=256, kind="static", limits=(16, 1 << 16))
+    window = Setting(default=16, kind="static", limits=(2, 4096))
+    rank = Setting(default=2, kind="static", limits=(1, 4096))
+
+    @property
+    def alignment(self):
+        return int(self.settings.get("chunk"))
+
+    def apply(self, state, ins, ctx):
+        from ..ops.svd import svd_denoise
+        n = int(self.settings.get("chunk"))
+        x = ins["in"]
+        xw = x.reshape(-1, n)
+        den = jax.vmap(lambda c: svd_denoise(
+            c, window=int(self.settings.get("window")),
+            rank=int(self.settings.get("rank"))))(xw)
+        return state, {"out": den.reshape(x.shape)}
+
+
+@register_block("BurstTaper")
+class BurstTaper(Block):
+    """Burst ramp-up/down envelope driven by trigger tags (≈ BurstTaper.hpp).
+
+    Tags named ``burst_start``/``burst_stop`` (per step, host sideband) are packed
+    into fixed-capacity index arrays (dynamic params) and the envelope is built on
+    device — the canonical tag→device data path.
+    """
+
+    IN = (Port("in"),)
+    OUT = (Port("out"),)
+    ramp_len = Setting(default=64, kind="static", limits=(1, 1 << 16))
+    max_bursts_per_step = Setting(default=8, kind="static", limits=(1, 64))
+
+    def __init__(self, name=None, **settings):
+        super().__init__(name=name, **settings)
+        self._starts: list[int] = []
+        self._stops: list[int] = []
+
+    def process_tags(self, in_tags, ctx):
+        self._starts = [t.index for t in in_tags.get("in", [])
+                        if t.map.get(Keys.TRIGGER_NAME) == "burst_start"]
+        self._stops = [t.index for t in in_tags.get("in", [])
+                       if t.map.get(Keys.TRIGGER_NAME) == "burst_stop"]
+        return super().process_tags(in_tags, ctx)
+
+    def prepare_params(self, params):
+        params = dict(params)
+        cap = int(self.settings.get("max_bursts_per_step"))
+        def pack(idxs):
+            arr = np.full(cap, -(1 << 30), np.int32)
+            for i, v in enumerate(idxs[:cap]):
+                arr[i] = v
+            return arr
+        params["_starts"] = pack(self._starts)
+        params["_stops"] = pack(self._stops)
+        return params
+
+    def apply(self, state, ins, ctx):
+        x = ins["in"]
+        n = x.shape[-1]
+        ramp_l = int(self.settings.get("ramp_len"))
+        ramp = jnp.asarray(np.hanning(2 * ramp_l)[:ramp_l], jnp.float32)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+        env = jnp.ones(n, jnp.float32)
+        starts = jnp.asarray(ctx.params.get("_starts",
+                                            np.full(1, -(1 << 30), np.int32)))
+        stops = jnp.asarray(ctx.params.get("_stops",
+                                           np.full(1, -(1 << 30), np.int32)))
+        for k in range(starts.shape[0]):
+            off = idx - starts[k]
+            ramp_val = ramp[jnp.clip(off, 0, ramp_l - 1)]
+            env = jnp.where((off >= 0) & (off < ramp_l), env * ramp_val, env)
+        for k in range(stops.shape[0]):
+            off = stops[k] - idx  # ramp down *into* the stop index
+            ramp_val = ramp[jnp.clip(off, 0, ramp_l - 1)]
+            env = jnp.where((off >= 0) & (off < ramp_l), env * ramp_val, env)
+        return state, {"out": x * env.astype(jnp.real(x).dtype)}
+
+
+_SAFE_FNS = {name: getattr(jnp, name) for name in (
+    "sin", "cos", "tan", "arcsin", "arccos", "arctan", "arctan2", "sinh",
+    "cosh", "tanh", "exp", "log", "log10", "log2", "sqrt", "abs", "floor",
+    "ceil", "round", "sign", "minimum", "maximum", "clip", "where", "real",
+    "imag", "conj", "angle", "power", "mod", "hypot")}
+_SAFE_GLOBALS = {"__builtins__": {}, "pi": np.pi, "e": np.e, **_SAFE_FNS}
+
+
+def _compile_expression(expr: str, arg_names: tuple[str, ...]):
+    """Compile an ExprTk-style expression into a jax-traceable callable.
+
+    The expression is evaluated with a whitelisted jnp namespace — the XLA trace
+    *is* the JIT (reference embeds the ExprTk C++ JIT, ExpressionBlocks.hpp:68).
+    """
+    code = compile(expr, "<expression>", "eval")
+    for name in code.co_names:
+        if name not in _SAFE_GLOBALS and name not in arg_names:
+            raise GrError(f"expression uses unknown name {name!r}; allowed: "
+                          f"{sorted([*_SAFE_FNS, 'pi', 'e', *arg_names])}")
+    def fn(**kwargs):
+        return eval(code, _SAFE_GLOBALS, kwargs)
+    return fn
+
+
+@register_block("ExpressionSISO")
+class ExpressionSISO(Block):
+    """y = f(x) from an expression string, traced straight into XLA."""
+
+    IN = (Port("in"),)
+    OUT = (Port("out"),)
+    expression = Setting(default="x", kind="static")
+
+    def __init__(self, name=None, **settings):
+        super().__init__(name=name, **settings)
+        self._fn = _compile_expression(str(self.settings.get("expression")), ("x",))
+
+    def on_settings_applied(self, result):
+        if "expression" in result.applied:
+            self._fn = _compile_expression(
+                str(self.settings.get("expression")), ("x",))
+
+    def apply(self, state, ins, ctx):
+        return state, {"out": self._fn(x=ins["in"])}
+
+
+@register_block("ExpressionDISO")
+class ExpressionDISO(Block):
+    """y = f(x, y) over two input streams."""
+
+    IN = (Port("x"), Port("y"))
+    OUT = (Port("out"),)
+    expression = Setting(default="x + y", kind="static")
+
+    def __init__(self, name=None, **settings):
+        super().__init__(name=name, **settings)
+        self._fn = _compile_expression(str(self.settings.get("expression")),
+                                       ("x", "y"))
+
+    def apply(self, state, ins, ctx):
+        return state, {"out": self._fn(x=ins["x"], y=ins["y"])}
+
+
+@register_block("SyncBlock")
+class SyncBlock(Block):
+    """Multi-stream aligner (≈ SyncBlock.hpp:13): shifts each input by a per-port
+    skew so matching trigger tags line up. Skews are measured host-side from the
+    first matching trigger tag per port and applied on device via dynamic-slice
+    over a carried history window (± ``max_skew`` samples).
+    """
+
+    n_inputs = Setting(default=2, kind="static", limits=(2, 64))
+    max_skew = Setting(default=256, kind="static", limits=(1, 1 << 20))
+    trigger = Setting(default="", kind="static",
+                      description="trigger_name to align on ('' = any trigger)")
+
+    def __init__(self, name=None, **settings):
+        super().__init__(name=name, **settings)
+        n = int(self.settings.get("n_inputs"))
+        self.in_ports = tuple(Port(f"in{i}") for i in range(n))
+        self.out_ports = tuple(Port(f"out{i}") for i in range(n))
+        self._skews = np.zeros(n, np.int32)
+
+    def process_tags(self, in_tags, ctx):
+        name = str(self.settings.get("trigger"))
+        max_skew = int(self.settings.get("max_skew"))
+        marks: dict[int, int] = {}
+        for i in range(len(self.in_ports)):
+            for t in in_tags.get(f"in{i}", []):
+                tn = t.map.get(Keys.TRIGGER_NAME)
+                if tn is not None and (not name or tn == name):
+                    marks[i] = t.index
+                    break
+        if len(marks) == len(self.in_ports) and marks:
+            latest = max(marks.values())
+            for i, idx in marks.items():
+                self._skews[i] = int(np.clip(latest - idx, 0, max_skew))
+        out = {}
+        for i in range(len(self.in_ports)):
+            out[f"out{i}"] = [t.shifted(int(self._skews[i]))
+                              for t in in_tags.get(f"in{i}", [])]
+        return out
+
+    def prepare_params(self, params):
+        params = dict(params)
+        params["_skews"] = self._skews.copy()
+        return params
+
+    def init_state(self, ctx):
+        m = int(self.settings.get("max_skew"))
+        return {f"h{i}": jnp.zeros((m,), ctx.dtype(f"in{i}", jnp.float32))
+                for i in range(len(self.in_ports))}
+
+    def apply(self, state, ins, ctx):
+        m = int(self.settings.get("max_skew"))
+        skews = jnp.asarray(ctx.params.get(
+            "_skews", np.zeros(len(self.in_ports), np.int32)))
+        outs = {}
+        new_state = {}
+        for i in range(len(self.in_ports)):
+            x = ins[f"in{i}"]
+            hist = state[f"h{i}"].astype(x.dtype)
+            xc = jnp.concatenate([hist, x], axis=-1)
+            start = m - skews[i]  # skew s ⇒ delay by s samples
+            outs[f"out{i}"] = jax.lax.dynamic_slice_in_dim(
+                xc, start, x.shape[-1], axis=-1)
+            new_state[f"h{i}"] = xc[..., -m:]
+        return new_state, outs

@@ -265,15 +265,16 @@ class Scheduler:
         produced_any = any(n_valid.get(b.unique_name, 0) > 0 for b in c.order
                            if not b.in_ports)
 
-        # 3. dispatch device step (async)
+        # 3. host tag sideband FIRST — tag-derived dynamic params (TagArrays via
+        # Block.prepare_params) must be visible to this step's device dispatch
+        with self.profiler.duration("scheduler.tags"):
+            sink_tags = self._advance_tags(n_valid)
+
+        # 4. dispatch device step (async)
         with self.profiler.duration("scheduler.dispatch", step=self._step):
             params = c.gather_params()
             new_states, sink_ins = c.step(self._states, params, feeds)
             self._states = new_states
-
-        # 4. host tag sideband
-        with self.profiler.duration("scheduler.tags"):
-            sink_tags = self._advance_tags(n_valid)
 
         # 5. book-keeping + pipelined sink delivery
         abs_in_snapshot = dict(self._abs_in)
@@ -373,6 +374,12 @@ class Scheduler:
                 continue
             res = b.settings.apply_staged()
             b.on_settings_applied(res)
+            if getattr(b, "_state_reset", False):
+                # block asked for a fresh state after this settings change
+                # (e.g. FunctionGenerator restarting its segment clock)
+                b._state_reset = False
+                self._states[b.unique_name] = b.init_state(
+                    self.compiled.block_ctx[b.unique_name])
             if res.static_changed:
                 self._dirty = True
             if res.forward:

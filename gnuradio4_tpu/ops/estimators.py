@@ -1,0 +1,181 @@
+"""DataSet / signal estimators (≈ reference algorithm/dataset/DataSetEstimators.hpp:
+min/max/mean/rms/peak/FWHM, step/edge detection) + SchmittTrigger
+(algorithm/SchmittTrigger.hpp) + SampleRateEstimator + BurstTaper.
+
+Estimators are host-side NumPy (they consume egressed DataSets); the Schmitt
+trigger also has a vectorized device form for in-graph edge detection.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# -- basic scalar estimators ---------------------------------------------------
+
+def minimum(x) -> float: return float(np.min(x))
+def maximum(x) -> float: return float(np.max(x))
+def mean(x) -> float: return float(np.mean(x))
+def rms(x) -> float: return float(np.sqrt(np.mean(np.square(np.abs(x)))))
+def std(x) -> float: return float(np.std(x))
+def peak_to_peak(x) -> float: return float(np.max(x) - np.min(x))
+
+
+def peak_index(x) -> int:
+    return int(np.argmax(x))
+
+
+def interpolated_peak(x) -> tuple[float, float]:
+    """Sub-sample peak location via 3-point parabolic interpolation → (pos, value)."""
+    x = np.asarray(x, dtype=np.float64)
+    i = int(np.argmax(x))
+    if i == 0 or i == len(x) - 1:
+        return float(i), float(x[i])
+    a, b, c = x[i - 1], x[i], x[i + 1]
+    denom = a - 2 * b + c
+    if abs(denom) < 1e-30:
+        return float(i), float(b)
+    d = 0.5 * (a - c) / denom
+    return i + d, b - 0.25 * (a - c) * d
+
+
+def fwhm(x, *, baseline: float | None = None) -> float:
+    """Full width at half maximum (linear-interpolated crossings), in samples."""
+    x = np.asarray(x, dtype=np.float64)
+    base = np.min(x) if baseline is None else baseline
+    i = int(np.argmax(x))
+    half = base + (x[i] - base) / 2.0
+    lo = i
+    while lo > 0 and x[lo] > half:
+        lo -= 1
+    hi = i
+    while hi < len(x) - 1 and x[hi] > half:
+        hi += 1
+    if x[lo] == x[lo + 1] or x[hi] == x[hi - 1]:
+        return float(hi - lo)
+    frac_lo = (half - x[lo]) / (x[lo + 1] - x[lo])
+    frac_hi = (x[hi - 1] - half) / (x[hi - 1] - x[hi])
+    return float((hi - 1 + frac_hi) - (lo + frac_lo))
+
+
+def edge_detect(x, *, threshold: float = 0.5, rising: bool = True) -> list[float]:
+    """Linear-interpolated threshold crossings (sub-sample), in samples."""
+    x = np.asarray(x, dtype=np.float64)
+    if rising:
+        hits = np.nonzero((x[:-1] < threshold) & (x[1:] >= threshold))[0]
+    else:
+        hits = np.nonzero((x[:-1] > threshold) & (x[1:] <= threshold))[0]
+    out = []
+    for i in hits:
+        d = x[i + 1] - x[i]
+        out.append(i + ((threshold - x[i]) / d if d else 0.0))
+    return out
+
+
+def step_start(x, *, fraction: float = 0.5) -> float:
+    """Locate a step edge: first crossing of min + fraction·(max−min)."""
+    x = np.asarray(x, dtype=np.float64)
+    thr = np.min(x) + fraction * (np.max(x) - np.min(x))
+    e = edge_detect(x, threshold=thr, rising=x[-1] > x[0])
+    return e[0] if e else float("nan")
+
+
+# -- Schmitt trigger -----------------------------------------------------------
+
+@dataclasses.dataclass
+class SchmittState:
+    above: bool = False
+
+
+def schmitt_edges(x: np.ndarray, *, low: float, high: float,
+                  state: SchmittState | None = None
+                  ) -> tuple[list[tuple[float, int]], SchmittState]:
+    """Hysteresis edge detector with sub-sample interpolation.
+
+    Returns ([(position, +1|-1), …], state). +1 = rising (crossed high),
+    −1 = falling (crossed low). ≈ algorithm/SchmittTrigger.hpp.
+    """
+    st = state or SchmittState()
+    x = np.asarray(x, dtype=np.float64)
+    edges: list[tuple[float, int]] = []
+    above = st.above
+    for i in range(len(x)):
+        if not above and x[i] >= high:
+            j = i - 1
+            if j >= 0 and x[j] < high and x[i] != x[j]:
+                pos = j + (high - x[j]) / (x[i] - x[j])
+            else:
+                pos = float(i)
+            edges.append((pos, +1))
+            above = True
+        elif above and x[i] <= low:
+            j = i - 1
+            if j >= 0 and x[j] > low and x[i] != x[j]:
+                pos = j + (low - x[j]) / (x[i] - x[j])
+            else:
+                pos = float(i)
+            edges.append((pos, -1))
+            above = False
+    return edges, SchmittState(above=above)
+
+
+def schmitt_device(x: jnp.ndarray, last_above: jnp.ndarray, *, low: float,
+                   high: float) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Vectorized device Schmitt: returns (state per sample ∈{0,1}, carry).
+
+    Hysteresis is a 1-bit recurrence: s[n] = x≥high ? 1 : (x≤low ? 0 : s[n−1]) —
+    evaluated in O(log T) with an associative 'override' scan.
+    """
+    set_hi = x >= high
+    set_lo = x <= low
+    # encode per-sample op: 0 = keep, 1 = force1, 2 = force0; combine = right
+    # op wins unless it's 'keep'
+    op = jnp.where(set_hi, 1, jnp.where(set_lo, 2, 0)).astype(jnp.int32)
+
+    def combine(a, b):
+        return jnp.where(b == 0, a, b)
+
+    ops = jax.lax.associative_scan(combine, op, axis=-1)
+    init = last_above.astype(jnp.int32)
+    state = jnp.where(ops == 1, 1, jnp.where(ops == 2, 0, init[..., None]))
+    return state.astype(jnp.bool_), state[..., -1].astype(jnp.bool_)
+
+
+# -- misc stream helpers -------------------------------------------------------
+
+def burst_taper(x: jnp.ndarray, *, ramp: np.ndarray, up: bool) -> jnp.ndarray:
+    """Apply a ramp envelope at the start (up) or end (down) of a burst
+    (≈ algorithm/BurstTaper.hpp)."""
+    n = len(ramp)
+    env = jnp.ones(x.shape[-1], jnp.float32)
+    r = jnp.asarray(ramp, jnp.float32)
+    if up:
+        env = env.at[:n].set(r)
+    else:
+        env = env.at[-n:].set(r[::-1])
+    return x * env
+
+
+class SampleRateEstimator:
+    """IIR-smoothed wall-clock sample-rate estimate
+    (≈ algorithm/SampleRateEstimator.hpp:14-20). Host-side."""
+
+    def __init__(self, alpha: float = 0.1):
+        self.alpha = alpha
+        self.estimate = 0.0
+        self._last_t: float | None = None
+        self._last_n = 0
+
+    def update(self, n_samples: int, t: float) -> float:
+        if self._last_t is not None and t > self._last_t:
+            inst = (n_samples - self._last_n) / (t - self._last_t)
+            self.estimate = (inst if self.estimate == 0.0
+                             else (1 - self.alpha) * self.estimate
+                             + self.alpha * inst)
+        self._last_t, self._last_n = t, n_samples
+        return self.estimate
