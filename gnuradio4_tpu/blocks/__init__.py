@@ -1,6 +1,7 @@
 """Block library (≈ reference blocks/): importing this package registers all built-in
 blocks with the global registry."""
 
-from . import (acquisition, basic, channelizer, electrical, fileio, filter,  # noqa: F401
-               fourier, math, misc, sdr, testing)
+from . import (acquisition, audio, basic, channelizer, electrical, fileio,  # noqa: F401
+               filter, fourier, http, math, misc, monitor, python_block, sdr,
+               testing, timing)
 from ..core import datasink as _datasink  # noqa: F401  (registers DataSink)

@@ -13,7 +13,7 @@ from fractions import Fraction
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.block import Block, Port
+from ..core.block import Block, Port, SinkBlock
 from ..core.graph import Graph
 from ..core.registry import register_block
 from ..core.settings import Setting
@@ -111,6 +111,160 @@ def make_wbfm_receiver(*, quad_rate: float, audio_decim: int,
     g.export_in("in", xlate, "in")
     g.export_out("out", deemph, "out")
     return g
+
+
+# -- SDR device abstraction (≈ SoapyRaiiWrapper.hpp / LoopbackDevice.hpp) ------
+
+class SdrDevice:
+    """Minimal Soapy-shaped device interface: configure → activate → readStream/
+    writeStream (complex64 baseband)."""
+
+    def configure(self, *, sample_rate: float, center_frequency: float,
+                  gain: float = 0.0, antenna: str = "", bandwidth: float = 0.0,
+                  channels: int = 1) -> None:
+        self.sample_rate = sample_rate
+        self.center_frequency = center_frequency
+        self.gain = gain
+        self.antenna = antenna
+        self.bandwidth = bandwidth
+        self.channels = channels
+
+    def activate(self) -> None: ...
+    def deactivate(self) -> None: ...
+
+    def read_stream(self, n: int) -> tuple[np.ndarray | None, dict]:
+        """Return ([channels?, n] complex64 or None at EOS, info dict with
+        optional 'n_dropped_samples' / 'rx_overflow')."""
+        raise NotImplementedError
+
+    def write_stream(self, samples: np.ndarray) -> None:
+        raise NotImplementedError
+
+
+class LoopbackDevice(SdrDevice):
+    """Fake SDR for tests (≈ blocks/sdr LoopbackDevice.hpp): generates a set of
+    tones at absolute RF frequencies; the source sees them mixed to baseband
+    around its ``center_frequency``. TX writes are recorded."""
+
+    def __init__(self, tone_freqs=(), tone_amps=(), noise_std: float = 0.0,
+                 total_samples: int = 0, seed: int = 1234):
+        self.tone_freqs = list(tone_freqs)
+        self.tone_amps = list(tone_amps) or [1.0] * len(self.tone_freqs)
+        self.noise_std = noise_std
+        self.total_samples = total_samples
+        self._pos = 0
+        self._rng = np.random.default_rng(seed)
+        self.tx_record: list[np.ndarray] = []
+        self.overflows = 0
+
+    def read_stream(self, n):
+        if self.total_samples and self._pos >= self.total_samples:
+            return None, {}
+        if self.total_samples:
+            n = min(n, self.total_samples - self._pos)
+        t = (self._pos + np.arange(n)) / self.sample_rate
+        out = np.zeros(n, np.complex128)
+        for f, a in zip(self.tone_freqs, self.tone_amps):
+            out += a * np.exp(2j * np.pi * (f - self.center_frequency) * t)
+        if self.noise_std:
+            out += self.noise_std / np.sqrt(2) * (
+                self._rng.standard_normal(n) + 1j * self._rng.standard_normal(n))
+        out *= 10.0 ** (self.gain / 20.0)
+        self._pos += n
+        return out.astype(np.complex64), {}
+
+    def write_stream(self, samples):
+        self.tx_record.append(np.array(samples, copy=True))
+
+
+_SDR_DRIVERS: dict[str, Any] = {"loopback": LoopbackDevice}
+
+
+def register_sdr_driver(name: str, factory) -> None:
+    _SDR_DRIVERS[name] = factory
+
+
+@register_block("SdrSource")
+class SdrSource(Block):
+    """Receive stream from an SDR device (≈ SoapySource.hpp:27).
+
+    Emits sample_rate/frequency tags on start; device IO runs on the feed path.
+    """
+
+    IN = ()
+    OUT = (Port("out", dtype="complex64"),)
+    FEED = True
+    driver = Setting(default="loopback", kind="static")
+    sample_rate = Setting(default=1e6, unit="Hz", kind="static")
+    center_frequency = Setting(default=100e6, unit="Hz", kind="static")
+    gain = Setting(default=0.0, unit="dB", kind="static")
+    antenna = Setting(default="RX", kind="static")
+
+    def __init__(self, name=None, device: SdrDevice | None = None, **settings):
+        super().__init__(name=name, **settings)
+        self._dev = device
+        self._started = False
+
+    def start(self):
+        if self._dev is None:
+            self._dev = _SDR_DRIVERS[str(self.settings.get("driver"))]()
+        self._dev.configure(
+            sample_rate=float(self.settings.get("sample_rate")),
+            center_frequency=float(self.settings.get("center_frequency")),
+            gain=float(self.settings.get("gain")),
+            antenna=str(self.settings.get("antenna")))
+        self._dev.activate()
+        self._started = True
+
+    def emit_tags(self, ctx):
+        from ..core.tags import Keys, Tag
+        if ctx.abs_index == 0:
+            return [Tag(0, {Keys.SAMPLE_RATE: float(self.settings.get("sample_rate")),
+                            Keys.FREQUENCY: float(self.settings.get("center_frequency"))})]
+        return []
+
+    def host_feed(self, n, abs_index):
+        if not self._started:
+            self.start()
+        got, info = self._dev.read_stream(n)
+        if got is None:
+            return None
+        return {"out": got}, got.shape[-1]
+
+    def apply(self, state, ins, ctx):
+        return state, {"out": ins["out"]}
+
+    def stop(self):
+        if self._dev:
+            self._dev.deactivate()
+
+
+@register_block("SdrSink")
+class SdrSink(SinkBlock):
+    """Transmit stream to an SDR device (≈ SoapySink.hpp:18)."""
+
+    IN = (Port("in", dtype="complex64"),)
+    driver = Setting(default="loopback", kind="static")
+    sample_rate = Setting(default=1e6, unit="Hz", kind="static")
+    center_frequency = Setting(default=100e6, unit="Hz", kind="static")
+    gain = Setting(default=0.0, unit="dB", kind="static")
+
+    def __init__(self, name=None, device: SdrDevice | None = None, **settings):
+        super().__init__(name=name, **settings)
+        self._dev = device
+        self._started = False
+
+    def consume(self, arrays, tags, n_valid, abs_index):
+        if not self._started:
+            if self._dev is None:
+                self._dev = _SDR_DRIVERS[str(self.settings.get("driver"))]()
+            self._dev.configure(
+                sample_rate=float(self.settings.get("sample_rate")),
+                center_frequency=float(self.settings.get("center_frequency")),
+                gain=float(self.settings.get("gain")))
+            self._dev.activate()
+            self._started = True
+        self._dev.write_stream(arrays["in"][..., :n_valid])
 
 
 @register_block("WbfmReceiver")
