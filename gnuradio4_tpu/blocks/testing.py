@@ -207,21 +207,20 @@ class Copy(Block):
 
 @register_block("HeadBlock")
 class HeadBlock(Block):
-    """Pass first N samples then EOS (≈ HeadBlock). Host-side valid-count clamp."""
+    """Pass the first N samples, then end the stream (≈ HeadBlock): the runtime
+    clamps valid counts mid-graph and winds the graph down once exhausted."""
 
     IN = (Port("in"),)
     OUT = (Port("out"),)
     n_samples = Setting(default=1024, kind="static")
-
-    def __init__(self, name=None, **settings):
-        super().__init__(name=name, **settings)
-        self._passed = 0
+    terminate_graph_when_done = True
 
     def apply(self, state, ins, ctx):
         return state, {"out": ins["in"]}
 
-    # NOTE: head truncation is enforced by the runtime valid-count once mid-graph
-    # EOS is supported; for now Head is honored when it feeds sinks directly.
+    def clamp_valid(self, n_valid_out, abs_out):
+        total = int(self.settings.get("n_samples"))
+        return max(0, min(n_valid_out, total - abs_out))
 
 
 @register_block("Delay")

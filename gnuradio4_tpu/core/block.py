@@ -199,6 +199,14 @@ class Block:
         indices). Used by tag sources and settings auto-forwarding."""
         return []
 
+    terminate_graph_when_done: ClassVar[bool] = False
+
+    def clamp_valid(self, n_valid_out: int, abs_out: int) -> int | None:
+        """Host hook: clamp this step's valid output count (HeadBlock-style
+        truncation). Return None to pass through; returning ≤ 0 plus
+        ``terminate_graph_when_done=True`` winds the whole graph down."""
+        return None
+
     # lifecycle hooks (≈ start/stop/pause/resume/reset user methods)
     def start(self) -> None: ...
     def stop(self) -> None: ...

@@ -249,6 +249,7 @@ class Scheduler:
         in_edges: dict[str, list] = {b.unique_name: [] for b in c.order}
         for e in c.graph.edges:
             in_edges[e.dst.unique_name].append(e)
+        graph_done = False
         for b in c.order:
             uname = b.unique_name
             if uname in n_valid and not in_edges[uname]:
@@ -258,9 +259,18 @@ class Scheduler:
                 nv_in = min(n_valid.get(e.src.unique_name, c.out_len[e.src.unique_name])
                             for e in ins)
                 r = b.ratio
-                n_valid[uname] = int(Fraction(nv_in) * r)
+                nv_out = int(Fraction(nv_in) * r)
             else:
-                n_valid.setdefault(uname, c.out_len[uname])
+                nv_out = n_valid.get(uname, c.out_len[uname])
+            # mid-graph valid clamp (HeadBlock-style truncation, ≈ reference
+            # disconnect_on_done): the block may pass fewer samples and signal
+            # that the whole graph should wind down once it has
+            clamp = b.clamp_valid(nv_out, self._abs_out[uname])
+            if clamp is not None:
+                nv_out = min(nv_out, clamp)
+                if clamp <= 0 and b.terminate_graph_when_done:
+                    graph_done = True
+            n_valid[uname] = nv_out
 
         produced_any = any(n_valid.get(b.unique_name, 0) > 0 for b in c.order
                            if not b.in_ports)
@@ -290,11 +300,12 @@ class Scheduler:
         self._step += 1
         self._last_progress = time.monotonic()
 
-        # EOS: all sources finished and nothing produced this step → stop
+        # EOS: all sources finished and nothing produced this step → stop;
+        # a completed terminate-graph block (HeadBlock) also ends the run
         sources = [b for b in c.order if not b.in_ports]
         all_done = sources and all(b.unique_name in self._finished_sources
                                    for b in sources)
-        if all_done and not produced_any:
+        if (all_done and not produced_any) or graph_done:
             return False
         return True
 
