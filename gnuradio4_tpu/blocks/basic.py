@@ -233,6 +233,17 @@ class ComplexToMagPhase(Block):
                        "phase": jnp.angle(x).astype(jnp.float32)}
 
 
+@register_block("Arg")
+class Arg(Block):
+    """Complex argument/angle in radians (≈ ConverterBlocks Arg)."""
+
+    IN = (Port("in", dtype="complex64"),)
+    OUT = (Port("out", dtype="float32"),)
+
+    def apply(self, state, ins, ctx):
+        return state, {"out": jnp.angle(ins["in"]).astype(jnp.float32)}
+
+
 @register_block("RealImagToComplex")
 class RealImagToComplex(Block):
     IN = (Port("real", dtype="float32"), Port("imag", dtype="float32"))

@@ -311,6 +311,18 @@ class TagMonitor(Block):
         return {"out": list(in_tags.get("in", []))}
 
 
+@register_block("SlowSource")
+class SlowSource(ConstantSource):
+    """Wall-clock-throttled source (≈ SlowSource, NullSources.hpp): sleeps
+    ``delay_s`` per feed step to simulate a slow producer."""
+
+    delay_s = Setting(default=0.01, limits=(0.0, 10.0))
+
+    def host_done(self, abs_out, n):
+        time.sleep(float(self.settings.get("delay_s")))
+        return super().host_done(abs_out, n)
+
+
 @register_block("SimCompute")
 class SimCompute(Block):
     """Simulated compute load: N fused multiply-adds per sample (≈ SimCompute with

@@ -148,7 +148,10 @@ def compile_graph(graph: Graph, *, block_len: int = 1 << 16,
 
     fed_blocks = [b for b in order if getattr(b, "FEED", False)]
     fed_names = {b.unique_name for b in fed_blocks}
-    sinks = [b for b in order if isinstance(b, SinkBlock) or not b.out_ports]
+    # sinks: terminal blocks + HOST_TAP blocks (mid-graph blocks whose inputs
+    # must reach the host each step, e.g. nested-scheduler subgraphs)
+    sinks = [b for b in order if isinstance(b, SinkBlock) or not b.out_ports
+             or getattr(b, "HOST_TAP", False)]
     sink_names = [b.unique_name for b in sinks]
 
     def step(states, params, feeds):

@@ -212,6 +212,12 @@ class Scheduler:
                 self._recompile(reset_state=False)
         c = self.compiled
 
+        # 0. deliver matured in-flight results FIRST — feeds may depend on sink
+        # deliveries (ring-bridged subgraphs); delivering after dispatch would
+        # deadlock two coupled schedulers
+        while len(self._inflight) >= self.pipeline_depth:
+            self._deliver(self._inflight.popleft())
+
         # 1. collect feeds + per-source valid counts
         feeds: dict[str, dict[str, np.ndarray]] = {}
         n_valid: dict[str, int] = {}
@@ -252,7 +258,9 @@ class Scheduler:
         graph_done = False
         for b in c.order:
             uname = b.unique_name
-            if uname in n_valid and not in_edges[uname]:
+            if uname in n_valid and (not in_edges[uname]
+                                     or getattr(b, "FEED", False)):
+                # sources and host-fed bridges: validity comes from the feed
                 continue
             ins = in_edges[uname]
             if ins:
@@ -295,8 +303,6 @@ class Scheduler:
         self._inflight.append(_InFlight(
             step=self._step, sink_ins=sink_ins, sink_tags=sink_tags,
             n_valid=n_valid, abs_in=abs_in_snapshot, t_dispatch=time.monotonic()))
-        while len(self._inflight) > self.pipeline_depth:
-            self._deliver(self._inflight.popleft())
         self._step += 1
         self._last_progress = time.monotonic()
 
@@ -318,7 +324,8 @@ class Scheduler:
         with self.profiler.duration("scheduler.deliver", step=rec.step):
             for uname, ins in rec.sink_ins.items():
                 block = next(b for b in c.order if b.unique_name == uname)
-                if not isinstance(block, SinkBlock):
+                if not (isinstance(block, SinkBlock)
+                        or getattr(block, "HOST_TAP", False)):
                     continue
                 host_arrays = {p: np.asarray(a) for p, a in ins.items()}
                 block.consume(host_arrays, rec.sink_tags.get(uname, {}),

@@ -1,0 +1,61 @@
+"""Pallas kernel equivalence tests (interpret mode on CPU; native compilation is
+validated separately on the TPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gnuradio4_tpu.ops import filter_design as fd
+from gnuradio4_tpu.ops.iir import sos_apply, sos_init_state
+from gnuradio4_tpu.ops.pallas_kernels import iir_sos_pallas, nco_mix_pallas
+from gnuradio4_tpu.ops.signal import phase_increment
+
+
+class TestIirSosPallas:
+    def test_matches_scan_reference(self, rng):
+        res = fd.design_iir("butterworth", "lowpass", 4, sample_rate=100.0,
+                            f_low=10.0)
+        x = rng.standard_normal((8, 256)).astype(np.float32)
+        y_ref, s_ref = sos_apply(jnp.asarray(x), res.sos,
+                                 sos_init_state(8, res.sos.shape[0]))
+        y, s = iir_sos_pallas(jnp.asarray(x), res.sos,
+                              sos_init_state(8, res.sos.shape[0]),
+                              interpret=True)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_streaming_state_carry(self, rng):
+        res = fd.design_iir("chebyshev1", "lowpass", 2, sample_rate=50.0,
+                            f_low=5.0)
+        x = rng.standard_normal(512).astype(np.float32)
+        y1, _ = iir_sos_pallas(jnp.asarray(x), res.sos,
+                               sos_init_state(0, res.sos.shape[0]),
+                               interpret=True)
+        state = sos_init_state(0, res.sos.shape[0])
+        parts = []
+        for chunk in x.reshape(2, 256):
+            y, state = iir_sos_pallas(jnp.asarray(chunk), res.sos, state,
+                                      interpret=True)
+            parts.append(np.asarray(y))
+        np.testing.assert_allclose(np.concatenate(parts), np.asarray(y1),
+                                   rtol=1e-4, atol=1e-5)
+
+
+class TestNcoMixPallas:
+    def test_matches_numpy_rotation(self):
+        fs = 1e6
+        f_shift = 123456.0
+        n = 2048
+        x = (np.ones(n) + 0j).astype(np.complex64)
+        dphi = phase_increment(f_shift, fs)
+        y, ph = nco_mix_pallas(jnp.asarray(x), np.uint32(0), dphi,
+                               interpret=True)
+        t = np.arange(n)
+        ref = np.exp(2j * np.pi * (float(dphi) / 2**32) * t)
+        np.testing.assert_allclose(np.asarray(y), ref, atol=2e-3)
+        # phase carry: continuing must be seamless
+        y2, _ = nco_mix_pallas(jnp.asarray(x), ph, dphi, interpret=True)
+        ref2 = np.exp(2j * np.pi * (float(dphi) / 2**32) * (t + n))
+        np.testing.assert_allclose(np.asarray(y2), ref2, atol=4e-3)
