@@ -53,6 +53,7 @@ def build_step(block_len: int):
 
 def main() -> None:
     import jax
+    import jax.numpy as jnp
     block_len = 1 << 20
     steps = 20
     compiled = build_step(block_len)
@@ -69,6 +70,15 @@ def main() -> None:
         states, sink_ins = compiled.step(states, params, {})
     jax.block_until_ready((states, sink_ins))
     dt = time.perf_counter() - t0
+
+    # compute-proof: reduce one sink input to a scalar and read it back
+    # (large-array D2H is unimplemented over the axon tunnel; scalars work)
+    check = float(jax.jit(lambda t: sum(jnp.sum(jnp.abs(v))
+                                        for ins in t.values()
+                                        for v in ins.values()))(sink_ins))
+    assert np.isfinite(check) and check > 0, f"bad checksum {check}"
+    print(f"# checksum {check:.6g} over {steps} steps, {dt:.3f} s",
+          file=sys.stderr)
 
     msps = steps * block_len / dt / 1e6
     platform = jax.devices()[0].platform

@@ -1,0 +1,127 @@
+"""Extended benchmark suite over the BASELINE configs (one JSON line each).
+
+``bench.py`` remains the driver-facing single-metric benchmark; this suite
+measures the other BASELINE.md configs on whatever platform is active:
+
+  1. mono chain: tone → FIR127 → FFT4096 → magnitude
+  2. rational polyphase resampler (L/M = 3/2)
+  3. wideband FM receiver (freq-xlating FIR → quad demod → audio decim → deemph)
+  4. 64-channel PFB channelizer + per-channel power
+  5. sharded 64-channel channelizer + demod (all local devices)
+
+Usage: python bench_suite.py [--block-len N] [--steps N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _run(compiled, steps: int, block_len: int) -> float:
+    import jax
+    states = compiled.init_states()
+    params = compiled.gather_params()
+    for _ in range(3):
+        states, sink_ins = compiled.step(states, params, {})
+    jax.block_until_ready((states, sink_ins))
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        states, sink_ins = compiled.step(states, params, {})
+    jax.block_until_ready((states, sink_ins))
+    dt = time.perf_counter() - t0
+    return steps * block_len / dt / 1e6
+
+
+def config1(block_len):
+    import gnuradio4_tpu as gr
+    from gnuradio4_tpu.blocks.basic import ComplexToneSource
+    from gnuradio4_tpu.blocks.filter import FirFilter
+    from gnuradio4_tpu.blocks.fourier import FFT
+    from gnuradio4_tpu.blocks.testing import NullSink
+    from gnuradio4_tpu.ops import filter_design as fd
+    fs = 20e6
+    g = gr.Graph()
+    src = ComplexToneSource(frequency=1e6)
+    fir = FirFilter(taps=fd.design_fir("lowpass", 127, sample_rate=fs,
+                                       f_low=2e6).astype(np.float32))
+    fft = FFT(fft_size=4096, window="Hann", output="magnitude", calibrate=False)
+    g.connect_chain(src, fir, fft, NullSink())
+    return gr.compile_graph(g, block_len=block_len, sample_rate=fs)
+
+
+def config2(block_len):
+    import gnuradio4_tpu as gr
+    from gnuradio4_tpu.blocks.basic import NoiseSource
+    from gnuradio4_tpu.blocks.filter import RationalResampler
+    from gnuradio4_tpu.blocks.testing import NullSink
+    g = gr.Graph()
+    g.connect_chain(g.add(NoiseSource()),
+                    g.add(RationalResampler(interp=3, decim=2)),
+                    g.add(NullSink()))
+    return gr.compile_graph(g, block_len=block_len, sample_rate=1e6)
+
+
+def config3(block_len):
+    import gnuradio4_tpu as gr
+    from gnuradio4_tpu.blocks.basic import ComplexToneSource
+    from gnuradio4_tpu.blocks.sdr import make_wbfm_receiver
+    from gnuradio4_tpu.blocks.testing import NullSink
+    quad_rate = 250e3
+    g = gr.Graph()
+    src = ComplexToneSource(frequency=10e3)
+    rx = make_wbfm_receiver(quad_rate=quad_rate, audio_decim=5)
+    snk = NullSink()
+    g.add(rx)
+    g.connect(src, rx["in"])
+    g.connect(rx["out"], snk)
+    return gr.compile_graph(g, block_len=block_len, sample_rate=quad_rate)
+
+
+def config4(block_len):
+    import gnuradio4_tpu as gr
+    from gnuradio4_tpu.blocks.basic import NoiseSource
+    from gnuradio4_tpu.blocks.channelizer import PFBChannelizer
+    from gnuradio4_tpu.blocks.math import Abs
+    from gnuradio4_tpu.blocks.testing import NullSink
+    g = gr.Graph()
+    src = NoiseSource(noise="complex_gaussian")
+    chan = PFBChannelizer(n_channels=64, taps_per_phase=8)
+    g.connect_chain(g.add(src), g.add(chan), g.add(Abs()), g.add(NullSink()))
+    return gr.compile_graph(g, block_len=block_len, sample_rate=1e9)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--block-len", type=int, default=1 << 20)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--configs", default="1,2,3,4")
+    args = ap.parse_args()
+    import jax
+    platform = jax.devices()[0].platform
+    builders = {"1": ("mono FIR127+FFT4096", config1),
+                "2": ("polyphase resampler 3/2", config2),
+                "3": ("WBFM receiver", config3),
+                "4": ("PFB channelizer 64ch", config4)}
+    for key in args.configs.split(","):
+        name, builder = builders[key.strip()]
+        bl = args.block_len
+        if key.strip() == "3":
+            bl = min(bl, 1 << 18)  # FM chain has small natural block
+        try:
+            compiled = builder(bl)
+            msps = _run(compiled, args.steps, bl)
+            print(json.dumps({"config": key.strip(), "name": name,
+                              "platform": platform, "block_len": bl,
+                              "msps": round(msps, 1)}), flush=True)
+        except Exception as e:
+            print(json.dumps({"config": key.strip(), "name": name,
+                              "error": f"{type(e).__name__}: {e}"}), flush=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

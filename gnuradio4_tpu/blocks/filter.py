@@ -228,7 +228,10 @@ class IirFilter(Block):
     OUT = (Port("out", dtype="float32"),)
     b = Setting(default=(1.0,), kind="static", description="feed-forward coeffs")
     a = Setting(default=(1.0,), kind="static", description="feedback coeffs, a[0]=1")
-    form = Setting(default="DF2", kind="static", choices=("DF1", "DF2"))
+    engine = Setting(default="auto", kind="static",
+                     choices=("auto", "scan", "parallel"),
+                     description="'parallel': O(log T) associative-scan partial "
+                                 "fractions (needs complex-conjugate poles)")
 
     def __init__(self, name=None, b: Any = None, a: Any = None, **settings):
         if b is not None:
@@ -237,16 +240,40 @@ class IirFilter(Block):
             settings["a"] = tuple(np.asarray(a, dtype=np.float64).tolist())
         super().__init__(name=name, **settings)
 
+    def _engine(self) -> str:
+        from ..ops import iir as iir_ops
+        from ..ops.filter_design import ba_to_sos
+        eng = str(self.settings.get("engine"))
+        if eng != "auto":
+            return eng
+        import jax
+        if jax.default_backend() != "tpu":
+            return "scan"  # scan is fine on CPU; parallel pays rewrite overhead
+        try:
+            return "parallel" if iir_ops.sos_supports_parallel(
+                ba_to_sos(self.settings.get("b"), self.settings.get("a"))) \
+                else "scan"
+        except Exception:
+            return "scan"
+
     def init_state(self, ctx):
-        from ..ops.iir import iir_init_state
+        from ..ops.iir import iir_init_state, sos_parallel_init_state
+        from ..ops.filter_design import ba_to_sos
+        ch = ctx.channels.get("in", 0)
+        if self._engine() == "parallel":
+            sos = ba_to_sos(self.settings.get("b"), self.settings.get("a"))
+            return sos_parallel_init_state(ch, sos.shape[0])
         nb = len(self.settings.get("b"))
         na = len(self.settings.get("a"))
-        ch = ctx.channels.get("in", 0)
         return iir_init_state(ch, nb, na)
 
     def apply(self, state, ins, ctx):
-        from ..ops.iir import iir_apply
+        from ..ops.iir import iir_apply, sos_parallel_apply
+        from ..ops.filter_design import ba_to_sos
         b = np.asarray(self.settings.get("b"), dtype=np.float64)
         a = np.asarray(self.settings.get("a"), dtype=np.float64)
-        y, new_state = iir_apply(ins["in"], b, a, state)
+        if self._engine() == "parallel":
+            y, new_state = sos_parallel_apply(ins["in"], ba_to_sos(b, a), state)
+        else:
+            y, new_state = iir_apply(ins["in"], b, a, state)
         return new_state, {"out": y}

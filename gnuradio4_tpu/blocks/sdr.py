@@ -67,15 +67,17 @@ class FmDeemphasis(Block):
         return fm_deemphasis_coeffs(fs_eff, float(self.settings.get("tau")))
 
     def init_state(self, ctx):
-        from ..ops.iir import iir_init_state
         self._fs_cached = ctx.sample_rate
-        return iir_init_state(ctx.channels.get("in", 0), 2, 2)
+        ch = ctx.channels.get("in", 0)
+        import jax.numpy as jnp
+        return jnp.zeros(() if ch == 0 else (ch,), jnp.float32)
 
     def apply(self, state, ins, ctx):
-        from ..ops.iir import iir_apply
+        # single real pole → exact O(log T) parallel recurrence
+        from ..ops.iir import one_pole_ba_apply
         b, a = self._ba(getattr(self, "_fs_cached", ctx.sample_rate))
-        y, st = iir_apply(ins["in"], b, a, state)
-        return st, {"out": y}
+        y, last = one_pole_ba_apply(ins["in"], b, a, state)
+        return last, {"out": y}
 
 
 def make_wbfm_receiver(*, quad_rate: float, audio_decim: int,

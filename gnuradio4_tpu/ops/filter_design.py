@@ -250,6 +250,19 @@ def _zpk_to_sos(zpk: Zpk) -> np.ndarray:
     return np.array(sos)
 
 
+def ba_to_sos(b: Sequence[float], a: Sequence[float]) -> np.ndarray:
+    """Factor a transfer function into biquad sections (via roots → zpk → sos)."""
+    b = np.atleast_1d(np.asarray(b, np.float64))
+    a = np.atleast_1d(np.asarray(a, np.float64))
+    k = b[0] / a[0] if b[0] != 0 else 1.0
+    z = np.roots(b / b[0]) if len(b) > 1 and b[0] != 0 else \
+        (np.roots(b) if len(b) > 1 else np.zeros(0, complex))
+    p = np.roots(a / a[0]) if len(a) > 1 else np.zeros(0, complex)
+    if b[0] == 0:
+        k = b[np.nonzero(b)[0][0]] / a[0] if np.any(b) else 0.0
+    return _zpk_to_sos(Zpk(z, p, float(k)))
+
+
 def design_iir(design: Design | str, ftype: Type | str, order: int, *,
                sample_rate: float, f_low: float, f_high: float | None = None,
                ripple_db: float = 1.0, atten_db: float = 40.0) -> IirResult:

@@ -110,6 +110,60 @@ def sos_apply(x: jnp.ndarray, sos: np.ndarray, state: jnp.ndarray
     return jnp.moveaxis(yT, 0, -1), new_state
 
 
+def one_pole_ba_apply(x: jnp.ndarray, b: np.ndarray, a: np.ndarray,
+                      u_prev: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """First-order section y = b0·x + b1·x⁻¹ − a1·y⁻¹ in O(log T):
+    H(w) = K + A/(1 − p·w) with p = −a1, K = b1/a1, A = b0 − b1/a1.
+    State: the one-pole carry u[-1] (real)."""
+    b = np.atleast_1d(np.asarray(b, np.float64))
+    a = np.atleast_1d(np.asarray(a, np.float64))
+    b = b / a[0]; a = a / a[0]
+    b0 = float(b[0]); b1 = float(b[1]) if len(b) > 1 else 0.0
+    a1 = float(a[1]) if len(a) > 1 else 0.0
+    if a1 == 0.0:
+        y = b0 * x + b1 * jnp.concatenate(
+            [u_prev[..., None].astype(x.dtype), x[..., :-1]], axis=-1)
+        return y.astype(x.dtype), x[..., -1]
+    p = -a1
+    K = b1 / a1
+    A = b0 - b1 / a1
+    u, last = one_pole_apply(x.astype(jnp.float32), jnp.float32(p),
+                             u_prev.astype(jnp.float32))
+    y = jnp.float32(K) * x + jnp.float32(A) * u
+    return y.astype(x.dtype), last
+
+
+def sos_supports_parallel(sos: np.ndarray) -> bool:
+    """True when every section has complex-conjugate poles (or is pure FIR) —
+    the condition for the O(log T) partial-fraction path."""
+    sos = np.atleast_2d(np.asarray(sos, np.float64))
+    for row in sos:
+        b0, b1, b2, a0, a1, a2 = row
+        a1, a2 = a1 / a0, a2 / a0
+        if a2 == 0.0 or a1 * a1 - 4.0 * a2 >= -1e-12:
+            return False  # FIR/first-order/real-pole section → scan path
+    return True
+
+
+def sos_parallel_init_state(channels: int, n_sections: int) -> jnp.ndarray:
+    shape = (n_sections,) if channels == 0 else (channels, n_sections)
+    return jnp.zeros(shape, jnp.complex64)
+
+
+def sos_parallel_apply(x: jnp.ndarray, sos: np.ndarray, state: jnp.ndarray
+                       ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Biquad cascade in O(log T) depth: each section via partial fractions +
+    one complex associative scan; sections chain sequentially (S is small).
+    State: complex one-pole carries u[-1], [..., S]."""
+    sos = np.atleast_2d(np.asarray(sos, np.float64))
+    v = x
+    carries = []
+    for k, row in enumerate(sos):
+        v, last = biquad_parallel_apply(v, row, state[..., k])
+        carries.append(last)
+    return v, jnp.stack(carries, axis=-1)
+
+
 def biquad_parallel_apply(x: jnp.ndarray, sos_row: np.ndarray,
                           state: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One biquad in O(log T) via complex one-pole decomposition.

@@ -233,3 +233,52 @@ class TestFft:
         assert peak_bin == 128
         f = freq_axis(n, fs)
         assert f[peak_bin] == f0
+
+
+class TestParallelIir:
+    def test_sos_parallel_matches_scan(self, rng):
+        res = fd.design_iir("butterworth", "lowpass", 6, sample_rate=100.0,
+                            f_low=10.0)
+        from gnuradio4_tpu.ops.iir import (sos_parallel_apply,
+                                           sos_parallel_init_state,
+                                           sos_supports_parallel)
+        assert sos_supports_parallel(res.sos)
+        x = rng.standard_normal((4, 512)).astype(np.float32)
+        y_ref, _ = sos_apply(jnp.asarray(x), res.sos, sos_init_state(4, 3))
+        y, _ = sos_parallel_apply(jnp.asarray(x), res.sos,
+                                  sos_parallel_init_state(4, 3))
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   rtol=1e-3, atol=1e-4)
+
+    def test_sos_parallel_streaming(self, rng):
+        res = fd.design_iir("chebyshev1", "lowpass", 4, sample_rate=50.0,
+                            f_low=5.0)
+        from gnuradio4_tpu.ops.iir import (sos_parallel_apply,
+                                           sos_parallel_init_state)
+        x = rng.standard_normal(1024).astype(np.float32)
+        y1, _ = sos_parallel_apply(jnp.asarray(x), res.sos,
+                                   sos_parallel_init_state(0, 2))
+        st = sos_parallel_init_state(0, 2)
+        parts = []
+        for chunk in x.reshape(4, 256):
+            y, st = sos_parallel_apply(jnp.asarray(chunk), res.sos, st)
+            parts.append(np.asarray(y))
+        np.testing.assert_allclose(np.concatenate(parts), np.asarray(y1),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_one_pole_ba_matches_lfilter(self, rng):
+        from gnuradio4_tpu.ops.demod import fm_deemphasis_coeffs
+        from gnuradio4_tpu.ops.iir import one_pole_ba_apply
+        b, a = fm_deemphasis_coeffs(50000.0, 75e-6)
+        x = rng.standard_normal(500).astype(np.float32)
+        ref = _np_lfilter(b, a, x)
+        y, _ = one_pole_ba_apply(jnp.asarray(x), b, a, jnp.asarray(0.0))
+        np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-4, atol=1e-4)
+
+    def test_ba_to_sos_response_matches(self):
+        res = fd.design_iir("butterworth", "bandpass", 3, sample_rate=1000.0,
+                            f_low=100.0, f_high=200.0)
+        sos2 = fd.ba_to_sos(res.b, res.a)
+        f, h1 = fd.freq_response(res.b, res.a, sample_rate=1000.0, n=256)
+        _, h2 = fd.sos_freq_response(sos2, sample_rate=1000.0, n=256)
+        np.testing.assert_allclose(np.abs(h2), np.abs(h1), rtol=1e-4, atol=1e-6)
