@@ -59,6 +59,8 @@ def main(argv: list[str] | None = None) -> int:
         in_len, out_len = flat.resolve_rates(
             meta.get("block_len", args.block_len),
             sample_rate=meta.get("sample_rate", 1.0))
+        from .utils.imgraph import render_graph
+        print(render_graph(g))
         print(f"graph {g.name!r}: {len(flat.blocks)} blocks, {len(flat.edges)} edges")
         for b in flat.topological_order():
             print(f"  {b.name:30s} {type(b).__name__:24s} "

@@ -612,3 +612,10 @@ class SimpleScheduler(Scheduler):
 @register_scheduler("BreadthFirst")
 class BreadthFirstScheduler(Scheduler):
     """≈ gr::scheduler::BreadthFirst (Scheduler.hpp:1580); same fused execution."""
+
+
+@register_scheduler("DepthFirst")
+class DepthFirstScheduler(Scheduler):
+    """≈ gr::scheduler::DepthFirst (Scheduler.hpp:1658). With one fused device
+    program the traversal-order distinction vanishes (XLA schedules the DAG);
+    kept for API parity."""

@@ -171,3 +171,42 @@ class TestRegistry:
         from gnuradio4_tpu.core.errors import GrError
         with pytest.raises(GrError):
             global_registry.create("DoesNotExist")
+
+
+class TestComputeDomain:
+    def test_parse(self):
+        from gnuradio4_tpu.core.compute_domain import ComputeDomain, DomainKind
+        d = ComputeDomain.parse("tpu:xla:0")
+        assert d.kind is DomainKind.TPU and d.backend == "xla"
+        h = ComputeDomain.parse("host")
+        assert h.kind is DomainKind.HOST
+        assert str(d) == "tpu:xla:0"
+
+    def test_unknown_kind_raises(self):
+        from gnuradio4_tpu.core.compute_domain import ComputeDomain
+        from gnuradio4_tpu.core.errors import GrError
+        with pytest.raises(GrError):
+            ComputeDomain.parse("quantum:q:0")
+
+
+class TestImGraph:
+    def test_renders_topology(self):
+        import gnuradio4_tpu as gr
+        from gnuradio4_tpu.utils.imgraph import render_graph
+        g = gr.Graph()
+        src = g.emplace("CountingSource", n_samples=10)
+        src.name = "src"
+        m = g.emplace("MultiplyConst"); m.name = "gain"
+        k = g.emplace("NullSink"); k.name = "out"
+        g.connect_chain(src, m, k)
+        art = render_graph(g)
+        assert "src" in art and "gain" in art and "out" in art
+        assert "──▶" in art and "edges:" in art
+
+
+class TestSchedulerRegistry:
+    def test_all_policies_registered(self):
+        from gnuradio4_tpu import global_scheduler_registry
+        names = global_scheduler_registry.known_schedulers()
+        for n in ("Simple", "BreadthFirst", "DepthFirst"):
+            assert n in names
