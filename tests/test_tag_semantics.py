@@ -1,0 +1,109 @@
+"""Tag propagation semantics through a running graph (≈ reference qa_Tags /
+qa_Settings auto-forwarding): index rescaling across rate changes, settings
+auto-update from tags, forward-on-apply, context switching via tags."""
+
+import numpy as np
+import pytest
+
+import gnuradio4_tpu as gr
+from gnuradio4_tpu.blocks.filter import Decimator
+from gnuradio4_tpu.blocks.math import MultiplyConst
+from gnuradio4_tpu.blocks.testing import TagSource, VectorSink, VectorSource
+from gnuradio4_tpu.core.settings import SettingsCtx
+from gnuradio4_tpu.core.tags import Keys, Tag
+
+
+def test_tag_indices_rescale_through_decimation():
+    g = gr.Graph()
+    src = VectorSource(np.arange(2048, dtype=np.float32),
+                       tags=[Tag(400, {"mark": 1}), Tag(1000, {"mark": 2})])
+    dec = Decimator(decim=4)
+    snk = VectorSink()
+    g.connect_chain(src, dec, snk)
+    gr.Scheduler(g, block_len=512).run_and_wait()
+    marks = {t.map["mark"]: t.index for t in snk.tags if "mark" in t.map}
+    assert marks == {1: 100, 2: 250}
+
+
+def test_sample_rate_tag_auto_updates_settings():
+    from gnuradio4_tpu.blocks.basic import SignalGenerator
+    g = gr.Graph()
+    src = VectorSource(np.zeros(1024, np.float32),
+                       tags=[Tag(0, {Keys.SAMPLE_RATE: 96000.0})])
+    gen_like = MultiplyConst(value=1.0)  # has no sample_rate setting → ignored
+    snk = VectorSink()
+    g.connect_chain(src, gen_like, snk)
+    gr.Scheduler(g, block_len=512).run_and_wait()
+    # the tag reaches the sink untouched
+    assert any(t.map.get(Keys.SAMPLE_RATE) == 96000.0 for t in snk.tags)
+
+
+def test_forward_on_apply_emits_tag_downstream():
+    """Changing an auto-forward setting (sample_rate) publishes a tag."""
+    from gnuradio4_tpu.core.settings import Setting
+    from gnuradio4_tpu.core.block import Block, Port
+
+    class RateBlock(Block):
+        IN = (Port("in"),)
+        OUT = (Port("out"),)
+        sample_rate = Setting(default=1000.0)
+
+        def apply(self, state, ins, ctx):
+            return state, {"out": ins["in"]}
+
+    g = gr.Graph()
+    src = VectorSource(np.zeros(4096, np.float32))
+    rb = g.add(RateBlock(name="rate"))
+    snk = VectorSink()
+    g.connect_chain(src, rb, snk)
+    sched = gr.Scheduler(g, block_len=512, pipeline_depth=1)
+    sched.init()
+    sched._pump_once()
+    rb.settings.set({"sample_rate": 2000.0})
+    while sched._pump_once():
+        pass
+    sched._drain()
+    fw = [t for t in snk.tags if t.map.get("sample_rate") == 2000.0]
+    assert fw, "forward-on-apply tag not seen downstream"
+
+
+def test_context_switch_via_tag():
+    """A Keys.CONTEXT tag activates a stored settings context (SettingsCtx)."""
+    g = gr.Graph()
+    src = VectorSource(np.ones(2048, np.float32),
+                       tags=[Tag(1024, {Keys.CONTEXT: "boost"})])
+    mul = MultiplyConst(value=1.0, name="g")
+    mul.settings.set({"value": 5.0}, ctx=SettingsCtx(context="boost"))
+    snk = VectorSink()
+    g.connect_chain(src, mul, snk)
+    gr.Scheduler(g, block_len=512).run_and_wait()
+    out = snk.data()
+    # context applies at the step boundary following the tag (chunk semantics)
+    assert out[0] == 1.0
+    assert out[-1] == 5.0
+    assert mul.settings.active_context.context == "boost"
+
+
+def test_tpp_dont_blocks_propagation():
+    from gnuradio4_tpu.core.tags import TagPropagation
+
+    class Opaque(MultiplyConst):
+        TAG_POLICY = TagPropagation.TPP_DONT
+
+    g = gr.Graph()
+    src = VectorSource(np.zeros(512, np.float32), tags=[Tag(10, {"x": 1})])
+    blk = Opaque(value=1.0)
+    snk = VectorSink()
+    g.connect_chain(src, blk, snk)
+    gr.Scheduler(g, block_len=512).run_and_wait()
+    assert not any("x" in t.map for t in snk.tags)
+
+
+def test_eos_tag_index_marks_stream_end():
+    g = gr.Graph()
+    src = TagSource(n_samples=700)
+    snk = VectorSink()
+    g.connect(src, snk)
+    gr.Scheduler(g, block_len=256).run_and_wait()
+    eos = [t for t in snk.tags if t.map.get(Keys.END_OF_STREAM)]
+    assert eos and eos[0].index == 700
