@@ -29,6 +29,9 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("blocks", help="list registered block types")
 
+    desc = sub.add_parser("describe", help="show a block type's settings/ports")
+    desc.add_argument("type_name")
+
     insp = sub.add_parser("inspect", help="validate + describe a flowgraph")
     insp.add_argument("flowgraph")
     insp.add_argument("--block-len", type=int, default=4096)
@@ -46,6 +49,33 @@ def main(argv: list[str] | None = None) -> int:
         from . import blocks  # noqa: F401
         for name in global_registry.known_blocks():
             print(name)
+        return 0
+
+    if args.cmd == "describe":
+        from .core.registry import global_registry
+        from . import blocks  # noqa: F401
+        cls = global_registry.get(args.type_name)
+        print(f"{args.type_name}  ({cls.__module__}.{cls.__name__})")
+        doc = (cls.__doc__ or "").strip().split("\n")[0]
+        if doc:
+            print(f"  {doc}")
+        ins = [p.name for p in getattr(cls, "IN", ())]
+        outs = [p.name for p in getattr(cls, "OUT", ())]
+        print(f"  inputs: {ins or '(dynamic)'}   outputs: {outs or '(dynamic)'}")
+        spec = getattr(cls, "_settings_spec", {})
+        if spec:
+            print("  settings:")
+            for k, s in sorted(spec.items()):
+                extra = []
+                if s.unit:
+                    extra.append(f"[{s.unit}]")
+                if s.limits:
+                    extra.append(f"limits={s.limits}")
+                if s.choices:
+                    extra.append(f"choices={s.choices}")
+                extra.append("static" if s.kind == "static" else "dynamic")
+                print(f"    {k:22s} default={s.default!r:16} "
+                      f"{' '.join(extra)}  {s.description}")
         return 0
 
     if args.cmd == "inspect":

@@ -332,6 +332,87 @@ class BurstTaper(Block):
         return state, {"out": x * env.astype(jnp.real(x).dtype)}
 
 
+@register_block("StreamFilter")
+class StreamFilter(Block):
+    """Trigger-gated stream (≈ StreamFilter, StreamToDataSet.hpp:27).
+
+    The reference emits a *variable-rate* stream containing only the samples
+    inside start→stop trigger windows; static shapes forbid that, so the
+    TPU-native form gates out-of-window samples to zero (dense stream, same
+    rate) — pair with StreamToDataSet when true extraction is needed. Window
+    state carries across steps.
+    """
+
+    IN = (Port("in"),)
+    OUT = (Port("out"),)
+    filter = Setting(default="", kind="static", description="start matcher DSL")
+    filter_stop = Setting(default="", kind="static",
+                          description="stop matcher ('' → same as start toggles)")
+    max_events_per_step = Setting(default=16, kind="static", limits=(1, 256))
+
+    def __init__(self, name=None, **settings):
+        super().__init__(name=name, **settings)
+        from ..core.trigger import match_trigger
+        self._start = match_trigger(str(self.settings.get("filter") or "^."))
+        stop = str(self.settings.get("filter_stop"))
+        self._stop = match_trigger(stop) if stop else None
+        self._starts: list[int] = []
+        self._stops: list[int] = []
+
+    def process_tags(self, in_tags, ctx):
+        from ..core.trigger import MatchResult
+        self._starts, self._stops = [], []
+        toggle_open = None
+        for t in sorted(in_tags.get("in", [])):
+            if self._stop is None:
+                if self._start(t) is MatchResult.MATCHED:
+                    if toggle_open is None or not toggle_open:
+                        self._starts.append(t.index)
+                        toggle_open = True
+                    else:
+                        self._stops.append(t.index)
+                        toggle_open = False
+            else:
+                if self._start(t) is MatchResult.MATCHED:
+                    self._starts.append(t.index)
+                if self._stop(t) is MatchResult.MATCHED:
+                    self._stops.append(t.index)
+        return super().process_tags(in_tags, ctx)
+
+    def prepare_params(self, params):
+        params = dict(params)
+        cap = int(self.settings.get("max_events_per_step"))
+        far = 1 << 30
+        def pack(idxs, fill):
+            arr = np.full(cap, fill, np.int32)
+            for i, v in enumerate(idxs[:cap]):
+                arr[i] = v
+            return arr
+        params["_gate_starts"] = pack(self._starts, far)
+        params["_gate_stops"] = pack(self._stops, far)
+        return params
+
+    def init_state(self, ctx):
+        return jnp.zeros((), jnp.bool_)  # window open at step start?
+
+    def apply(self, state, ins, ctx):
+        x = ins["in"]
+        n = x.shape[-1]
+        idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+        far = np.int32(1 << 30)
+        starts = jnp.asarray(ctx.params.get("_gate_starts", np.full(1, far)))
+        stops = jnp.asarray(ctx.params.get("_gate_stops", np.full(1, far)))
+        # open[i] = state XOR (#starts ≤ i) − (#stops ≤ i) parity bookkeeping:
+        n_started = jnp.sum(starts[None, :] <= idx[:, None], axis=1)
+        n_stopped = jnp.sum(stops[None, :] <= idx[:, None], axis=1)
+        open_now = (state.astype(jnp.int32) + n_started - n_stopped) > 0
+        new_state = open_now[-1]
+        gate = open_now.astype(jnp.float32)
+        if jnp.issubdtype(x.dtype, jnp.complexfloating):
+            gate = gate.astype(jnp.complex64)
+        return new_state, {"out": x * gate}
+
+
 _SAFE_FNS = {name: getattr(jnp, name) for name in (
     "sin", "cos", "tan", "arcsin", "arccos", "arctan", "arctan2", "sinh",
     "cosh", "tanh", "exp", "log", "log10", "log2", "sqrt", "abs", "floor",

@@ -107,3 +107,39 @@ def test_eos_tag_index_marks_stream_end():
     gr.Scheduler(g, block_len=256).run_and_wait()
     eos = [t for t in snk.tags if t.map.get(Keys.END_OF_STREAM)]
     assert eos and eos[0].index == 700
+
+
+def test_stream_filter_gates_by_trigger_windows():
+    from gnuradio4_tpu.blocks.misc import StreamFilter
+    g = gr.Graph()
+    src = VectorSource(np.ones(1024, np.float32),
+                       tags=[Tag(100, {Keys.TRIGGER_NAME: "go"}),
+                             Tag(200, {Keys.TRIGGER_NAME: "halt"}),
+                             Tag(700, {Keys.TRIGGER_NAME: "go"}),
+                             Tag(800, {Keys.TRIGGER_NAME: "halt"})])
+    sf = StreamFilter(filter="go", filter_stop="halt")
+    snk = VectorSink()
+    g.connect_chain(src, sf, snk)
+    gr.Scheduler(g, block_len=256).run_and_wait()
+    y = snk.data()
+    np.testing.assert_allclose(y[:100], 0.0)
+    np.testing.assert_allclose(y[100:200], 1.0)
+    np.testing.assert_allclose(y[200:700], 0.0)
+    np.testing.assert_allclose(y[700:800], 1.0)
+    np.testing.assert_allclose(y[800:], 0.0)
+
+
+def test_stream_filter_window_spans_step_boundary():
+    from gnuradio4_tpu.blocks.misc import StreamFilter
+    g = gr.Graph()
+    src = VectorSource(np.ones(1024, np.float32),
+                       tags=[Tag(200, {Keys.TRIGGER_NAME: "go"}),
+                             Tag(600, {Keys.TRIGGER_NAME: "halt"})])
+    sf = StreamFilter(filter="go", filter_stop="halt")
+    snk = VectorSink()
+    g.connect_chain(src, sf, snk)
+    gr.Scheduler(g, block_len=256).run_and_wait()  # window crosses 256/512 edges
+    y = snk.data()
+    np.testing.assert_allclose(y[200:600], 1.0)
+    np.testing.assert_allclose(y[:200], 0.0)
+    np.testing.assert_allclose(y[600:], 0.0)
