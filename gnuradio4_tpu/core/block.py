@@ -141,6 +141,21 @@ class Block:
             return next(iter(in_channels.values()))
         return 0
 
+    def out_sharding(self, port: str, mesh: Any, channels: int):
+        """PartitionSpec for this output under a mesh (GSPMD constraint), or None.
+
+        Default policy: shard the channel axis over a mesh axis named 'chan'
+        when it divides evenly; 1-D streams stay replicated (time-sharding is
+        the explicit parallel/ path). Blocks may override for custom layouts.
+        """
+        if mesh is None or channels == 0:
+            return None
+        if "chan" in getattr(mesh, "axis_names", ()) and \
+                channels % mesh.shape["chan"] == 0:
+            from jax.sharding import PartitionSpec
+            return PartitionSpec("chan", None)
+        return None
+
     def out_dtype(self, port: str, in_dtypes: dict[str, Any]) -> Any:
         """Output dtype on ``port``; default: declared port dtype, else first input's."""
         for p in self.out_ports:

@@ -171,6 +171,15 @@ def compile_graph(graph: Graph, *, block_len: int = 1 << 16,
             st, outs = b.apply(states.get(uname), ins, ctx)
             new_states[uname] = st
             for pname, arr in outs.items():
+                if mesh is not None:
+                    # GSPMD: constrain multi-channel streams onto the mesh —
+                    # XLA partitions the fused program + inserts collectives
+                    spec = b.out_sharding(pname, mesh,
+                                          out_channels.get((uname, pname), 0))
+                    if spec is not None:
+                        from jax.sharding import NamedSharding
+                        arr = jax.lax.with_sharding_constraint(
+                            arr, NamedSharding(mesh, spec))
                 values[(uname, pname)] = arr
         return new_states, sink_ins
 
