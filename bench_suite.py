@@ -95,11 +95,47 @@ def config4(block_len):
     return gr.compile_graph(g, block_len=block_len, sample_rate=1e9)
 
 
+def config5_scheduler(block_len, steps):
+    """Config 5 shape through the REAL scheduler loop (tag plane, message pump,
+    pipelined delivery): 256-ch channelizer + per-channel demod + tag source.
+    Returns measured Msps of scheduler throughput."""
+    import gnuradio4_tpu as gr
+    from gnuradio4_tpu.blocks.basic import NoiseSource
+    from gnuradio4_tpu.blocks.channelizer import PFBChannelizer
+    from gnuradio4_tpu.blocks.sdr import QuadratureDemod
+    from gnuradio4_tpu.blocks.testing import NullSink
+    from gnuradio4_tpu.core.tags import Tag
+
+    g = gr.Graph()
+    src = NoiseSource(noise="complex_gaussian",
+                      n_samples=steps * block_len)
+    chan = PFBChannelizer(n_channels=256, taps_per_phase=8)
+    dem = QuadratureDemod(gain=1.0)
+    snk = NullSink()
+    g.connect_chain(g.add(src), g.add(chan), g.add(dem), g.add(snk))
+    sched = gr.Scheduler(g, block_len=block_len, sample_rate=1e9,
+                         pipeline_depth=2)
+    sched.init()
+    # warmup (jit)
+    sched._pump_once()
+    import jax
+    jax.block_until_ready(sched._states)
+    t0 = time.perf_counter()
+    n0 = sched._step
+    while sched._pump_once():
+        pass
+    sched._drain()
+    jax.block_until_ready(sched._states)
+    dt = time.perf_counter() - t0
+    done_steps = sched._step - n0
+    return done_steps * block_len / dt / 1e6
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--block-len", type=int, default=1 << 20)
     ap.add_argument("--steps", type=int, default=20)
-    ap.add_argument("--configs", default="1,2,3,4")
+    ap.add_argument("--configs", default="1,2,3,4,5")
     args = ap.parse_args()
     import jax
     platform = jax.devices()[0].platform
@@ -108,7 +144,21 @@ def main():
                 "3": ("WBFM receiver", config3),
                 "4": ("PFB channelizer 64ch", config4)}
     for key in args.configs.split(","):
-        name, builder = builders[key.strip()]
+        key = key.strip()
+        if key == "5":
+            try:
+                msps = config5_scheduler(args.block_len, args.steps)
+                print(json.dumps({"config": "5",
+                                  "name": "scheduler loop: 256ch PFB + demod + tags",
+                                  "platform": platform,
+                                  "block_len": args.block_len,
+                                  "msps": round(msps, 1)}), flush=True)
+            except Exception as e:
+                print(json.dumps({"config": "5",
+                                  "error": f"{type(e).__name__}: {e}"}),
+                      flush=True)
+            continue
+        name, builder = builders[key]
         bl = args.block_len
         if key.strip() == "3":
             bl = min(bl, 1 << 18)  # FM chain has small natural block

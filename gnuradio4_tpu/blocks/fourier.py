@@ -33,6 +33,9 @@ class FFT(Block):
     IN = (Port("in"),)
     OUT = (Port("out"),)
     fft_size = Setting(default=1024, kind="static", limits=(2, 1 << 24))
+    stride = Setting(default=0, kind="static", limits=(0, 1 << 24),
+                     description="hop between windows; 0/fft_size = back-to-back,"
+                                 " < fft_size = overlapping (≈ Stride NTTP)")
     window = Setting(default="Hann", kind="static", choices=WINDOWS + ("none",))
     output = Setting(default="magnitude", kind="static",
                      choices=("complex", "magnitude", "magnitude_db", "power"))
@@ -40,20 +43,57 @@ class FFT(Block):
     calibrate = Setting(default=True, kind="static",
                         description="scale by window coherent gain / N")
 
+    def _stride(self) -> int:
+        s = int(self.settings.get("stride"))
+        return s if s > 0 else int(self.settings.get("fft_size"))
+
+    @property
+    def ratio(self):
+        n = int(self.settings.get("fft_size"))
+        s = self._stride()
+        return Fraction(n, s)
+
     @property
     def alignment(self):
-        return int(self.settings.get("fft_size"))
+        return self._stride()
 
     def out_dtype(self, port, in_dtypes):
         return jnp.complex64 if self.settings.get("output") == "complex" else jnp.float32
 
+    def init_state(self, ctx):
+        n = int(self.settings.get("fft_size"))
+        s = self._stride()
+        if s >= n:
+            return None
+        ch = ctx.channels.get("in", 0)
+        shape = (n - s,) if ch == 0 else (ch, n - s)
+        return jnp.zeros(shape, ctx.dtype("in", jnp.float32))
+
     def apply(self, state, ins, ctx):
         x = ins["in"]
         n = int(self.settings.get("fft_size"))
+        s = self._stride()
         wname = str(self.settings.get("window"))
         win = None if wname.lower() in ("none", "") else \
             jnp.asarray(make_window(wname, n))
-        spec = chunked_fft(x, n, window=win)
+        if s >= n:
+            spec = chunked_fft(x, n, window=win)
+        else:
+            # overlapping windows: carried (n−s)-sample history + gather-free
+            # framing (the Stride<stride<chunk> overlap semantics)
+            from ..ops.fir import _frame_overlapping_general
+            squeeze = x.ndim == 1
+            x2 = x[None, :] if squeeze else x
+            st2 = state[None, :] if state is not None and squeeze else state
+            xc = jnp.concatenate([st2.astype(x2.dtype), x2], axis=-1)
+            frames = _frame_overlapping_general(xc, s, n)   # [B, k, n]
+            if win is not None:
+                frames = frames * win.astype(jnp.real(frames).dtype)
+            spec = jnp.fft.fft(frames, axis=-1)
+            state = xc[..., -(n - s):]
+            if squeeze:
+                spec = spec[0]
+                state = state[0]
         if self.settings.get("shift"):
             spec = fftshift(spec)
         scale = 1.0

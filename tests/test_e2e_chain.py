@@ -113,3 +113,31 @@ def test_rotator_frequency_shift():
     peak = np.argmax(spec)
     f_peak = np.fft.fftfreq(4096, 1 / fs)[peak]
     assert abs(f_peak - 3e3) < fs / 4096 + 1e-6
+
+
+def test_fft_overlapping_stride():
+    """Stride < fft_size ⇒ overlapping windows (Stride NTTP semantics)."""
+    fs = 1024.0
+    n = 2048
+    t = np.arange(n) / fs
+    x = np.sin(2 * np.pi * 128.0 * t).astype(np.float32)
+    g = gr.Graph()
+    src = VectorSource(x)
+    fft = FFT(fft_size=256, stride=64, window="Hann", output="magnitude",
+              calibrate=False)
+    snk = VectorSink()
+    g.connect_chain(src, fft, snk)
+    gr.Scheduler(g, block_len=512).run_and_wait()
+    out = snk.data()
+    # T/stride windows of fft_size each
+    assert out.shape == (n // 64 * 256,)
+    spectra = out.reshape(-1, 256)
+    # reference with numpy: same framing incl. zero prehistory of n-s samples
+    xc = np.concatenate([np.zeros(256 - 64, np.float32), x])
+    win = np.hanning(256 + 1)[:256]
+    from gnuradio4_tpu.ops.windows import make_window
+    w = make_window("Hann", 256, dtype=np.float64)
+    for k in [4, 10, 20]:
+        frame = xc[k * 64: k * 64 + 256] * w
+        ref = np.abs(np.fft.fft(frame))
+        np.testing.assert_allclose(spectra[k], ref, atol=1e-3)
