@@ -180,6 +180,7 @@ class VectorSink(SinkBlock):
 @register_block("NullSink")
 class NullSink(SinkBlock):
     IN = (Port("in"),)
+    WANTS_HOST_DATA = False  # count only — no device→host copy
 
     def __init__(self, name=None, **settings):
         super().__init__(name=name, **settings)
@@ -346,6 +347,7 @@ class PerformanceMonitor(SinkBlock):
     """Measures delivered samples/s at its input (≈ PerformanceMonitor.hpp)."""
 
     IN = (Port("in"),)
+    WANTS_HOST_DATA = False
 
     def __init__(self, name=None, **settings):
         super().__init__(name=name, **settings)

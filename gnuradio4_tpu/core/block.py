@@ -275,9 +275,14 @@ class SourceBlock(Block):
 class SinkBlock(Block):
     """Convenience base: no stream outputs. The runtime routes this block's *input*
     arrays (device→host) to :meth:`consume` after each step (≈ DataSink egress).
+
+    ``WANTS_HOST_DATA = False`` skips the device→host copy — consume() then
+    receives the raw device arrays (metrics-only sinks: count/shape/device
+    reductions without paying HBM→host bandwidth).
     """
 
     OUT: ClassVar[tuple[Port, ...]] = ()
+    WANTS_HOST_DATA: ClassVar[bool] = True
 
     def apply(self, state, ins, ctx):
         return state, {}

@@ -327,8 +327,11 @@ class Scheduler:
                 if not (isinstance(block, SinkBlock)
                         or getattr(block, "HOST_TAP", False)):
                     continue
-                host_arrays = {p: np.asarray(a) for p, a in ins.items()}
-                block.consume(host_arrays, rec.sink_tags.get(uname, {}),
+                if getattr(block, "WANTS_HOST_DATA", True):
+                    arrays = {p: np.asarray(a) for p, a in ins.items()}
+                else:  # metrics-only sink: keep device arrays, skip the copy
+                    arrays = dict(ins)
+                block.consume(arrays, rec.sink_tags.get(uname, {}),
                               rec.n_valid.get(uname, c.in_len[uname]),
                               rec.abs_in.get(uname, 0))
 
