@@ -48,6 +48,8 @@ class FirFilter(Block):
 
     def _taps_array(self):
         t = np.asarray(self.settings.get("taps"))
+        if t.size == 0:
+            t = np.ones(1)  # identity filter when no taps configured
         return t.astype(np.complex64 if np.iscomplexobj(t) else np.float32)
 
     def out_dtype(self, port, in_dtypes):
@@ -90,11 +92,11 @@ class FreqXlatingFir(FirFilter):
         return fs if fs > 0 else ctx_rate
 
     def _rotated_taps(self, fs: float):
-        base = np.asarray(self.settings.get("taps"), dtype=np.float64)
+        base = np.asarray(self._taps_array(), dtype=np.float64)
         return freq_xlating_taps(base, float(self.settings.get("center_freq")), fs)
 
     def init_state(self, ctx):
-        ntaps = len(self.settings.get("taps"))
+        ntaps = len(self._taps_array())
         ch = ctx.channels.get("in", 0)
         hist = fir_init_state(ch, ntaps, jnp.complex64)
         return {"hist": hist, "phase": jnp.zeros((), jnp.uint32)}

@@ -66,6 +66,16 @@ class Setting:
         obj.settings.set({self.name: value})
 
     def validate(self, value: Any) -> Any:
+        # coerce numeric strings (YAML 1.1 parses "1.0e6" as a string) when the
+        # default shows the setting is numeric
+        if isinstance(value, str) and isinstance(self.default, (int, float)) \
+                and not isinstance(self.default, bool):
+            try:
+                value = float(value)
+                if isinstance(self.default, int) and float(value).is_integer():
+                    value = int(value)
+            except ValueError:
+                pass
         if self.limits is not None:
             lo, hi = self.limits
             v = np.asarray(value, dtype=float)
