@@ -27,12 +27,24 @@ use the full 4-matmul mix).
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 from typing import Any
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# MXU accumulation precision for the FIR matmuls. On TPU, f32×f32 matmuls are
+# emulated with bf16 passes: DEFAULT=1 pass (~8-bit mantissa), HIGH=3 passes
+# (~f32), HIGHEST=6 passes (exact f32). HIGH is ~2× HIGHEST's throughput and
+# passes the framework's golden-value tolerances; override with
+# GR4TPU_FIR_PRECISION=default|high|highest.
+_PRECISION = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}[os.environ.get("GR4TPU_FIR_PRECISION", "high").lower()]
 
 
 def _as_cx(taps: jnp.ndarray) -> bool:
@@ -146,7 +158,7 @@ def _fir_matmul(xc: jnp.ndarray, taps: jnp.ndarray, decim: int) -> jnp.ndarray:
                          real_dt)
         wi = None
     dot = lambda a, w: jnp.einsum("bnj,ji->bni", a, w,
-                                  precision=jax.lax.Precision.HIGHEST,
+                                  precision=_PRECISION,
                                   preferred_element_type=real_dt)
     if cx_x or cx_t:
         xr = jnp.real(xc).astype(real_dt)

@@ -14,7 +14,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not os.environ.get("GR4TPU_TEST_TPU"):
+    # default: CPU (the axon plugin would otherwise force the TPU backend);
+    # set GR4TPU_TEST_TPU=1 to run the suite against the real chip
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
