@@ -290,7 +290,3 @@ class SinkBlock(Block):
     def consume(self, arrays: dict[str, Any], tags: dict[str, list[Tag]],
                 n_valid: int, abs_index: int) -> None:
         """Host callback with this step's input arrays (numpy) + tags."""
-
-
-def make_apply_fn(fn: Callable) -> Callable:
-    return fn

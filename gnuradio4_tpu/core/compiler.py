@@ -95,24 +95,16 @@ def compile_graph(graph: Graph, *, block_len: int = 1 << 16,
     for e in flat.edges:
         in_edges[e.dst.unique_name].append(e)
 
-    edge_by_out: dict[tuple[str, str], list[Edge]] = {}
-    for e in flat.edges:
-        edge_by_out.setdefault((e.src.unique_name, e.src_port), []).append(e)
-
     block_ctx: dict[str, BlockCtx] = {}
     out_channels: dict[tuple[str, str], int] = {}
     out_dtypes: dict[tuple[str, str], Any] = {}
-    rate_in: dict[str, float] = {}
 
     for b in order:
         ins = in_edges[b.unique_name]
         in_ch = {e.dst_port: out_channels[(e.src.unique_name, e.src_port)] for e in ins}
         in_dt = {e.dst_port: out_dtypes[(e.src.unique_name, e.src_port)] for e in ins}
-        rate_in[b.unique_name] = (max((e.sample_rate / float(e.src.ratio) * 1.0)
-                                      for e in ins) if ins else sample_rate)
-        # more precise: input rate is the producing edge's resolved rate
-        if ins:
-            rate_in[b.unique_name] = max(e.sample_rate for e in ins)
+        # input-side sample rate = the producing edges' resolved rate
+        rate_b = max((e.sample_rate for e in ins), default=sample_rate)
         ch_map: dict[str, int] = dict(in_ch)
         for p in b.out_ports:
             ch = b.out_channels(p.name, in_ch)
@@ -128,7 +120,7 @@ def compile_graph(graph: Graph, *, block_len: int = 1 << 16,
         block_ctx[b.unique_name] = BlockCtx(
             in_len={p.name: n_in for p in b.in_ports},
             out_len={p.name: n_out for p in b.out_ports},
-            sample_rate=rate_in[b.unique_name],
+            sample_rate=rate_b,
             params={},  # filled per-trace
             channels=ch_map,
             dtypes=dt_map,

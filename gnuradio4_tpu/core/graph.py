@@ -38,6 +38,7 @@ class Edge:
     name: str = ""
     min_buffer_size: int = 0
     weight: int = 0
+    domain: Any = None  # ComputeDomain annotation (≈ per-edge domain, BlockModel.hpp:94)
     # resolved by the compiler:
     samples_per_step: int = 0
     channels: int = 0
@@ -86,16 +87,22 @@ class Graph(Block):
 
     def connect(self, src: Block | PortRef, dst: Block | PortRef,
                 *, src_port: str | None = None, dst_port: str | None = None,
-                name: str = "", min_buffer_size: int = 0, weight: int = 0) -> Edge:
+                name: str = "", min_buffer_size: int = 0, weight: int = 0,
+                domain: Any = None) -> Edge:
         """Connect an output port to an input port. Accepts ``blk["port"]`` refs,
-        bare blocks (single-port inference), or string port names."""
+        bare blocks (single-port inference), or string port names. ``domain``
+        annotates device placement (ComputeDomain or "kind:backend:idx")."""
         sref = self._resolve(src, src_port, output=True)
         dref = self._resolve(dst, dst_port, output=False)
         for b in (sref.block, dref.block):
             self.add(b)
         self._check_ports(sref, dref)
+        if isinstance(domain, str):
+            from .compute_domain import ComputeDomain
+            domain = ComputeDomain.parse(domain)
         edge = Edge(sref.block, sref.port, dref.block, dref.port,
-                    name=name, min_buffer_size=min_buffer_size, weight=weight)
+                    name=name, min_buffer_size=min_buffer_size, weight=weight,
+                    domain=domain)
         # single-writer per input port (ring semantics): reject double connection
         for e in self.edges:
             if e.dst is dref.block and e.dst_port == dref.port:
