@@ -165,15 +165,21 @@ class LoopbackDevice(SdrDevice):
         if self.total_samples:
             n = min(n, self.total_samples - self._pos)
         t = (self._pos + np.arange(n)) / self.sample_rate
-        out = np.zeros(n, np.complex128)
-        for f, a in zip(self.tone_freqs, self.tone_amps):
-            out += a * np.exp(2j * np.pi * (f - self.center_frequency) * t)
+        nch = max(1, getattr(self, "channels", 1))
+        out = np.zeros((nch, n), np.complex128)
+        for c in range(nch):
+            # per-RX-channel phase offset models antenna spacing (MIMO-ish)
+            for f, a in zip(self.tone_freqs, self.tone_amps):
+                out[c] += a * np.exp(2j * np.pi * (
+                    (f - self.center_frequency) * t + 0.1 * c))
         if self.noise_std:
             out += self.noise_std / np.sqrt(2) * (
-                self._rng.standard_normal(n) + 1j * self._rng.standard_normal(n))
+                self._rng.standard_normal(out.shape)
+                + 1j * self._rng.standard_normal(out.shape))
         out *= 10.0 ** (self.gain / 20.0)
         self._pos += n
-        return out.astype(np.complex64), {}
+        out = out.astype(np.complex64)
+        return (out[0] if nch == 1 else out), {}
 
     def write_stream(self, samples):
         self.tx_record.append(np.array(samples, copy=True))
@@ -201,11 +207,17 @@ class SdrSource(Block):
     center_frequency = Setting(default=100e6, unit="Hz", kind="static")
     gain = Setting(default=0.0, unit="dB", kind="static")
     antenna = Setting(default="RX", kind="static")
+    channels = Setting(default=1, kind="static", limits=(1, 16),
+                       description="RX channels (1/2/4 ≈ Soapy variants)")
 
     def __init__(self, name=None, device: SdrDevice | None = None, **settings):
         super().__init__(name=name, **settings)
         self._dev = device
         self._started = False
+
+    def out_channels(self, port, in_channels):
+        c = int(self.settings.get("channels"))
+        return 0 if c <= 1 else c
 
     def start(self):
         if self._dev is None:
@@ -214,7 +226,8 @@ class SdrSource(Block):
             sample_rate=float(self.settings.get("sample_rate")),
             center_frequency=float(self.settings.get("center_frequency")),
             gain=float(self.settings.get("gain")),
-            antenna=str(self.settings.get("antenna")))
+            antenna=str(self.settings.get("antenna")),
+            channels=int(self.settings.get("channels")))
         self._dev.activate()
         self._started = True
 

@@ -199,3 +199,20 @@ class TestImChart:
         gr.Scheduler(g, block_len=512).run_and_wait()
         assert mon._renders >= 2
         assert len(mon.last_render.split("\n")) > 5
+
+
+class TestSdrMultiChannel:
+    def test_two_channel_rx(self):
+        fs = 1e6
+        dev = LoopbackDevice(tone_freqs=[100.05e6], total_samples=16384)
+        g = gr.Graph()
+        src = SdrSource(device=dev, sample_rate=fs, center_frequency=100e6,
+                        channels=2)
+        snk = VectorSink()
+        g.connect(src, snk)
+        gr.Scheduler(g, block_len=8192, sample_rate=fs).run_and_wait()
+        iq = snk.data()
+        assert iq.shape == (2, 16384)
+        # both channels carry the tone; channel 1 has the 0.1-rad phase offset
+        ratio = iq[1, 100:200] / iq[0, 100:200]
+        np.testing.assert_allclose(np.angle(ratio), 2 * np.pi * 0.1, atol=1e-3)
