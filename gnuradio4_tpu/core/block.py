@@ -190,6 +190,25 @@ class Block:
     def on_settings_applied(self, result: ApplyResult) -> None:
         """Hook after staged settings were applied (host, between steps)."""
 
+    # -- block-to-block message ports (≈ MsgPortIn/MsgPortOut, Port.hpp) -------
+    def post_message(self, data: dict[str, Any]) -> None:
+        """Queue a property map on this block's message output; the scheduler
+        routes it over message edges at the next step boundary."""
+        if not hasattr(self, "_msg_outbox"):
+            self._msg_outbox = []
+        self._msg_outbox.append(dict(data))
+
+    def handle_message(self, data: dict[str, Any], *, from_block: "Block") -> None:
+        """Receive a property map from an upstream message edge. Default: stage
+        matching settings (the reference's property-message → settings path)."""
+        self.settings.set({k: v for k, v in data.items()
+                           if k in self.settings.spec})
+
+    def drain_messages(self) -> list[dict[str, Any]]:
+        out = getattr(self, "_msg_outbox", [])
+        self._msg_outbox = []
+        return out
+
     def prepare_params(self, params: dict[str, Any]) -> dict[str, Any]:
         """Host hook: derive extra dynamic params from applied settings (runs each
         step on the host, cheap). E.g. an NCO derives its integer phase increment in

@@ -62,6 +62,7 @@ class Graph(Block):
         super().__init__(name=name)
         self.blocks: list[Block] = []
         self.edges: list[Edge] = []
+        self.message_edges: list[tuple[Block, Block]] = []
         self.registry = registry or global_registry
         # exported ports for subgraph use: public name -> (inner block, inner port)
         self._exports_in: dict[str, tuple[Block, str]] = {}
@@ -115,6 +116,14 @@ class Graph(Block):
         """Convenience: connect b0→b1→…→bn via their sole stream ports."""
         return [self.connect(a, b) for a, b in zip(blocks, blocks[1:])]
 
+    def connect_message(self, src: Block, dst: Block) -> None:
+        """Async message edge (≈ MsgPortIn/Out): property maps posted by ``src``
+        (Block.post_message) are delivered to ``dst.handle_message`` at step
+        boundaries — no stream-rate coupling."""
+        self.add(src)
+        self.add(dst)
+        self.message_edges.append((src, dst))
+
     def _resolve(self, obj: Block | PortRef, port: str | None, *, output: bool) -> PortRef:
         if isinstance(obj, PortRef):
             if obj.is_output != output:
@@ -163,6 +172,7 @@ class Graph(Block):
                 for ib in inner.blocks:
                     flat.add(ib)
                 flat.edges.extend(inner.edges)
+                flat.message_edges.extend(inner.message_edges)
                 for pub, (blk, prt) in inner._exports_in.items():
                     remap[(b.unique_name, pub, False)] = (blk, prt)
                 for pub, (blk, prt) in inner._exports_out.items():
@@ -174,6 +184,7 @@ class Graph(Block):
             d = remap.get((e.dst.unique_name, e.dst_port, False), (e.dst, e.dst_port))
             flat.edges.append(dataclasses.replace(e, src=s[0], src_port=s[1],
                                                   dst=d[0], dst_port=d[1]))
+        flat.message_edges.extend(self.message_edges)
         return flat
 
     def adjacency(self) -> dict[Block, list[Edge]]:

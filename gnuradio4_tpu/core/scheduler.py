@@ -206,6 +206,12 @@ class Scheduler:
         self._process_messages()
         if self.fsm.state in (State.REQUESTED_STOP, State.ERROR):
             return False
+        # block-to-block message edges (≈ MsgPortIn/Out): deliver posted
+        # property maps before settings staging so they apply this step
+        if self.compiled is not None:
+            for src, dst in self.compiled.graph.message_edges:
+                for m in src.drain_messages():
+                    dst.handle_message(m, from_block=src)
         self._apply_staged_settings()
         if self._dirty:
             with self.profiler.duration("scheduler.compile"):

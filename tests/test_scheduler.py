@@ -192,3 +192,41 @@ def test_dynamic_setting_change_no_recompile():
     out = snk.data()
     np.testing.assert_allclose(out[:1024], np.arange(1024))
     np.testing.assert_allclose(out[1024:], 10.0 * np.arange(1024, 2048))
+
+
+def test_block_message_edges_drive_settings():
+    """Async message port: a source block posts property maps that stage the
+    downstream block's settings (≈ GR4 property messages over MsgPorts)."""
+    from gnuradio4_tpu.core.block import Block, Port
+    from gnuradio4_tpu.core.settings import Setting
+
+    class Commander(Block):
+        """Posts a gain change once it has seen 512 samples."""
+        IN = (Port("in"),)
+        OUT = (Port("out"),)
+
+        def __init__(self, name=None, **s):
+            super().__init__(name=name, **s)
+            self._seen = 0
+
+        def apply(self, state, ins, ctx):
+            return state, {"out": ins["in"]}
+
+        def emit_tags(self, ctx):  # host hook runs every step
+            self._seen += next(iter(ctx.in_len.values()), 0)
+            if self._seen == 1024:
+                self.post_message({"value": 7.0})
+            return []
+
+    g = gr.Graph()
+    src = CountingSource(n_samples=4096)
+    cmd = Commander()
+    mul = MultiplyConst(value=1.0, name="vga")
+    snk = VectorSink()
+    g.connect_chain(src, cmd, mul, snk)
+    g.connect_message(cmd, mul)
+    gr.Scheduler(g, block_len=512, pipeline_depth=1).run_and_wait()
+    out = snk.data()
+    np.testing.assert_allclose(out[:1024], np.arange(1024))
+    # gain applies at the step boundary after the message
+    np.testing.assert_allclose(out[1536:], 7.0 * np.arange(1536, 4096))
