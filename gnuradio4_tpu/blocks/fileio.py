@@ -46,6 +46,11 @@ class FileSource(SourceBlock):
     FEED = True
     path = Setting(default="", kind="static")
     dtype = Setting(default="float32", kind="static")
+    wire_format = Setting(default="", kind="static",
+                          choices=("", "i16", "u8", "i16iq", "u8iq"),
+                          description="on-disk format converted on the IO thread "
+                                      "(native SIMD): i16/u8 → float32, "
+                                      "i16iq/u8iq → complex64")
     repeat = Setting(default=False, kind="static")
     offset_items = Setting(default=0, kind="static")
     n_items = Setting(default=0, kind="static", description="0 = whole file")
@@ -56,16 +61,41 @@ class FileSource(SourceBlock):
         self._reader = -1
         self._served = 0
 
+    _WIRE = {"i16": (np.dtype(np.int16), 1, "float32"),
+             "u8": (np.dtype(np.uint8), 1, "float32"),
+             "i16iq": (np.dtype(np.int16), 2, "complex64"),
+             "u8iq": (np.dtype(np.uint8), 2, "complex64")}
+
     def out_dtype(self, port, in_dtypes):
+        wf = str(self.settings.get("wire_format"))
+        if wf:
+            return self._WIRE[wf][2]
         return self.settings.get("dtype")
+
+    def _converter(self):
+        wf = str(self.settings.get("wire_format"))
+        if not wf:
+            return None
+        from ..native import convert as cv
+        return {"i16": cv.i16_to_f32, "u8": cv.u8_to_f32,
+                "i16iq": cv.i16iq_to_c64, "u8iq": cv.u8iq_to_c64}[wf]
 
     def start(self):
         path = str(self.settings.get("path"))
         if not Path(path).is_file():
             raise GrError(f"{self.name}: no such file {path!r}")
-        dt = np.dtype(canonical_dtype(self.settings.get("dtype")))
-        src = _chunks_from_file(path, dt, 1 << 16,
-                                bool(self.settings.get("repeat")))
+        wf = str(self.settings.get("wire_format"))
+        if wf:
+            raw_dt, per_item, _ = self._WIRE[wf]
+            conv = self._converter()
+            raw_src = _chunks_from_file(path, raw_dt, (1 << 16) * per_item,
+                                        bool(self.settings.get("repeat")))
+            src = (conv(chunk) for chunk in raw_src)
+            dt = np.dtype(canonical_dtype(self._WIRE[wf][2]))
+        else:
+            dt = np.dtype(canonical_dtype(self.settings.get("dtype")))
+            src = _chunks_from_file(path, dt, 1 << 16,
+                                    bool(self.settings.get("repeat")))
         off = int(self.settings.get("offset_items"))
         limit = int(self.settings.get("n_items"))
 

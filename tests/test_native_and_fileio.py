@@ -188,3 +188,49 @@ class TestFileIo:
         assert out.shape == (2, 1000)
         np.testing.assert_allclose(out[0], 1000 / 32768, atol=1e-4)
         np.testing.assert_allclose(out[1], -2000 / 32768, atol=1e-4)
+
+
+class TestNativeConvert:
+    def test_native_builds_and_available(self):
+        from gnuradio4_tpu.native import convert as cv
+        assert cv.build_native()
+        assert cv.native_available()
+
+    def test_i16_roundtrip(self, rng):
+        from gnuradio4_tpu.native import convert as cv
+        x = np.clip(rng.standard_normal(4096) * 0.3, -0.99, 0.99
+                    ).astype(np.float32)
+        i = cv.f32_to_i16(x)
+        back = cv.i16_to_f32(i, scale=1.0 / 32767.0)
+        np.testing.assert_allclose(back, x, atol=1.0 / 32767)
+
+    def test_u8iq(self):
+        from gnuradio4_tpu.native import convert as cv
+        raw = np.array([127, 127, 255, 0, 0, 255], np.uint8)  # ~0, +1-1j, -1+1j
+        c = cv.u8iq_to_c64(raw)
+        np.testing.assert_allclose(c[1], 1.0 - 1.0j, atol=0.01)
+        np.testing.assert_allclose(c[2], -1.0 + 1.0j, atol=0.01)
+
+    def test_matches_numpy_reference(self, rng):
+        from gnuradio4_tpu.native import convert as cv
+        raw = rng.integers(-32768, 32767, 999, dtype=np.int16)
+        np.testing.assert_allclose(cv.i16_to_f32(raw),
+                                   raw.astype(np.float32) / 32768.0,
+                                   rtol=1e-6)
+
+    def test_file_source_wire_format(self, tmp_path, rng):
+        """i16 IQ file → complex64 stream via the native converter."""
+        iq = (rng.standard_normal(2000) * 8000).astype(np.int16)
+        p = tmp_path / "capture.i16iq"
+        p.write_bytes(iq.tobytes())
+        g = gr.Graph()
+        src = FileSource(path=str(p), wire_format="i16iq")
+        snk = VectorSink()
+        g.connect(src, snk)
+        gr.Scheduler(g, block_len=256).run_and_wait()
+        out = snk.data()
+        assert out.dtype == np.complex64
+        assert out.shape == (1000,)
+        ref = iq.astype(np.float32) / 32768.0
+        np.testing.assert_allclose(out.real, ref[0::2], atol=1e-6)
+        np.testing.assert_allclose(out.imag, ref[1::2], atol=1e-6)
