@@ -57,16 +57,28 @@ class CompiledGraph:
         return {b.unique_name: b.prepare_params(b.settings.dynamic_params())
                 for b in self.order}
 
+    _zero_feeds_cache: Any = None
+
     def zero_feeds(self) -> dict[str, dict[str, np.ndarray]]:
-        feeds: dict[str, dict[str, np.ndarray]] = {}
-        for b in self.fed_blocks:
-            ctx = self.block_ctx[b.unique_name]
-            feeds[b.unique_name] = {
-                p.name: np.zeros(_shape(ctx.channels.get(p.name, 0),
-                                        ctx.out_len[p.name]),
-                                 dtype=_feed_dtype(b, p.name))
-                for p in b.out_ports}
-        return feeds
+        if self._zero_feeds_cache is None:
+            feeds: dict[str, dict[str, np.ndarray]] = {}
+            for b in self.fed_blocks:
+                ctx = self.block_ctx[b.unique_name]
+                feeds[b.unique_name] = {
+                    p.name: np.zeros(_shape(ctx.channels.get(p.name, 0),
+                                            ctx.out_len[p.name]),
+                                     dtype=_feed_dtype(b, p.name))
+                    for p in b.out_ports}
+            self._zero_feeds_cache = feeds
+        return self._zero_feeds_cache
+
+    def in_edges_by_dst(self) -> dict[str, list]:
+        if not hasattr(self, "_in_edges_cache") or self._in_edges_cache is None:
+            m: dict[str, list] = {b.unique_name: [] for b in self.order}
+            for e in self.graph.edges:
+                m[e.dst.unique_name].append(e)
+            self._in_edges_cache = m
+        return self._in_edges_cache
 
     def step(self, states, params, feeds):
         return self.step_fn(states, params, feeds)

@@ -258,9 +258,7 @@ class Scheduler:
                     n_valid[uname] = c.out_len[uname]
 
         # 2. propagate valid counts through the DAG (host-side bookkeeping)
-        in_edges: dict[str, list] = {b.unique_name: [] for b in c.order}
-        for e in c.graph.edges:
-            in_edges[e.dst.unique_name].append(e)
+        in_edges = c.in_edges_by_dst()
         graph_done = False
         for b in c.order:
             uname = b.unique_name
@@ -346,9 +344,7 @@ class Scheduler:
         c = self.compiled
         edge_tags: dict[tuple[str, str], list[Tag]] = {}
         sink_tags: dict[str, dict[str, list[Tag]]] = {}
-        in_edges: dict[str, list] = {b.unique_name: [] for b in c.order}
-        for e in c.graph.edges:
-            in_edges[e.dst.unique_name].append(e)
+        in_edges = c.in_edges_by_dst()
         for b in c.order:
             uname = b.unique_name
             hc = HostCtx(step=self._step,
