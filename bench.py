@@ -51,19 +51,7 @@ def build_step(block_len: int):
     return compiled
 
 
-def _enable_compile_cache():
-    """Persistent XLA compilation cache: repeat bench runs skip the (minutes-
-    long) remote compile on the TPU tunnel."""
-    try:
-        import jax
-        jax.config.update("jax_compilation_cache_dir", "/tmp/gr4tpu_jit_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-
-
 def main() -> None:
-    _enable_compile_cache()
     import jax
     import jax.numpy as jnp
     block_len = 1 << 20

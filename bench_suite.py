@@ -131,19 +131,7 @@ def config5_scheduler(block_len, steps):
     return done_steps * block_len / dt / 1e6
 
 
-def _enable_compile_cache():
-    """Persistent XLA compilation cache: repeat bench runs skip the (minutes-
-    long) remote compile on the TPU tunnel."""
-    try:
-        import jax
-        jax.config.update("jax_compilation_cache_dir", "/tmp/gr4tpu_jit_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-
-
 def main():
-    _enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--block-len", type=int, default=1 << 20)
     ap.add_argument("--steps", type=int, default=20)
