@@ -172,7 +172,14 @@ def compile_graph(graph: Graph, *, block_len: int = 1 << 16,
                 ins = {**feeds.get(uname, {}), **ins}
             if uname in sink_names:
                 sink_ins[uname] = ins
-            st, outs = b.apply(states.get(uname), ins, ctx)
+            try:
+                st, outs = b.apply(states.get(uname), ins, ctx)
+            except Exception as e:
+                if isinstance(e, GrError):
+                    raise
+                raise GrError(f"{b.name} ({type(b).__name__}).apply failed "
+                              f"during trace: {type(e).__name__}: {e}",
+                              block=b.name) from e
             new_states[uname] = st
             for pname, arr in outs.items():
                 if mesh is not None:

@@ -471,6 +471,10 @@ class Scheduler:
             self.bus.reply(msg, _inspect_block(block))
         elif ep == Property.LIFECYCLE_STATE:
             self.bus.reply(msg, {"state": self.fsm.state.value})
+        elif cmd in (Command.Subscribe, Command.Unsubscribe):
+            # notifications for applied settings already flow to the outbox;
+            # acknowledge the (un)subscription (clients filter via bus.subscribe)
+            self.bus.reply(msg, {"endpoint": ep}, command=Command.Ready)
         else:
             self.bus.reply(msg, Error.here(f"unknown endpoint {ep!r}"))
 

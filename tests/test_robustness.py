@@ -115,3 +115,22 @@ class TestQuiescence:
         sched._drain()
         # all dispatched steps delivered despite pipeline depth
         assert snk.data().shape == (6 * 128,)
+
+
+def test_trace_error_names_the_block():
+    from gnuradio4_tpu.core.block import Block, Port
+
+    class Broken(Block):
+        IN = (Port("in"),)
+        OUT = (Port("out"),)
+
+        def apply(self, state, ins, ctx):
+            return state, {"out": ins["in"].reshape(13, 17)}  # bad reshape
+
+    g = gr.Graph()
+    src = g.add(CountingSource(n_samples=100))
+    bad = g.add(Broken(name="oops"))
+    snk = g.add(NullSink())
+    g.connect_chain(src, bad, snk)
+    with pytest.raises(gr.GrError, match="oops"):
+        gr.Scheduler(g, block_len=64).init()
