@@ -34,7 +34,7 @@ class TestErrorHandling:
         snk = g.add(NullSink())
         g.connect_chain(src, bad, snk)
         sched = gr.Scheduler(g, block_len=256)
-        with pytest.raises(RuntimeError, match="boom"):
+        with pytest.raises(gr.GrError, match="boom"):
             sched.run_and_wait()
         assert sched.state is gr.State.ERROR
         assert sched.error is not None
@@ -46,7 +46,7 @@ class TestErrorHandling:
         snk = g.add(VectorSink())
         g.connect_chain(src, bad, snk)
         sched = gr.Scheduler(g, block_len=256)
-        with pytest.raises(RuntimeError):
+        with pytest.raises(gr.GrError):
             sched.run_and_wait()
         # fix the block, reset, rerun
         bad.settings.set({"explode": False})
@@ -132,5 +132,6 @@ def test_trace_error_names_the_block():
     bad = g.add(Broken(name="oops"))
     snk = g.add(NullSink())
     g.connect_chain(src, bad, snk)
+    sched = gr.Scheduler(g, block_len=64)
     with pytest.raises(gr.GrError, match="oops"):
-        gr.Scheduler(g, block_len=64).init()
+        sched.run_and_wait(n_steps=1)  # the trace happens at the first step
