@@ -8,7 +8,7 @@ import sys
 
 import numpy as np
 
-from ..core.block import Port, SinkBlock
+from ..core.block import Port, SinkBlock, UICategory
 from ..core.registry import register_block
 from ..core.settings import Setting
 from ..utils.history import HistoryBuffer
@@ -18,6 +18,7 @@ from ..utils.imchart import ImChart
 @register_block("ImChartMonitor")
 class ImChartMonitor(SinkBlock):
     IN = (Port("in"),)
+    UI_CATEGORY = UICategory.CONTENT
     window = Setting(default=2048, kind="static", limits=(16, 1 << 22))
     refresh_every = Setting(default=8, kind="static", limits=(1, 1 << 20))
     width = Setting(default=78, kind="static")
@@ -54,3 +55,13 @@ class ImChartMonitor(SinkBlock):
             print("\x1b[2J\x1b[H" + self.last_render, file=sys.stderr)
         elif dest == "stdout":
             print(self.last_render)
+
+    def draw(self, config=None):
+        """Drawable protocol: render the current history on demand."""
+        chart = ImChart(int(self.settings.get("width")),
+                        int(self.settings.get("height")))
+        chart.plot(self._hist.view(), label=self.name)
+        self.last_render = chart.render(
+            color=bool((config or {}).get("color",
+                                          self.settings.get("color"))))
+        return self.last_render

@@ -210,3 +210,24 @@ class TestSchedulerRegistry:
         names = global_scheduler_registry.known_schedulers()
         for n in ("Simple", "BreadthFirst", "DepthFirst"):
             assert n in names
+
+
+class TestDrawable:
+    def test_drawable_protocol(self):
+        import numpy as np
+        import gnuradio4_tpu as gr
+        from gnuradio4_tpu.core.block import UICategory
+        from gnuradio4_tpu.blocks.monitor import ImChartMonitor
+        from gnuradio4_tpu.blocks.testing import VectorSource
+        mon = ImChartMonitor(stream="none")
+        assert mon.is_drawable and mon.UI_CATEGORY is UICategory.CONTENT
+        g = gr.Graph()
+        g.connect(VectorSource(np.sin(np.linspace(0, 10, 2048)
+                                      ).astype(np.float32)), mon)
+        gr.Scheduler(g, block_len=512).run_and_wait()
+        art = mon.draw({"color": False})
+        assert art and len(art.split("\n")) > 5
+        # non-drawable blocks politely decline
+        from gnuradio4_tpu.blocks.math import MultiplyConst
+        assert not MultiplyConst().is_drawable
+        assert MultiplyConst().draw() is None
