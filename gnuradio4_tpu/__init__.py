@@ -14,7 +14,9 @@ C++23 reference at /root/reference), rebuilt idiomatically on JAX/XLA/Pallas:
 - multi-chip scaling uses jax.sharding Mesh + shard_map collectives (parallel/).
 """
 
-from .core.block import Block, BlockCtx, HostCtx, Port, PortRef, SinkBlock, SourceBlock
+from .core.block import (Block, BlockCtx, HostCtx, Port, PortRef, SinkBlock,
+                         SourceBlock, UICategory)
+from .core.compute_domain import ComputeDomain, DomainKind
 from .core.compiler import CompiledGraph, compile_graph
 from .core.errors import Error, GrError
 from .core.graph import Edge, Graph
