@@ -39,9 +39,9 @@ def check(name: str, scalar, expect=1.0, tol=1e-3) -> bool:
         v = _fetch_scalar(scalar)
         ok = abs(v - expect) < tol
     except Exception as e:
-        print(f"  {name:42s} READBACK-FAIL {e}")
+        print(f"  {name:42s} READBACK-FAIL {e}", flush=True)
         return False
-    print(f"  {name:42s} {'PASS' if ok else 'FAIL'} ({v:.6g})")
+    print(f"  {name:42s} {'PASS' if ok else 'FAIL'} ({v:.6g})", flush=True)
     return ok
 
 
@@ -55,7 +55,7 @@ def main() -> int:
                                                pfb_init_state)
     from gnuradio4_tpu.ops.iir import sos_parallel_apply, sos_parallel_init_state
 
-    print(f"platform: {jax.devices()[0].platform} ({jax.devices()[0]})")
+    print(f"platform: {jax.devices()[0].platform}", flush=True)
     ok = True
 
     # 1. FIR matmul framing vs direct dot product on-device
@@ -140,7 +140,7 @@ def main() -> int:
     ok &= check("sharded RX step runs (power > 0)",
                 (power > 0).astype(jnp.float32))
 
-    print("ALL PASS" if ok else "FAILURES PRESENT")
+    print("ALL PASS" if ok else "FAILURES PRESENT", flush=True)
     return 0 if ok else 1
 
 
