@@ -69,8 +69,7 @@ class FirFilter(Block):
 
     def apply(self, state, ins, ctx):
         x = ins["in"]
-        taps = jnp.asarray(self._taps_array())
-        y, new_state = fir_apply(x, taps, state,
+        y, new_state = fir_apply(x, self._taps_array(), state,
                                  decim=int(self.settings.get("decim")))
         return new_state, {"out": y}
 
@@ -105,9 +104,9 @@ class FreqXlatingFir(FirFilter):
         from ..ops.signal import nco_phases, phase_to_frac, complex_exp, phase_increment
         x = ins["in"].astype(jnp.complex64)
         fs = self._fs(ctx.sample_rate)
-        taps = jnp.asarray(self._rotated_taps(fs))
         decim = int(self.settings.get("decim"))
-        y, hist = fir_apply(x, taps, state["hist"].astype(jnp.complex64), decim=decim)
+        y, hist = fir_apply(x, self._rotated_taps(fs),
+                            state["hist"].astype(jnp.complex64), decim=decim)
         # de-rotate at the decimated rate: multiply by e^{-j2πfc/fs·decim·m}
         n_out = y.shape[-1]
         dphi = phase_increment(-float(self.settings.get("center_freq")) * decim, fs)

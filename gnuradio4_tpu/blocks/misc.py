@@ -243,7 +243,7 @@ class SavitzkyGolayFilter(Block):
         return fir_init_state(ch, int(self.settings.get("window")), jnp.float32)
 
     def apply(self, state, ins, ctx):
-        y, st = fir_apply(ins["in"], jnp.asarray(self._taps()), state)
+        y, st = fir_apply(ins["in"], self._taps(), state)
         return st, {"out": y}
 
 

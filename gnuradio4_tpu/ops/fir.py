@@ -137,14 +137,15 @@ def _next_pow2(v: int) -> int:
     return p
 
 
-def _fir_matmul(xc: jnp.ndarray, taps: jnp.ndarray, decim: int) -> jnp.ndarray:
-    """MXU path: frames [B, n, L+K−1] @ W [L+K−1, L/decim] → [B, n·L/decim]."""
+def _fir_matmul(xc: jnp.ndarray, taps_np: np.ndarray, decim: int) -> jnp.ndarray:
+    """MXU path: frames [B, n, L+K−1] @ W [L+K−1, L/decim] → [B, n·L/decim].
+
+    ``taps_np`` must be host NumPy — the Toeplitz weights are built on the host
+    and enter the trace as constants (never a device round-trip)."""
     b, tc = xc.shape
-    k = taps.shape[-1]
+    k = taps_np.shape[-1]
     t = tc - (k - 1)
     tile = _choose_tile(t, k, decim)
-    taps_np = np.asarray(jax.device_get(taps)) if isinstance(taps, jnp.ndarray) \
-        else np.asarray(taps)
     cx_t = np.iscomplexobj(taps_np)
     cx_x = jnp.issubdtype(xc.dtype, jnp.complexfloating)
     real_dt = jnp.float32
@@ -234,6 +235,13 @@ def fir_apply(x: jnp.ndarray, taps: jnp.ndarray, state: jnp.ndarray,
     to the first input sample) and new_state = last K-1 inputs.
     """
     ntaps = taps.shape[-1]
+    # Host-side taps (NumPy) are strongly preferred: the matmul path builds its
+    # Toeplitz weights on the host. A concrete device array would need a D2H
+    # round-trip (fragile over remote-device transports) — route it to fft/conv.
+    is_tracer = isinstance(taps, jax.core.Tracer)
+    taps_np = None
+    if not is_tracer and not isinstance(taps, jax.Array):
+        taps_np = np.asarray(taps)
     squeeze = x.ndim == 1
     x2 = x[None, :] if squeeze else x
     st2 = state[None, :] if squeeze else state
@@ -243,14 +251,16 @@ def fir_apply(x: jnp.ndarray, taps: jnp.ndarray, state: jnp.ndarray,
     xc = jnp.concatenate([st2.astype(x2.dtype), x2], axis=-1)
     if method == "auto":
         on_tpu = jax.default_backend() == "tpu"
-        if isinstance(taps, jax.core.Tracer):
-            method = "fft" if on_tpu else "conv"  # matmul needs concrete taps
+        if taps_np is None:
+            method = "fft" if on_tpu else "conv"  # matmul needs host taps
         elif on_tpu:
             method = "matmul" if ntaps <= 512 else "fft"
         else:
             method = "conv"
     if method == "matmul" and ntaps > 1:
-        y = _fir_matmul(xc, taps, decim)
+        if taps_np is None:
+            taps_np = np.asarray(jax.device_get(taps))  # explicit opt-in only
+        y = _fir_matmul(xc, taps_np, decim)
     elif method == "fft" and ntaps > 1:
         y = _fir_fft(xc, taps, decim)
     else:
@@ -272,9 +282,13 @@ def fir_interpolate(x: jnp.ndarray, taps: jnp.ndarray, state: jnp.ndarray,
     outputs interleave. One conv call with ``interp`` output features, then a
     reshape-interleave — all static shapes.
     """
-    ntaps = taps.shape[-1]
+    # keep the polyphase decomposition on the HOST so each phase reaches
+    # fir_apply as NumPy (the MXU path builds Toeplitz weights host-side)
+    taps_h = taps if isinstance(taps, np.ndarray) else \
+        np.asarray(jax.device_get(taps))
+    ntaps = taps_h.shape[-1]
     pad = (-ntaps) % interp
-    tp = jnp.pad(taps, (0, pad))
+    tp = np.pad(taps_h, (0, pad))
     phases = tp.reshape(-1, interp).T          # [interp, K/interp] phase p taps
     k_per_phase = phases.shape[1]
     squeeze = x.ndim == 1

@@ -57,10 +57,8 @@ class RationalResamplerKernel:
     def apply(self, x: jnp.ndarray, state: jnp.ndarray
               ) -> tuple[jnp.ndarray, jnp.ndarray]:
         L, M = self.interp, self.decim
-        taps = jnp.asarray(self.taps, dtype=(jnp.complex64 if
-                                             jnp.issubdtype(x.dtype,
-                                                            jnp.complexfloating)
-                                             else x.dtype))
+        cx = jnp.issubdtype(x.dtype, jnp.complexfloating)
+        taps = self.taps.astype(np.complex64 if cx else np.float32)
         if L == 1:
             return fir_apply(x, taps, state, decim=M)
         y_up, new_state = fir_interpolate(x, taps, state, L)

@@ -76,10 +76,11 @@ def build_sharded_rx(mesh: Mesh, cfg: ShardedRxConfig):
 
     proto = design_pfb_taps(m, p_).astype(np.float32)
     hp = jnp.asarray(proto.reshape(p_, m))
-    fs_ch = 1.0  # normalized; audio LP at 0.4·channel-rate/decim
-    audio_taps = jnp.asarray(fd.design_fir(
+    # audio LP at 0.4·channel-rate/decim; kept as NumPy so fir_apply's MXU
+    # path builds its weights host-side (no device round-trip in trace)
+    audio_taps = fd.design_fir(
         "lowpass", cfg.audio_ntaps, sample_rate=1.0,
-        f_low=0.4 / cfg.audio_decim, window="Hamming").astype(np.float32))
+        f_low=0.4 / cfg.audio_decim, window="Hamming").astype(np.float32)
 
     def shard_step(state, x_local):
         b_l, t_l = x_local.shape
