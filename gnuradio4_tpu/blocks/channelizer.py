@@ -56,7 +56,7 @@ class PFBChannelizer(Block):
 
     def apply(self, state, ins, ctx):
         y, new_state = pfb_analyze(ins["in"].astype(jnp.complex64),
-                                   jnp.asarray(self._taps()), state)
+                                   self._taps(), state)
         return new_state, {"out": y}
 
 
@@ -92,7 +92,7 @@ class PFBSynthesizer(Block):
 
     def apply(self, state, ins, ctx):
         y, new_state = pfb_synthesize(ins["in"].astype(jnp.complex64),
-                                      jnp.asarray(self._taps()), state)
+                                      self._taps(), state)
         return new_state, {"out": y}
 
 

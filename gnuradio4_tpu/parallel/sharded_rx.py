@@ -74,8 +74,10 @@ def build_sharded_rx(mesh: Mesh, cfg: ShardedRxConfig):
     if cfg.block_len % (m * sp) != 0:
         raise ValueError("block_len must be divisible by n_channels·sp")
 
+    # all filter constants stay host NumPy — device-resident constants closed
+    # over by a jit trigger a D2H at lowering (fatal over remote transports)
     proto = design_pfb_taps(m, p_).astype(np.float32)
-    hp = jnp.asarray(proto.reshape(p_, m))
+    hp = proto.reshape(p_, m)
     # audio LP at 0.4·channel-rate/decim; kept as NumPy so fir_apply's MXU
     # path builds its weights host-side (no device round-trip in trace)
     audio_taps = fd.design_fir(
