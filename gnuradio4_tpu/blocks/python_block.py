@@ -69,6 +69,15 @@ class HostBlock(Block):
         self.out_shape_fn = out_shape_fn
 
     def apply(self, state, ins, ctx):
+        if jax.default_backend() == "tpu":
+            # some TPU transports (e.g. the axon tunnel) cannot do host
+            # send/recv callbacks at all — fail with guidance instead of a
+            # runtime UNIMPLEMENTED deep inside XLA
+            from ..core.errors import GrError
+            raise GrError(
+                f"{self.name}: HostBlock (pure_callback) is not supported on "
+                f"this TPU transport; run the graph on CPU, or port the "
+                f"function to jax and use LambdaBlock")
         x = ins["in"]
         shape = jax.ShapeDtypeStruct(x.shape, x.dtype) if self.out_shape_fn is None \
             else self.out_shape_fn(x)
