@@ -79,3 +79,24 @@ def render_graph(graph: Graph, *, max_width: int = 110) -> str:
         lines.append(f"  {label(e.src)}.{e.src_port} ─▶ "
                      f"{label(e.dst)}.{e.dst_port}{extra}")
     return "\n".join(lines)
+
+
+def to_dot(graph: Graph) -> str:
+    """Graphviz DOT rendering of the flowgraph (for docs/visualization tools)."""
+    flat = graph.flatten()
+    lines = ["digraph flowgraph {", "  rankdir=LR;",
+             '  node [shape=box, fontname="monospace"];']
+
+    def ident(b) -> str:
+        return b.unique_name.replace("#", "_")
+
+    for b in flat.blocks:
+        label = b.name if b.name != b.unique_name else type(b).__name__
+        lines.append(f'  {ident(b)} [label="{label}\\n{type(b).__name__}"];')
+    for e in flat.edges:
+        attrs = f' [label="{e.samples_per_step}"]' if e.samples_per_step else ""
+        lines.append(f"  {ident(e.src)} -> {ident(e.dst)}{attrs};")
+    for src, dst in flat.message_edges:
+        lines.append(f"  {ident(src)} -> {ident(dst)} [style=dashed];")
+    lines.append("}")
+    return "\n".join(lines)

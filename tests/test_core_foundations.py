@@ -231,3 +231,15 @@ class TestDrawable:
         from gnuradio4_tpu.blocks.math import MultiplyConst
         assert not MultiplyConst().is_drawable
         assert MultiplyConst().draw() is None
+
+
+class TestDotExport:
+    def test_to_dot(self):
+        import gnuradio4_tpu as gr
+        from gnuradio4_tpu.utils.imgraph import to_dot
+        g = gr.Graph()
+        a = g.emplace("CountingSource", n_samples=8); a.name = "src"
+        b = g.emplace("NullSink"); b.name = "snk"
+        g.connect(a, b)
+        dot = to_dot(g)
+        assert dot.startswith("digraph") and "src" in dot and "->" in dot

@@ -145,3 +145,35 @@ def test_emplace_via_registry():
     b = g.emplace("MultiplyConst", value=5.0)
     assert b.settings.get("value") == 5.0
     assert b in g.blocks
+
+
+def test_deep_chain_100_blocks():
+    """Compiler scales to long cascades (≈ reference 40-block bm_Scheduler
+    cascades): 100 chained gains compile into one program and stay exact."""
+    from gnuradio4_tpu.blocks.math import AddConst
+    g = gr.Graph()
+    src = g.emplace("CountingSource", n_samples=512)
+    prev = src
+    for i in range(100):
+        b = g.add(AddConst(value=1.0))
+        g.connect(prev, b)
+        prev = b
+    snk = g.emplace("VectorSink")
+    g.connect(prev, snk)
+    gr.Scheduler(g, block_len=256).run_and_wait()
+    np.testing.assert_allclose(snk.data(), np.arange(512) + 100.0)
+
+
+def test_wide_fanout_32_sinks():
+    g = gr.Graph()
+    src = g.emplace("CountingSource", n_samples=256)
+    sinks = []
+    for i in range(32):
+        m = g.emplace("MultiplyConst", value=float(i))
+        k = g.emplace("VectorSink")
+        g.connect(src, m)
+        g.connect(m, k)
+        sinks.append((i, k))
+    gr.Scheduler(g, block_len=256).run_and_wait()
+    for i, k in sinks:
+        np.testing.assert_allclose(k.data(), np.arange(256) * float(i))
