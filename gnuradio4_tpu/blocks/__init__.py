@@ -1,7 +1,7 @@
 """Block library (≈ reference blocks/): importing this package registers all built-in
 blocks with the global registry."""
 
-from . import (acquisition, audio, basic, channelizer, dsp_extras,  # noqa: F401
-               electrical, fileio, filter, fourier, http, math, misc, monitor,
-               python_block, sdr, testing, timing)
+from . import (acquisition, audio, basic, channelizer, digital,  # noqa: F401
+               dsp_extras, electrical, fileio, filter, fourier, http, math,
+               misc, monitor, python_block, sdr, testing, timing)
 from ..core import datasink as _datasink  # noqa: F401  (registers DataSink)

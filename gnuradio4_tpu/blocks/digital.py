@@ -1,0 +1,104 @@
+"""Digital modem blocks: constellation mapper/demapper, OFDM mod/demod."""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.block import Block, Port
+from ..core.registry import register_block
+from ..core.settings import Setting
+from ..ops.digital import (default_occupied, iq_to_symbols, make_constellation,
+                           ofdm_demodulate, ofdm_modulate, symbols_to_iq)
+
+CONSTELLATIONS = ("BPSK", "QPSK", "8PSK", "QAM16", "QAM64")
+
+
+@register_block("ConstellationMapper")
+class ConstellationMapper(Block):
+    """int32 symbols → complex64 IQ points (Gray-coded PSK/QAM)."""
+
+    IN = (Port("in", dtype="int32"),)
+    OUT = (Port("out", dtype="complex64"),)
+    constellation = Setting(default="QPSK", kind="static",
+                            choices=CONSTELLATIONS)
+
+    def apply(self, state, ins, ctx):
+        table = make_constellation(str(self.settings.get("constellation")))
+        return state, {"out": symbols_to_iq(ins["in"], table)}
+
+
+@register_block("ConstellationDemapper")
+class ConstellationDemapper(Block):
+    """complex64 IQ → nearest-symbol int32 (hard decision)."""
+
+    IN = (Port("in", dtype="complex64"),)
+    OUT = (Port("out", dtype="int32"),)
+    constellation = Setting(default="QPSK", kind="static",
+                            choices=CONSTELLATIONS)
+
+    def apply(self, state, ins, ctx):
+        table = make_constellation(str(self.settings.get("constellation")))
+        return state, {"out": iq_to_symbols(ins["in"], table)}
+
+
+@register_block("OfdmModulator")
+class OfdmModulator(Block):
+    """IQ symbols → OFDM time-domain stream (IFFT + cyclic prefix).
+
+    Consumes ``n_occupied`` symbols per OFDM symbol; produces
+    ``fft_size + cp_len`` samples — ratio (fft+cp)/occupied.
+    """
+
+    IN = (Port("in", dtype="complex64"),)
+    OUT = (Port("out", dtype="complex64"),)
+    fft_size = Setting(default=64, kind="static", limits=(8, 1 << 16))
+    cp_len = Setting(default=16, kind="static", limits=(0, 1 << 14))
+    n_occupied = Setting(default=48, kind="static", limits=(1, 1 << 16))
+
+    def _occ(self):
+        return default_occupied(int(self.settings.get("fft_size")),
+                                int(self.settings.get("n_occupied")))
+
+    @property
+    def ratio(self):
+        n = int(self.settings.get("fft_size")) + int(self.settings.get("cp_len"))
+        return Fraction(n, int(self.settings.get("n_occupied")))
+
+    @property
+    def alignment(self):
+        return int(self.settings.get("n_occupied"))
+
+    def apply(self, state, ins, ctx):
+        x = ins["in"]
+        n_occ = int(self.settings.get("n_occupied"))
+        sym = x.reshape(*x.shape[:-1], -1, n_occ)
+        y = ofdm_modulate(sym, fft_size=int(self.settings.get("fft_size")),
+                          cp_len=int(self.settings.get("cp_len")),
+                          occupied=self._occ())
+        return state, {"out": y}
+
+
+@register_block("OfdmDemodulator")
+class OfdmDemodulator(OfdmModulator):
+    """OFDM time-domain stream → IQ symbols (CP strip + FFT); assumes symbol
+    alignment (synchronization is upstream)."""
+
+    @property
+    def ratio(self):
+        n = int(self.settings.get("fft_size")) + int(self.settings.get("cp_len"))
+        return Fraction(int(self.settings.get("n_occupied")), n)
+
+    @property
+    def alignment(self):
+        return (int(self.settings.get("fft_size"))
+                + int(self.settings.get("cp_len")))
+
+    def apply(self, state, ins, ctx):
+        sym = ofdm_demodulate(ins["in"],
+                              fft_size=int(self.settings.get("fft_size")),
+                              cp_len=int(self.settings.get("cp_len")),
+                              occupied=self._occ())
+        return state, {"out": sym.reshape(*sym.shape[:-2], -1)}

@@ -245,6 +245,7 @@ class Graph(Block):
         order = self.topological_order()
         f: dict[Block, Fraction] = {}
         rate: dict[Block, Fraction] = {}
+        anc: dict[Block, set[Block]] = {}
         in_edges: dict[Block, list[Edge]] = {b: [] for b in self.blocks}
         for e in self.edges:
             in_edges[e.dst].append(e)
@@ -253,15 +254,34 @@ class Graph(Block):
             if not ins:
                 f[b] = Fraction(1)
                 rate[b] = Fraction(sample_rate)
+                anc[b] = set()
                 continue
             cands = [(e, f[e.src] * e.src.ratio) for e in ins]
-            vals = {v for _, v in cands}
-            if len(vals) > 1:
-                detail = {f"{e.src.name}→{b.name}": str(v) for e, v in cands}
-                raise RateError(f"inconsistent rates at {b.name}: {detail}")
-            f[b] = vals.pop()
+            target = cands[0][1]
+            for e, v in cands[1:]:
+                if v == target:
+                    continue
+                # source sample rates are free variables: a join mismatch can be
+                # fixed by rescaling the offending input's entire upstream
+                # closure — legal only if that closure is disjoint from the
+                # other inputs' closures (a shared source ⇒ true inconsistency)
+                closure = anc[e.src] | {e.src}
+                others: set[Block] = set()
+                for e2, _ in cands:
+                    if e2 is not e:
+                        others |= anc[e2.src] | {e2.src}
+                if closure & others:
+                    detail = {f"{ee.src.name}→{b.name}": str(vv)
+                              for ee, vv in cands}
+                    raise RateError(f"inconsistent rates at {b.name}: {detail}")
+                scale = target / v
+                for blk in closure:
+                    f[blk] *= scale
+                    rate[blk] *= scale
+            f[b] = target
             rates = {Fraction(rate[e.src]) * e.src.ratio for e in ins}
             rate[b] = max(rates)
+            anc[b] = set().union(*(anc[e.src] | {e.src} for e in ins))
         # minimal base k: for each block need k*f integer and divisible by alignment
         k0 = 1
         for b in order:

@@ -1,0 +1,92 @@
+"""Digital modem kernels: constellations (PSK/QAM) and OFDM framing.
+
+FFT/gather-light designs: symbol mapping is a table lookup (one-hot matmul on
+the MXU for large blocks, direct take for small); OFDM is batched (I)FFT —
+the TPU's strongest op.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def make_constellation(kind: str) -> np.ndarray:
+    """Unit-average-power constellation points, Gray-coded where standard."""
+    k = kind.upper()
+    if k == "BPSK":
+        return np.array([1.0 + 0j, -1.0 + 0j], np.complex64)
+    if k == "QPSK":
+        pts = np.array([1 + 1j, -1 + 1j, 1 - 1j, -1 - 1j], np.complex64)
+        return (pts / np.sqrt(2.0)).astype(np.complex64)
+    if k == "8PSK":
+        gray = [0, 1, 3, 2, 6, 7, 5, 4]
+        pts = np.zeros(8, np.complex64)
+        for i, g in enumerate(gray):
+            pts[g] = np.exp(1j * (2 * np.pi * i / 8 + np.pi / 8))
+        return pts
+    if k in ("QAM16", "16QAM"):
+        gray2 = {0: -3, 1: -1, 3: 1, 2: 3}
+        pts = np.zeros(16, np.complex64)
+        for b in range(16):
+            pts[b] = gray2[(b >> 2) & 3] + 1j * gray2[b & 3]
+        return (pts / np.sqrt(10.0)).astype(np.complex64)
+    if k in ("QAM64", "64QAM"):
+        gray3 = {0: -7, 1: -5, 3: -3, 2: -1, 6: 1, 7: 3, 5: 5, 4: 7}
+        pts = np.zeros(64, np.complex64)
+        for b in range(64):
+            pts[b] = gray3[(b >> 3) & 7] + 1j * gray3[b & 7]
+        return (pts / np.sqrt(42.0)).astype(np.complex64)
+    raise ValueError(f"unknown constellation {kind!r}")
+
+
+def symbols_to_iq(symbols: jnp.ndarray, constellation: np.ndarray) -> jnp.ndarray:
+    """Map integer symbols [..., N] → complex64 points (table gather)."""
+    table = jnp.asarray(constellation)
+    return jnp.take(table, symbols.astype(jnp.int32), axis=0, mode="clip")
+
+
+def iq_to_symbols(iq: jnp.ndarray, constellation: np.ndarray) -> jnp.ndarray:
+    """Hard-decision demapping: nearest constellation point (vectorized)."""
+    table = jnp.asarray(constellation)  # [M]
+    d = jnp.abs(iq[..., None] - table[None, :]) ** 2 if iq.ndim == 1 else \
+        jnp.abs(iq[..., :, None] - table[(None,) * iq.ndim]) ** 2
+    return jnp.argmin(d, axis=-1).astype(jnp.int32)
+
+
+def ofdm_modulate(symbols: jnp.ndarray, *, fft_size: int, cp_len: int,
+                  occupied: np.ndarray) -> jnp.ndarray:
+    """OFDM: map symbols onto ``occupied`` subcarriers, IFFT, prepend CP.
+
+    symbols: [..., n_sym, len(occupied)] complex → [..., n_sym·(fft_size+cp)].
+    """
+    occ = jnp.asarray(np.asarray(occupied, np.int32))
+    lead = symbols.shape[:-2]
+    n_sym = symbols.shape[-2]
+    grid = jnp.zeros((*lead, n_sym, fft_size), jnp.complex64)
+    grid = grid.at[..., occ].set(symbols.astype(jnp.complex64))
+    time = jnp.fft.ifft(grid, axis=-1) * jnp.sqrt(jnp.float32(fft_size))
+    with_cp = jnp.concatenate([time[..., -cp_len:], time], axis=-1)
+    return with_cp.reshape(*lead, n_sym * (fft_size + cp_len)).astype(jnp.complex64)
+
+
+def ofdm_demodulate(x: jnp.ndarray, *, fft_size: int, cp_len: int,
+                    occupied: np.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`ofdm_modulate` (assumes symbol alignment)."""
+    occ = np.asarray(occupied, np.int32)
+    sym_len = fft_size + cp_len
+    lead = x.shape[:-1]
+    n_sym = x.shape[-1] // sym_len
+    frames = x[..., : n_sym * sym_len].reshape(*lead, n_sym, sym_len)
+    no_cp = frames[..., cp_len:]
+    grid = jnp.fft.fft(no_cp, axis=-1) / jnp.sqrt(jnp.float32(fft_size))
+    return grid[..., occ].astype(jnp.complex64)
+
+
+def default_occupied(fft_size: int, n_occupied: int) -> np.ndarray:
+    """Symmetric occupied-carrier map avoiding DC and band edges."""
+    half = n_occupied // 2
+    pos = np.arange(1, half + 1)
+    neg = fft_size - np.arange(1, n_occupied - half + 1)
+    return np.sort(np.concatenate([pos, neg]))

@@ -1,0 +1,78 @@
+"""Digital modem blocks: constellation round-trips, OFDM mod/demod chains."""
+
+import numpy as np
+import pytest
+
+import gnuradio4_tpu as gr
+from gnuradio4_tpu.blocks.digital import (ConstellationDemapper,
+                                          ConstellationMapper, OfdmDemodulator,
+                                          OfdmModulator)
+from gnuradio4_tpu.blocks.testing import VectorSink, VectorSource
+from gnuradio4_tpu.ops.digital import make_constellation
+
+
+@pytest.mark.parametrize("kind", ["BPSK", "QPSK", "8PSK", "QAM16", "QAM64"])
+def test_constellation_properties(kind):
+    pts = make_constellation(kind)
+    # unit average power, distinct points
+    np.testing.assert_allclose(np.mean(np.abs(pts) ** 2), 1.0, rtol=1e-6)
+    assert len(np.unique(np.round(pts, 6))) == len(pts)
+
+
+@pytest.mark.parametrize("kind", ["QPSK", "QAM16", "QAM64"])
+def test_map_demap_roundtrip_with_noise(kind, rng):
+    m = len(make_constellation(kind))
+    syms = rng.integers(0, m, 4096).astype(np.int32)
+    g = gr.Graph()
+    src = VectorSource(syms)
+    mapper = ConstellationMapper(constellation=kind)
+    demap = ConstellationDemapper(constellation=kind)
+    snk = VectorSink()
+    g.connect_chain(src, mapper, demap, snk)
+    gr.Scheduler(g, block_len=1024).run_and_wait()
+    np.testing.assert_array_equal(snk.data(), syms)
+
+
+def test_ofdm_roundtrip_through_graph(rng):
+    kind = "QPSK"
+    n_occ, fft, cp = 48, 64, 16
+    n_ofdm_syms = 64
+    syms = rng.integers(0, 4, n_occ * n_ofdm_syms).astype(np.int32)
+    g = gr.Graph()
+    src = VectorSource(syms)
+    mapper = ConstellationMapper(constellation=kind)
+    mod = OfdmModulator(fft_size=fft, cp_len=cp, n_occupied=n_occ)
+    demod = OfdmDemodulator(fft_size=fft, cp_len=cp, n_occupied=n_occ)
+    demap = ConstellationDemapper(constellation=kind)
+    snk = VectorSink()
+    g.connect_chain(src, mapper, mod, demod, demap, snk)
+    gr.Scheduler(g, block_len=n_occ * 16).run_and_wait()
+    np.testing.assert_array_equal(snk.data(), syms)
+
+
+def test_ofdm_survives_awgn(rng):
+    """QPSK-OFDM at ~20 dB SNR decodes error-free."""
+    from gnuradio4_tpu.blocks.basic import NoiseSource
+    from gnuradio4_tpu.blocks.math import Add
+    n_occ, fft, cp = 48, 64, 16
+    syms = rng.integers(0, 4, n_occ * 128).astype(np.int32)
+    g = gr.Graph()
+    src = VectorSource(syms)
+    mapper = ConstellationMapper(constellation="QPSK")
+    mod = OfdmModulator(fft_size=fft, cp_len=cp, n_occupied=n_occ)
+    noise = NoiseSource(noise="complex_gaussian", std=0.05,
+                        n_samples=128 * (fft + cp))
+    add = Add(n_inputs=2)
+    demod = OfdmDemodulator(fft_size=fft, cp_len=cp, n_occupied=n_occ)
+    demap = ConstellationDemapper(constellation="QPSK")
+    snk = VectorSink()
+    g.connect(src, mapper)
+    g.connect(mapper, mod)
+    g.connect(mod, add["in0"])
+    g.connect(noise, add["in1"])
+    g.connect(add, demod)
+    g.connect(demod, demap)
+    g.connect(demap, snk)
+    gr.Scheduler(g, block_len=n_occ * 32).run_and_wait()
+    errors = np.count_nonzero(snk.data() != syms)
+    assert errors == 0
