@@ -1,0 +1,137 @@
+"""Classic stream utility blocks (GNU Radio staples): Throttle, MovingAverage,
+DC blocker, Threshold, Mute — small, always-wanted pieces."""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.block import Block, Port
+from ..core.registry import register_block
+from ..core.settings import Setting
+
+
+@register_block("Throttle")
+class Throttle(Block):
+    """Pass-through that paces the *host pump* to ``sample_rate`` wall-clock
+    (like GNU Radio's throttle: keeps a flowgraph without hardware from
+    free-running). Device compute is untouched; the sleep happens in the host
+    tag hook."""
+
+    IN = (Port("in"),)
+    OUT = (Port("out"),)
+    sample_rate = Setting(default=32000.0, unit="Hz", limits=(1.0, 1e12))
+
+    def __init__(self, name=None, **settings):
+        super().__init__(name=name, **settings)
+        self._t0 = None
+        self._served = 0
+
+    def start(self):
+        self._t0 = None
+        self._served = 0
+
+    def emit_tags(self, ctx):  # runs once per step on the host
+        n = next(iter(ctx.in_len.values()), 0)
+        fs = float(self.settings.get("sample_rate"))
+        now = time.monotonic()
+        if self._t0 is None:
+            self._t0 = now
+        self._served += n
+        target = self._t0 + self._served / fs
+        if target > now:
+            time.sleep(min(target - now, 1.0))
+        return []
+
+    def apply(self, state, ins, ctx):
+        return state, {"out": ins["in"]}
+
+
+@register_block("MovingAverage")
+class MovingAverage(Block):
+    """Length-N moving average via cumulative sums (O(1)/sample, no FIR taps);
+    carried state = last N−1 inputs (exact across steps)."""
+
+    IN = (Port("in"),)
+    OUT = (Port("out"),)
+    length = Setting(default=16, kind="static", limits=(1, 1 << 20))
+    scale = Setting(default=0.0, description="0 → 1/length (true average)")
+
+    def init_state(self, ctx):
+        n = int(self.settings.get("length"))
+        ch = ctx.channels.get("in", 0)
+        shape = (n - 1,) if ch == 0 else (ch, n - 1)
+        return jnp.zeros(shape, ctx.dtype("in", jnp.float32))
+
+    def apply(self, state, ins, ctx):
+        x = ins["in"]
+        n = int(self.settings.get("length"))
+        if n == 1:
+            return state, {"out": x}
+        xc = jnp.concatenate([state.astype(x.dtype), x], axis=-1)
+        c = jnp.cumsum(xc, axis=-1)
+        zero = jnp.zeros_like(c[..., :1])
+        c = jnp.concatenate([zero, c], axis=-1)          # prefix sums, len+1
+        t = x.shape[-1]
+        window_sums = c[..., n:] - c[..., :-n]           # len = t
+        scale = float(self.settings.get("scale")) or (1.0 / n)
+        y = window_sums * jnp.asarray(scale, jnp.real(x).dtype)
+        return xc[..., -(n - 1):], {"out": y.astype(x.dtype)}
+
+
+@register_block("DcBlocker")
+class DcBlocker(Block):
+    """Single-pole DC-removal high-pass: y = x − x⁻¹ + R·y⁻¹ (exact O(log T)
+    parallel recurrence)."""
+
+    IN = (Port("in", dtype="float32"),)
+    OUT = (Port("out", dtype="float32"),)
+    pole = Setting(default=0.995, kind="static", limits=(0.5, 0.999999))
+
+    def init_state(self, ctx):
+        ch = ctx.channels.get("in", 0)
+        shape = () if ch == 0 else (ch,)
+        return {"u": jnp.zeros(shape, jnp.float32),
+                "x_last": jnp.zeros(shape, jnp.float32)}
+
+    def apply(self, state, ins, ctx):
+        from ..ops.iir import one_pole_apply
+        x = ins["in"]
+        r = float(self.settings.get("pole"))
+        prev = jnp.concatenate([state["x_last"][..., None], x[..., :-1]],
+                               axis=-1)
+        v = x - prev                       # differentiator
+        y, u_last = one_pole_apply(v, jnp.float32(r), state["u"])
+        return ({"u": u_last, "x_last": x[..., -1]},
+                {"out": y.astype(jnp.float32)})
+
+
+@register_block("Threshold")
+class Threshold(Block):
+    """Hysteresis-free comparator: 1.0 where x ≥ level else 0.0."""
+
+    IN = (Port("in", dtype="float32"),)
+    OUT = (Port("out", dtype="float32"),)
+    level = Setting(default=0.0)
+
+    def apply(self, state, ins, ctx):
+        lvl = jnp.asarray(ctx.p("level", 0.0), jnp.float32)
+        return state, {"out": (ins["in"] >= lvl).astype(jnp.float32)}
+
+
+@register_block("MuteSwitch")
+class MuteSwitch(Block):
+    """Runtime mute: zeros the stream while ``mute`` is set (dynamic — no
+    recompile; flip it via messages or block message edges)."""
+
+    IN = (Port("in"),)
+    OUT = (Port("out"),)
+    mute = Setting(default=False, dtype=np.bool_)
+
+    def apply(self, state, ins, ctx):
+        x = ins["in"]
+        gate = jnp.where(jnp.asarray(ctx.p("mute", False)), 0.0, 1.0)
+        return state, {"out": x * gate.astype(jnp.real(x).dtype)}
