@@ -53,9 +53,26 @@ class CompiledGraph:
         return {b.unique_name: b.init_state(self.block_ctx[b.unique_name])
                 for b in self.order}
 
+    _params_cache: Any = None
+
     def gather_params(self) -> dict[str, dict[str, Any]]:
-        return {b.unique_name: b.prepare_params(b.settings.dynamic_params())
+        """Dynamic params for the next step. Blocks that override
+        ``prepare_params`` (tag-derived values) refresh every step; the rest are
+        cached until :meth:`invalidate_params` (settings applied)."""
+        from .block import Block
+        if self._params_cache is None:
+            self._params_cache = {
+                b.unique_name: b.prepare_params(b.settings.dynamic_params())
                 for b in self.order}
+        else:
+            for b in self.order:
+                if type(b).prepare_params is not Block.prepare_params:
+                    self._params_cache[b.unique_name] = b.prepare_params(
+                        b.settings.dynamic_params())
+        return self._params_cache
+
+    def invalidate_params(self) -> None:
+        self._params_cache = None
 
     _zero_feeds_cache: Any = None
 

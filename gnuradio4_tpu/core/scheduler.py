@@ -396,6 +396,7 @@ class Scheduler:
             if not b.settings.changed():
                 continue
             res = b.settings.apply_staged()
+            self.compiled.invalidate_params()
             b.on_settings_applied(res)
             if getattr(b, "_state_reset", False):
                 # block asked for a fresh state after this settings change
