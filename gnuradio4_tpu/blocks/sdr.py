@@ -149,11 +149,19 @@ class LoopbackDevice(SdrDevice):
     around its ``center_frequency``. TX writes are recorded."""
 
     def __init__(self, tone_freqs=(), tone_amps=(), noise_std: float = 0.0,
-                 total_samples: int = 0, seed: int = 1234):
+                 total_samples: int = 0, seed: int = 1234,
+                 waveform: np.ndarray | None = None,
+                 waveform_freq: float = 0.0):
         self.tone_freqs = list(tone_freqs)
         self.tone_amps = list(tone_amps) or [1.0] * len(self.tone_freqs)
         self.noise_std = noise_std
         self.total_samples = total_samples
+        # optional complex-baseband transmission centered at waveform_freq
+        # (absolute RF), repeated cyclically — lets tests put a *modulated*
+        # station on the air (≈ LoopbackDevice.hpp fake-radio behavior)
+        self.waveform = None if waveform is None else np.asarray(
+            waveform, np.complex128)
+        self.waveform_freq = waveform_freq
         self._pos = 0
         self._rng = np.random.default_rng(seed)
         self.tx_record: list[np.ndarray] = []
@@ -172,6 +180,11 @@ class LoopbackDevice(SdrDevice):
             for f, a in zip(self.tone_freqs, self.tone_amps):
                 out[c] += a * np.exp(2j * np.pi * (
                     (f - self.center_frequency) * t + 0.1 * c))
+        if self.waveform is not None:
+            idx = (self._pos + np.arange(n)) % len(self.waveform)
+            mix = np.exp(2j * np.pi * (self.waveform_freq
+                                       - self.center_frequency) * t)
+            out += (self.waveform[idx] * mix)[None, :]
         if self.noise_std:
             out += self.noise_std / np.sqrt(2) * (
                 self._rng.standard_normal(out.shape)

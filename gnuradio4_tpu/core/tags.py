@@ -62,8 +62,15 @@ class Tag:
         return Tag(self.index + delta, self.map)
 
     def rescaled(self, ratio: Fraction) -> "Tag":
-        """Map this tag's index through a rate change of out/in = ratio."""
-        return Tag(int(self.index * ratio.numerator // ratio.denominator), self.map)
+        """Map this tag through a rate change of out/in = ratio: the index moves
+        to the output grid AND a carried ``sample_rate`` value scales with it
+        (a decimated stream runs at the decimated rate)."""
+        new_index = int(self.index * ratio.numerator // ratio.denominator)
+        m = self.map
+        if ratio != 1 and Keys.SAMPLE_RATE in m:
+            m = dict(m)
+            m[Keys.SAMPLE_RATE] = float(m[Keys.SAMPLE_RATE]) * float(ratio)
+        return Tag(new_index, m)
 
 
 class TagPropagation(enum.Enum):
