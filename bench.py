@@ -117,5 +117,22 @@ def main() -> None:
         os._exit(0)
 
 
+def _main_with_retry() -> None:
+    """The remote-TPU transport has transient outage windows (H2D/D2H raise
+    UNIMPLEMENTED for minutes at a time). Retry the whole bench a few times
+    before giving up, so a blip doesn't void the round's measurement."""
+    last: Exception | None = None
+    for attempt in range(3):
+        try:
+            main()
+            return
+        except Exception as e:  # noqa: BLE001
+            last = e
+            print(f"# bench attempt {attempt + 1} failed: "
+                  f"{type(e).__name__}: {e}; retrying in 60 s", file=sys.stderr)
+            time.sleep(60)
+    raise last
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(_main_with_retry())
