@@ -147,14 +147,11 @@ class ChannelsToStream(Block):
 
     IN = (Port("in"),)
     OUT = (Port("out"),)
-
-    def __init__(self, name=None, n_channels: int = 2, **settings):
-        super().__init__(name=name, **settings)
-        self._n = n_channels
+    n_channels = Setting(default=2, kind="static", limits=(1, 1 << 16))
 
     @property
     def ratio(self):
-        return Fraction(self._n, 1)
+        return Fraction(int(self.settings.get("n_channels")), 1)
 
     def out_channels(self, port, in_channels):
         return 0

@@ -112,6 +112,81 @@ class GoertzelDetector(Block):
                        if x.ndim == 1 else p.reshape(*x.shape[:-1], -1)}
 
 
+@register_block("IqImbalanceCorrector")
+class IqImbalanceCorrector(Block):
+    """Blind IQ gain/phase imbalance correction: estimates E[I²]/E[Q²] and
+    E[I·Q] per step (IIR-smoothed in state) and applies the standard
+    de-imbalance transform. ≈ GNU Radio iq_imbal correction."""
+
+    IN = (Port("in", dtype="complex64"),)
+    OUT = (Port("out", dtype="complex64"),)
+    alpha = Setting(default=0.05, limits=(1e-6, 1.0),
+                    description="estimator smoothing per step")
+
+    def init_state(self, ctx):
+        ch = ctx.channels.get("in", 0)
+        shape = () if ch == 0 else (ch,)
+        return {"gain": jnp.ones(shape, jnp.float32),
+                "phase": jnp.zeros(shape, jnp.float32)}
+
+    def apply(self, state, ins, ctx):
+        x = ins["in"]
+        i, q = jnp.real(x), jnp.imag(x)
+        a = jnp.asarray(ctx.p("alpha", 0.05), jnp.float32)
+        # model: q_meas = g·q + φ·i with E[i·q] = 0 for a balanced signal
+        # ⇒ φ̂ = E[i·q_m]/E[i²],  ĝ² = E[q_m²]/E[i²] − φ̂²
+        pi = jnp.mean(i * i, axis=-1) + 1e-20
+        pq = jnp.mean(q * q, axis=-1)
+        piq = jnp.mean(i * q, axis=-1)
+        phase_inst = piq / pi
+        gain_inst = jnp.sqrt(jnp.maximum(pq / pi - phase_inst ** 2, 1e-12))
+        gain = (1 - a) * state["gain"] + a * gain_inst
+        phase = (1 - a) * state["phase"] + a * phase_inst
+        # invert: q̂ = (q_m − φ̂·i)/ĝ
+        qc = (q - phase[..., None] * i) / gain[..., None]
+        y = (i + 1j * qc).astype(jnp.complex64)
+        return {"gain": gain, "phase": phase}, {"out": y}
+
+
+@register_block("CoarseFrequencyCorrector")
+class CoarseFrequencyCorrector(Block):
+    """M-th-power coarse CFO estimate + correction for M-PSK: the offset shows
+    up at M·Δf in x^M; one FFT peak per step estimates it, an NCO removes it.
+    State carries the correction phase for continuity."""
+
+    IN = (Port("in", dtype="complex64"),)
+    OUT = (Port("out", dtype="complex64"),)
+    order = Setting(default=4, kind="static", choices=(2, 4, 8),
+                    description="constellation order M (PSK)")
+
+    def init_state(self, ctx):
+        return {"phase": jnp.zeros((), jnp.float32),
+                "freq": jnp.zeros((), jnp.float32)}  # rad/sample estimate
+
+    def apply(self, state, ins, ctx):
+        x = ins["in"]
+        m = int(self.settings.get("order"))
+        n = x.shape[-1]
+        xm = x ** m
+        spec = jnp.abs(jnp.fft.fft(xm))
+        k = jnp.argmax(spec)
+        # parabolic sub-bin interpolation around the peak (cyclic neighbors)
+        sa = spec[(k - 1) % n]
+        sb = spec[k]
+        sc = spec[(k + 1) % n]
+        denom = sa - 2.0 * sb + sc
+        d = jnp.where(jnp.abs(denom) > 1e-20, 0.5 * (sa - sc) / denom, 0.0)
+        k_signed = jnp.where(k > n // 2, k - n, k).astype(jnp.float32) + d
+        # the block-length estimate is already an average — no cross-step
+        # smoothing (it would slow convergence to the true offset)
+        freq = 2.0 * jnp.pi * k_signed / (n * m)
+        idx = jnp.arange(n, dtype=jnp.float32)
+        ph = state["phase"] + freq * idx
+        y = x * jnp.exp(-1j * ph.astype(jnp.complex64))
+        new_phase = jnp.mod(state["phase"] + freq * n, 2.0 * jnp.pi)
+        return ({"phase": new_phase, "freq": freq}, {"out": y.astype(jnp.complex64)})
+
+
 @register_block("PllCarrierTracking")
 class PllCarrierTracking(Block):
     """2nd-order PLL that tracks and removes a residual carrier:

@@ -118,3 +118,52 @@ class TestPll:
         assert np.abs(np.mean(dphi)) < 1e-3
         # locked output magnitude ≈ 1
         np.testing.assert_allclose(np.abs(tail), 1.0, atol=1e-2)
+
+
+class TestIqImbalance:
+    def test_corrects_gain_and_phase_skew(self, rng):
+        n = 65536
+        clean = np.exp(2j * np.pi * rng.random(n)).astype(np.complex64)
+        # introduce imbalance: q scaled 0.8, phase skew 0.1·i leaking into q
+        i, q = clean.real, clean.imag
+        skewed = (i + 1j * (0.8 * q - 0.1 * i)).astype(np.complex64)
+        from gnuradio4_tpu.blocks.dsp_extras import IqImbalanceCorrector
+        from gnuradio4_tpu.blocks.testing import VectorSink, VectorSource
+        import gnuradio4_tpu as gr
+        g = gr.Graph()
+        src = VectorSource(skewed)
+        fix = IqImbalanceCorrector(alpha=0.4)
+        snk = VectorSink()
+        g.connect_chain(src, fix, snk)
+        gr.Scheduler(g, block_len=8192).run_and_wait()
+        y = snk.data()[32768:]
+        # image rejection: for a circular signal, E[y²] ≈ 0 when balanced
+        image_in = abs(np.mean(skewed[32768:] ** 2))
+        image_out = abs(np.mean(y ** 2))
+        assert image_out < 0.2 * image_in
+
+
+class TestCoarseCfo:
+    def test_removes_qpsk_offset(self, rng):
+        from gnuradio4_tpu.blocks.dsp_extras import CoarseFrequencyCorrector
+        from gnuradio4_tpu.blocks.testing import VectorSink, VectorSource
+        from gnuradio4_tpu.ops.digital import make_constellation, symbols_to_iq
+        import gnuradio4_tpu as gr
+        import jax.numpy as jnp
+        n = 32768
+        syms = rng.integers(0, 4, n)
+        iq = np.asarray(symbols_to_iq(jnp.asarray(syms), make_constellation("QPSK")))
+        w = 2 * np.pi * 0.003  # offset well within bin resolution
+        rot = iq * np.exp(1j * w * np.arange(n))
+        g = gr.Graph()
+        src = VectorSource(rot.astype(np.complex64))
+        cfo = CoarseFrequencyCorrector(order=4)
+        snk = VectorSink()
+        g.connect_chain(src, cfo, snk)
+        gr.Scheduler(g, block_len=8192).run_and_wait()
+        y = snk.data()[16384:]
+        # residual rotation ≈ 0: the 4th-power spectrum of y peaks at DC
+        y4 = y ** 4
+        spec = np.abs(np.fft.fft(y4))
+        k = np.argmax(spec)
+        assert k == 0 or k == len(y4) - 1 or k == 1
