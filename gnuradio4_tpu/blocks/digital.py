@@ -81,6 +81,74 @@ class OfdmModulator(Block):
         return state, {"out": y}
 
 
+@register_block("RrcFilter")
+class RrcFilter(Block):
+    """Root-raised-cosine pulse shaping / matched filter (MXU FIR path)."""
+
+    IN = (Port("in"),)
+    OUT = (Port("out"),)
+    sps = Setting(default=4, kind="static", limits=(1, 256))
+    ntaps = Setting(default=65, kind="static", limits=(3, 1 << 14))
+    beta = Setting(default=0.35, kind="static", limits=(0.01, 1.0))
+
+    def _taps(self):
+        from ..ops.digital import rrc_taps
+        return rrc_taps(int(self.settings.get("sps")),
+                        int(self.settings.get("ntaps")),
+                        beta=float(self.settings.get("beta"))).astype(np.float32)
+
+    def init_state(self, ctx):
+        from ..ops.fir import fir_init_state
+        return fir_init_state(ctx.channels.get("in", 0), len(self._taps()),
+                              ctx.dtype("in", jnp.complex64))
+
+    def apply(self, state, ins, ctx):
+        from ..ops.fir import fir_apply
+        y, st = fir_apply(ins["in"], self._taps(), state)
+        return st, {"out": y}
+
+
+@register_block("SymbolSampler")
+class SymbolSampler(Block):
+    """Square-law (non-data-aided) symbol timing: per step, pick the sampling
+    phase with maximum symbol-rate energy and decimate by ``sps``.
+
+    For static channels this equals ideal timing; a feedback M&M loop is
+    round-2 work. State smooths the phase estimate across steps.
+    """
+
+    IN = (Port("in", dtype="complex64"),)
+    OUT = (Port("out", dtype="complex64"),)
+    sps = Setting(default=4, kind="static", limits=(2, 256))
+
+    @property
+    def ratio(self):
+        return Fraction(1, int(self.settings.get("sps")))
+
+    @property
+    def alignment(self):
+        return int(self.settings.get("sps"))
+
+    def init_state(self, ctx):
+        sps = int(self.settings.get("sps"))
+        return jnp.zeros((sps,), jnp.float32)  # smoothed per-phase energy
+
+    def apply(self, state, ins, ctx):
+        from ..ops.digital import timing_phase_energy
+        import jax
+        x = ins["in"]
+        sps = int(self.settings.get("sps"))
+        e = timing_phase_energy(x, sps)
+        e_s = 0.5 * state + 0.5 * (e if e.ndim == 1 else jnp.mean(
+            e.reshape(-1, sps), axis=0))
+        phase = jnp.argmax(e_s)
+        frames = x.reshape(*x.shape[:-1], -1, sps)
+        y = jnp.take_along_axis(
+            frames, jnp.broadcast_to(phase, (*frames.shape[:-1], 1)),
+            axis=-1)[..., 0]
+        return e_s, {"out": y.astype(jnp.complex64)}
+
+
 @register_block("OfdmDemodulator")
 class OfdmDemodulator(OfdmModulator):
     """OFDM time-domain stream → IQ symbols (CP strip + FFT); assumes symbol

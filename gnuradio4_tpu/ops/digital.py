@@ -84,6 +84,36 @@ def ofdm_demodulate(x: jnp.ndarray, *, fft_size: int, cp_len: int,
     return grid[..., occ].astype(jnp.complex64)
 
 
+def rrc_taps(sps: int, ntaps: int, *, beta: float = 0.35) -> np.ndarray:
+    """Root-raised-cosine pulse-shaping taps (unit energy), ``sps`` samples per
+    symbol, roll-off ``beta``."""
+    if ntaps % 2 == 0:
+        ntaps += 1
+    t = (np.arange(ntaps) - (ntaps - 1) / 2.0) / float(sps)
+    h = np.zeros(ntaps, np.float64)
+    for k, tt in enumerate(t):
+        if abs(tt) < 1e-12:
+            h[k] = 1.0 - beta + 4.0 * beta / np.pi
+        elif beta > 0 and abs(abs(4.0 * beta * tt) - 1.0) < 1e-9:
+            h[k] = (beta / np.sqrt(2.0)) * (
+                (1 + 2 / np.pi) * np.sin(np.pi / (4 * beta))
+                + (1 - 2 / np.pi) * np.cos(np.pi / (4 * beta)))
+        else:
+            num = (np.sin(np.pi * tt * (1 - beta))
+                   + 4 * beta * tt * np.cos(np.pi * tt * (1 + beta)))
+            den = np.pi * tt * (1 - (4 * beta * tt) ** 2)
+            h[k] = num / den
+        # normalization applied below
+    return (h / np.sqrt(np.sum(h * h))).astype(np.float64)
+
+
+def timing_phase_energy(x: jnp.ndarray, sps: int) -> jnp.ndarray:
+    """Mean symbol-rate energy per sampling phase: [..., sps]."""
+    t = x.shape[-1] - (x.shape[-1] % sps)
+    frames = x[..., :t].reshape(*x.shape[:-1], -1, sps)
+    return jnp.mean(jnp.abs(frames) ** 2, axis=-2)
+
+
 def default_occupied(fft_size: int, n_occupied: int) -> np.ndarray:
     """Symmetric occupied-carrier map avoiding DC and band edges."""
     half = n_occupied // 2
