@@ -60,6 +60,7 @@ class Scheduler:
                  sample_rate: float = 1.0, mesh: Any = None,
                  pipeline_depth: int = 2, profiler: Any = None,
                  watchdog_timeout: float | None = None,
+                 watchdog_action: str = "notify",
                  max_tags_per_step: int = 64, name: str = "scheduler"):
         self.name = name
         self.graph = graph
@@ -70,6 +71,7 @@ class Scheduler:
         from .profiler import NullProfiler
         self.profiler = profiler if profiler is not None else NullProfiler()
         self.watchdog_timeout = watchdog_timeout
+        self.watchdog_action = watchdog_action  # 'notify' | 'stop'
         self.max_tags_per_step = max_tags_per_step
 
         self.fsm = StateMachine()
@@ -561,6 +563,10 @@ class Scheduler:
                     self.bus.notify(self.name, "Watchdog",
                                     {"stalled_for_s": time.monotonic() - self._last_progress,
                                      "step": self._step})
+                    if self.watchdog_action == "stop":
+                        # ≈ the reference watchdog escalating on non-responsive
+                        # blocks (Scheduler.hpp:845): wind the graph down
+                        self.request_stop()
         self._watchdog = threading.Thread(target=monitor, daemon=True,
                                           name=f"{self.name}-watchdog")
         self._watchdog.start()

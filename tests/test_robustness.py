@@ -135,3 +135,15 @@ def test_trace_error_names_the_block():
     sched = gr.Scheduler(g, block_len=64)
     with pytest.raises(gr.GrError, match="oops"):
         sched.run_and_wait(n_steps=1)  # the trace happens at the first step
+
+
+def test_watchdog_stop_action():
+    g = gr.Graph()
+    src = g.add(SlowSource(delay_s=0.4))  # unbounded AND slow
+    snk = g.add(NullSink())
+    g.connect(src, snk)
+    sched = gr.Scheduler(g, block_len=256, watchdog_timeout=0.1,
+                         watchdog_action="stop")
+    sched.start()
+    sched.wait_done(timeout=30)  # without the watchdog this would never end
+    assert sched.state is gr.State.STOPPED
