@@ -149,6 +149,37 @@ class SymbolSampler(Block):
         return e_s, {"out": y.astype(jnp.complex64)}
 
 
+@register_block("MMSymbolSync")
+class MMSymbolSync(Block):
+    """Mueller & Müller decision-directed symbol synchronizer (feedback loop;
+    tracks small timing offsets/clock drift; state = μ + last symbol)."""
+
+    IN = (Port("in", dtype="complex64"),)
+    OUT = (Port("out", dtype="complex64"),)
+    sps = Setting(default=4, kind="static", limits=(2, 256))
+    gain = Setting(default=0.01, kind="static", limits=(1e-6, 1.0))
+
+    @property
+    def ratio(self):
+        return Fraction(1, int(self.settings.get("sps")))
+
+    @property
+    def alignment(self):
+        return int(self.settings.get("sps"))
+
+    def init_state(self, ctx):
+        return {"mu": jnp.zeros((), jnp.float32),
+                "last": jnp.zeros((), jnp.complex64)}
+
+    def apply(self, state, ins, ctx):
+        from ..ops.digital import mm_timing_recovery
+        syms, mu, last = mm_timing_recovery(
+            ins["in"], sps=int(self.settings.get("sps")),
+            mu0=state["mu"], last_sym=state["last"],
+            gain=float(self.settings.get("gain")))
+        return {"mu": mu, "last": last}, {"out": syms}
+
+
 @register_block("OfdmDemodulator")
 class OfdmDemodulator(OfdmModulator):
     """OFDM time-domain stream → IQ symbols (CP strip + FFT); assumes symbol

@@ -114,6 +114,49 @@ def timing_phase_energy(x: jnp.ndarray, sps: int) -> jnp.ndarray:
     return jnp.mean(jnp.abs(frames) ** 2, axis=-2)
 
 
+def mm_timing_recovery(x: jnp.ndarray, *, sps: int, mu0: jnp.ndarray,
+                       last_sym: jnp.ndarray, gain: float = 0.01
+                       ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Mueller & Müller decision-directed timing recovery (feedback loop).
+
+    x: [T] complex at ``sps`` samples/symbol (T % sps == 0). Per output symbol
+    k the loop samples x at position k·sps + μ (linear interpolation), updates
+    μ with the M&M error e = Re{ŷ_{k-1}·y_k − ŷ_k·y_{k-1}} (decisions ŷ via
+    sign quantization), and clamps μ to ±sps/2 within the block.
+
+    Sequential by nature → ``lax.scan`` over symbols (T/sps steps). Returns
+    (symbols [T//sps], μ_final, last_symbol).
+    """
+    t = x.shape[-1]
+    n_sym = t // sps
+
+    def interp(pos):
+        i = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, t - 2)
+        frac = (pos - i.astype(jnp.float32)).astype(jnp.float32)
+        x0 = jax.lax.dynamic_slice(x, (i,), (2,))
+        return (x0[0] * (1.0 - frac) + x0[1] * frac).astype(jnp.complex64)
+
+    def decide(v):
+        return (jnp.sign(jnp.real(v)) + 1j * jnp.sign(jnp.imag(v))
+                ).astype(jnp.complex64)
+
+    def step(carry, k):
+        mu, y_prev, d_prev = carry
+        pos = k.astype(jnp.float32) * sps + mu
+        y = interp(pos)
+        d = decide(y)
+        e = jnp.real(d_prev * y - d * y_prev)
+        mu = jnp.clip(mu + jnp.float32(gain) * e,
+                      -sps / 2.0 + 1.0, sps / 2.0 - 1.0 + sps)
+        return (mu, y, d), y
+
+    ks = jnp.arange(n_sym)
+    (mu_f, y_f, _), syms = jax.lax.scan(
+        step, (mu0.astype(jnp.float32), last_sym.astype(jnp.complex64),
+               decide(last_sym)), ks)
+    return syms, mu_f, y_f
+
+
 def default_occupied(fft_size: int, n_occupied: int) -> np.ndarray:
     """Symmetric occupied-carrier map avoiding DC and band edges."""
     half = n_occupied // 2
