@@ -119,15 +119,14 @@ def _toeplitz_np(taps_key, ntaps: int, tile: int, decim: int) -> np.ndarray:
 
 
 def _choose_tile(n: int, ntaps: int, decim: int) -> int:
-    """Tile length: ≥ ntaps−1 (framing constraint), multiple of decim, divides n,
-    MXU-friendly (~256–1024)."""
-    base = max(128, _next_pow2(ntaps - 1), decim)
-    tile = base
-    while tile < n and n % tile:
-        tile <<= 1
-    if tile > n or n % tile or tile % decim:
-        return n  # single tile fallback (callers guarantee decim | n)
-    return tile
+    """Tile length: ≥ ntaps−1 (framing constraint), multiple of decim,
+    MXU-friendly (~128–1024). The stream is zero-PADDED up to a tile multiple
+    (never a single giant tile — a prime-ish n would otherwise materialize an
+    O(n²) Toeplitz)."""
+    import math
+    base = max(128, _next_pow2(ntaps - 1))
+    tile = base * decim // math.gcd(base, decim)
+    return min(tile, max(_next_pow2(max(n, 1)), decim))
 
 
 def _next_pow2(v: int) -> int:
@@ -146,6 +145,11 @@ def _fir_matmul(xc: jnp.ndarray, taps_np: np.ndarray, decim: int) -> jnp.ndarray
     k = taps_np.shape[-1]
     t = tc - (k - 1)
     tile = _choose_tile(t, k, decim)
+    # pad the stream tail to a whole number of tiles; surplus outputs sliced off
+    t_pad = -(-t // tile) * tile
+    if t_pad != t:
+        xc = jnp.pad(xc, ((0, 0), (0, t_pad - t)))
+    n_out_true = t // decim
     cx_t = np.iscomplexobj(taps_np)
     cx_x = jnp.issubdtype(xc.dtype, jnp.complexfloating)
     real_dt = jnp.float32
@@ -175,7 +179,7 @@ def _fir_matmul(xc: jnp.ndarray, taps_np: np.ndarray, decim: int) -> jnp.ndarray
     else:
         frames = _frame_overlapping_general(xc, tile, tile + k - 1)
         y = dot(frames.astype(real_dt), wr).astype(xc.dtype)
-    return y.reshape(b, -1)
+    return y.reshape(b, -1)[:, :n_out_true]
 
 
 def _fir_fft(xc: jnp.ndarray, taps: jnp.ndarray, decim: int) -> jnp.ndarray:
