@@ -58,15 +58,25 @@ class ThreadedFeeder:
 
 
 def read_exact(ring: HostRing, reader: int, n: int, *, timeout: float = 30.0,
-               allow_partial_on_eos: bool = True) -> np.ndarray | None:
-    """Block until n items (or EOS). Returns None if EOS with nothing left."""
+               allow_partial_on_eos: bool = True,
+               wait: str = "sleep") -> np.ndarray | None:
+    """Block until n items (or EOS). Returns None if EOS with nothing left.
+
+    ``wait`` selects the back-off strategy (≈ reference WaitStrategy.hpp):
+    'spin' (busy, lowest latency), 'yield' (sched_yield-ish), 'sleep' (default
+    50 µs naps), 'block' (1 ms naps, lowest CPU).
+    """
+    sleep_for = {"spin": 0.0, "yield": 0.0, "sleep": 50e-6, "block": 1e-3}[wait]
     deadline = time.monotonic() + timeout
     while ring.readable(reader) < n:
         if ring.eos:
             break
         if time.monotonic() > deadline:
             raise TimeoutError(f"ring feed starved (< {n} items for {timeout}s)")
-        time.sleep(50e-6)
+        if wait == "yield":
+            time.sleep(0)
+        elif sleep_for:
+            time.sleep(sleep_for)
     avail = ring.readable(reader)
     take = min(n, avail)
     if take == 0:
