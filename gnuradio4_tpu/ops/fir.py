@@ -182,6 +182,61 @@ def _fir_matmul(xc: jnp.ndarray, taps_np: np.ndarray, decim: int) -> jnp.ndarray
     return y.reshape(b, -1)[:, :n_out_true]
 
 
+def _fir_matmul_int8(xc: jnp.ndarray, taps_np: np.ndarray, decim: int
+                     ) -> jnp.ndarray:
+    """Quantized MXU path: int8×int8→int32 matmuls at ~2× the bf16 MXU rate.
+
+    Weights use one global scale (taps are constants); frames are per-row
+    dynamically quantized (max-abs → int8). SNDR ≈ 45–50 dB — opt-in via
+    GR4TPU_FIR_PRECISION=int8 for links whose budget allows it.
+    """
+    b, tc = xc.shape
+    k = taps_np.shape[-1]
+    t = tc - (k - 1)
+    tile = _choose_tile(t, k, decim)
+    t_pad = -(-t // tile) * tile
+    if t_pad != t:
+        xc = jnp.pad(xc, ((0, 0), (0, t_pad - t)))
+    n_out_true = t // decim
+    cx_t = np.iscomplexobj(taps_np)
+    cx_x = jnp.issubdtype(xc.dtype, jnp.complexfloating)
+
+    def quant_w(h: np.ndarray):
+        w = _toeplitz_np(tuple(h.tolist()), k, tile, decim)
+        s = float(np.max(np.abs(w))) / 127.0 or 1.0
+        return jnp.asarray(np.round(w / s).astype(np.int8)), s
+
+    def qdot(frames_f32, wq, w_scale):
+        row_max = jnp.max(jnp.abs(frames_f32), axis=-1, keepdims=True)
+        row_scale = jnp.maximum(row_max / 127.0, 1e-20)
+        fq = jnp.round(frames_f32 / row_scale).astype(jnp.int8)
+        acc = jnp.einsum("bnj,ji->bni", fq, wq,
+                         preferred_element_type=jnp.int32)
+        return acc.astype(jnp.float32) * (row_scale * jnp.float32(w_scale))
+
+    rails = []
+    if cx_x or cx_t:
+        xr = jnp.real(xc).astype(jnp.float32)
+        xi = jnp.imag(xc).astype(jnp.float32) if cx_x else jnp.zeros_like(xr)
+        fr = _frame_overlapping_general(xr, tile, tile + k - 1)
+        fi = _frame_overlapping_general(xi, tile, tile + k - 1)
+        if cx_t:
+            wr, sr = quant_w(taps_np.real)
+            wi, si = quant_w(taps_np.imag)
+            yr = qdot(fr, wr, sr) - qdot(fi, wi, si)
+            yi = qdot(fr, wi, si) + qdot(fi, wr, sr)
+        else:
+            wr, sr = quant_w(taps_np)
+            yr, yi = qdot(fr, wr, sr), qdot(fi, wr, sr)
+        y = (yr + 1j * yi).astype(jnp.complex64)
+    else:
+        wr, sr = quant_w(taps_np)
+        frames = _frame_overlapping_general(xc.astype(jnp.float32), tile,
+                                            tile + k - 1)
+        y = qdot(frames, wr, sr).astype(xc.dtype)
+    return y.reshape(b, -1)[:, :n_out_true]
+
+
 def _fir_fft(xc: jnp.ndarray, taps: jnp.ndarray, decim: int) -> jnp.ndarray:
     """FFT overlap-save: good for long taps. Frame step L, FFT size N = L + K − 1
     rounded to power of two; valid region = last L samples of each ifft."""
@@ -258,13 +313,16 @@ def fir_apply(x: jnp.ndarray, taps: jnp.ndarray, state: jnp.ndarray,
         if taps_np is None:
             method = "fft" if on_tpu else "conv"  # matmul needs host taps
         elif on_tpu:
-            method = "matmul" if ntaps <= 512 else "fft"
+            method = ("matmul_int8" if os.environ.get(
+                "GR4TPU_FIR_PRECISION", "").lower() == "int8" else "matmul") \
+                if ntaps <= 512 else "fft"
         else:
             method = "conv"
-    if method == "matmul" and ntaps > 1:
+    if method in ("matmul", "matmul_int8") and ntaps > 1:
         if taps_np is None:
             taps_np = np.asarray(jax.device_get(taps))  # explicit opt-in only
-        y = _fir_matmul(xc, taps_np, decim)
+        y = (_fir_matmul_int8 if method == "matmul_int8"
+             else _fir_matmul)(xc, taps_np, decim)
     elif method == "fft" and ntaps > 1:
         y = _fir_fft(xc, taps, decim)
     else:

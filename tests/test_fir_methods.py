@@ -93,3 +93,41 @@ def test_odd_sizes(method, rng):
                      fir_init_state(0, 40, jnp.float32), method=method)
     assert np.asarray(y).shape == (700,)
     np.testing.assert_allclose(np.asarray(y), ref, atol=2e-4)
+
+
+class TestInt8Matmul:
+    def test_real_snr(self, rng):
+        taps = rng.standard_normal(127).astype(np.float32)
+        x = rng.standard_normal(4096).astype(np.float32)
+        ref = np.convolve(x.astype(np.float64), taps)[: len(x)]
+        y, _ = fir_apply(jnp.asarray(x), taps,
+                         fir_init_state(0, 127, jnp.float32),
+                         method="matmul_int8")
+        err = np.asarray(y) - ref
+        snr = 10 * np.log10(np.mean(ref ** 2) / np.mean(err ** 2))
+        assert snr > 40.0, f"int8 SNR {snr:.1f} dB"
+
+    def test_complex_snr(self, rng):
+        taps = (rng.standard_normal(63) + 1j * rng.standard_normal(63)
+                ).astype(np.complex64)
+        x = (rng.standard_normal(2048) + 1j * rng.standard_normal(2048)
+             ).astype(np.complex64)
+        ref = np.convolve(x.astype(np.complex128), taps.astype(np.complex128)
+                          )[: len(x)]
+        y, _ = fir_apply(jnp.asarray(x), taps,
+                         fir_init_state(0, 63, jnp.complex64),
+                         method="matmul_int8")
+        err = np.abs(np.asarray(y) - ref)
+        snr = 10 * np.log10(np.mean(np.abs(ref) ** 2) / np.mean(err ** 2))
+        assert snr > 38.0, f"int8 SNR {snr:.1f} dB"
+
+    def test_decimating(self, rng):
+        taps = rng.standard_normal(32).astype(np.float32)
+        x = rng.standard_normal(2048).astype(np.float32)
+        ref = np.convolve(x.astype(np.float64), taps)[: len(x)][::4]
+        y, _ = fir_apply(jnp.asarray(x), taps,
+                         fir_init_state(0, 32, jnp.float32), decim=4,
+                         method="matmul_int8")
+        err = np.asarray(y) - ref
+        snr = 10 * np.log10(np.mean(ref ** 2) / (np.mean(err ** 2) + 1e-30))
+        assert snr > 40.0
