@@ -44,7 +44,8 @@ _PRECISION = {
     "default": jax.lax.Precision.DEFAULT,
     "high": jax.lax.Precision.HIGH,
     "highest": jax.lax.Precision.HIGHEST,
-}[os.environ.get("GR4TPU_FIR_PRECISION", "high").lower()]
+}.get(os.environ.get("GR4TPU_FIR_PRECISION", "high").lower(),
+      jax.lax.Precision.HIGH)  # 'int8' selects a method, not a dot precision
 
 
 def _as_cx(taps: jnp.ndarray) -> bool:
