@@ -344,6 +344,156 @@ def design_fir(ftype: Type | str, ntaps: int, *, sample_rate: float, f_low: floa
     return h * gain
 
 
+def remez(numtaps: int, bands: Sequence[float], desired: Sequence[float], *,
+          weight: Sequence[float] | None = None, fs: float = 1.0,
+          grid_density: int = 16, maxiter: int = 60) -> np.ndarray:
+    """Parks–McClellan optimal equiripple linear-phase FIR design (Remez exchange).
+
+    Beyond the reference's FilterTool (windowed-sinc only, FilterTool.hpp:1007) —
+    added because GNU Radio users expect ``pm_remez``-style design. Supports
+    type-I (odd ``numtaps``) and type-II (even) symmetric filters.
+
+    ``bands``: flat band-edge list ``[b0_lo, b0_hi, b1_lo, b1_hi, ...]`` in Hz;
+    ``desired``: one gain per band; ``weight``: one relative weight per band.
+    Returns float64 taps of length ``numtaps``.
+    """
+    bands = np.asarray(bands, np.float64).reshape(-1, 2) / fs
+    desired = np.asarray(desired, np.float64)
+    if len(desired) != len(bands):
+        raise ValueError("need one desired gain per band")
+    wt = np.ones(len(bands)) if weight is None else np.asarray(weight, np.float64)
+    if len(wt) != len(bands):
+        raise ValueError("need one weight per band")
+    if np.any(bands < 0) or np.any(bands > 0.5) or np.any(np.diff(bands.ravel()) < 0):
+        raise ValueError("band edges must be ascending within [0, fs/2]")
+    if numtaps < 3:
+        raise ValueError("numtaps must be >= 3")
+    even = numtaps % 2 == 0
+    if even and bands[-1, 1] >= 0.5 - 1e-12 and desired[-1] != 0.0:
+        raise ValueError("even numtaps (type-II FIR) forces zero gain at fs/2; "
+                         "use odd numtaps for a band that is passband at Nyquist")
+    n_cos = (numtaps + 1) // 2          # cosine-polynomial coefficient count
+    r = n_cos + 1                       # extremal frequencies (alternation theorem)
+
+    # dense frequency grid over the union of bands
+    df = 0.5 / (grid_density * n_cos)
+    fgrid, dgrid, wgrid, sgrid = [], [], [], []
+    for i, ((lo, hi), d, w) in enumerate(zip(bands, desired, wt)):
+        npts = max(int(round((hi - lo) / df)) + 1, 5)
+        fgrid.append(np.linspace(lo, hi, npts))
+        dgrid.append(np.full(npts, d))
+        wgrid.append(np.full(npts, w))
+        sgrid.append(np.full(npts, i))
+    fgrid = np.concatenate(fgrid)
+    D = np.concatenate(dgrid)
+    W = np.concatenate(wgrid)
+    seg = np.concatenate(sgrid)
+    if even:
+        # type II: H(f) = cos(pi f) P(f); solve for P with adjusted D, W
+        keep = fgrid < 0.5 - 1e-9
+        fgrid, D, W, seg = fgrid[keep], D[keep], W[keep], seg[keep]
+        cosf = np.cos(np.pi * fgrid)
+        D = D / cosf
+        W = W * cosf
+    xg = np.cos(2.0 * np.pi * fgrid)
+    L = len(fgrid)
+    if L < r:
+        raise ValueError("grid too coarse for this filter order; raise grid_density")
+
+    ext = np.unique(np.round(np.linspace(0, L - 1, r)).astype(int))
+    while len(ext) < r:  # dedupe collisions on tiny grids
+        pool = np.setdiff1d(np.arange(L), ext)
+        ext = np.sort(np.concatenate([ext, pool[: r - len(ext)]]))
+
+    signs = (-1.0) ** np.arange(r)
+    c = beta = xk = None
+    for _ in range(maxiter):
+        xk, Dk, Wk = xg[ext], D[ext], W[ext]
+        diff = xk[:, None] - xk[None, :]
+        np.fill_diagonal(diff, 1.0)
+        sign = np.prod(np.sign(diff), axis=1)
+        logp = np.sum(np.log(np.abs(diff)), axis=1)
+        gamma = sign * np.exp(-(logp - logp.mean()))  # common scale cancels below
+        delta = (gamma @ Dk) / np.sum(gamma * signs / Wk)
+        cvals = Dk - signs * delta / Wk
+        # barycentric interpolation of degree r-2 through the first r-1 extrema
+        beta = gamma[:-1] * (xk[:-1] - xk[-1])
+        c = cvals[:-1]
+        A = _bary_eval(xg, xk[:-1], beta, c)
+        err = W * (A - D)
+
+        # candidate extrema: per-band-segment local maxima AND minima of the
+        # SIGNED error (a "-" slot can sit at a local min even while err > 0
+        # mid-convergence) + segment endpoints typed by their inward slope
+        cand: list[tuple[int, int]] = []   # (grid index, type +1 max / -1 min)
+        for s in range(int(seg[-1]) + 1):
+            idx = np.nonzero(seg == s)[0]
+            if len(idx) == 0:
+                continue
+            e = err[idx]
+            if len(idx) > 2:
+                mx = np.nonzero((e[1:-1] >= e[:-2]) & (e[1:-1] >= e[2:]))[0] + 1
+                mn = np.nonzero((e[1:-1] <= e[:-2]) & (e[1:-1] <= e[2:]))[0] + 1
+                cand.extend((int(idx[i]), +1) for i in mx)
+                cand.extend((int(idx[i]), -1) for i in mn)
+            if len(idx) == 1:
+                cand.append((int(idx[0]), +1 if e[0] >= 0 else -1))
+            else:
+                cand.append((int(idx[0]), +1 if e[0] >= e[1] else -1))
+                cand.append((int(idx[-1]), +1 if e[-1] >= e[-2] else -1))
+        cand = sorted(set(cand))
+        # enforce type alternation; in same-type runs keep the most extreme
+        sel: list[tuple[int, int]] = []
+        for i, t in cand:
+            if sel and i == sel[-1][0]:
+                continue  # plateau point typed both ways — keep one
+            if sel and sel[-1][1] == t:
+                if t * err[i] > t * err[sel[-1][0]]:
+                    sel[-1] = (i, t)
+            else:
+                sel.append((i, t))
+        while len(sel) > r:  # drop the weaker end (preserves alternation)
+            if sel[0][1] * err[sel[0][0]] < sel[-1][1] * err[sel[-1][0]]:
+                sel.pop(0)
+            else:
+                sel.pop()
+        if len(sel) < r:
+            break  # degenerate (over-determined spec); keep last solution
+        sel_idx = [i for i, _ in sel]
+        new_ext = np.asarray(sel_idx)
+        emax = float(np.max(np.abs(err[new_ext])))
+        if np.array_equal(new_ext, ext) or \
+                emax - abs(delta) <= 1e-6 * max(abs(delta), 1e-12):
+            ext = new_ext
+            break
+        ext = new_ext
+
+    # recover taps: sample H(f) = A(f)·[cos(pi f) if type II]·e^{-j pi f (N-1)}
+    nfft = 1
+    while nfft < 4 * numtaps:
+        nfft *= 2
+    fj = np.arange(nfft // 2 + 1) / nfft
+    Af = _bary_eval(np.cos(2.0 * np.pi * fj), xk[:-1], beta, c)
+    if even:
+        Af = Af * np.cos(np.pi * fj)
+    H = Af * np.exp(-1j * np.pi * fj * (numtaps - 1))
+    h = np.fft.irfft(H, nfft)[:numtaps]
+    return 0.5 * (h + h[::-1])  # exact linear-phase symmetry
+
+
+def _bary_eval(x: np.ndarray, nodes: np.ndarray, beta: np.ndarray,
+               vals: np.ndarray) -> np.ndarray:
+    """Barycentric Lagrange evaluation, exact at nodes."""
+    dx = x[:, None] - nodes[None, :]
+    hit = np.abs(dx) < 1e-13
+    dx_safe = np.where(hit, 1.0, dx)
+    wq = beta / dx_safe
+    out = (wq @ vals) / np.sum(wq, axis=1)
+    rows, cols = np.nonzero(hit)
+    out[rows] = vals[cols]
+    return out
+
+
 def freq_response(b: Sequence[float], a: Sequence[float] = (1.0,), *,
                   n: int = 512, sample_rate: float = 2.0 * np.pi,
                   freqs: np.ndarray | None = None) -> tuple[np.ndarray, np.ndarray]:

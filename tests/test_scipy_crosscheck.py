@@ -119,3 +119,68 @@ class TestSavgolVsScipy:
         ours = design_savgol(15, 3, deriv=1, delta=0.5)
         theirs = scipy_signal.savgol_coeffs(15, 3, deriv=1, delta=0.5)
         np.testing.assert_allclose(ours, theirs, atol=1e-12)
+
+
+class TestRemezVsScipy:
+    """Parks-McClellan: the equiripple optimum is unique, so our exchange and
+    SciPy's must land on (nearly) the same filter."""
+
+    CASES = [
+        dict(numtaps=65, bands=[0, 0.20, 0.25, 0.5], desired=[1, 0]),
+        dict(numtaps=64, bands=[0, 0.20, 0.25, 0.5], desired=[1, 0]),   # type II
+        dict(numtaps=33, bands=[0, 0.15, 0.22, 0.5], desired=[1, 0],
+             weight=[1, 5]),
+        dict(numtaps=129, bands=[0, 0.05, 0.07, 0.5], desired=[1, 0]),
+        dict(numtaps=17, bands=[0, 0.1, 0.2, 0.35, 0.425, 0.5],
+             desired=[0, 1, 0]),
+    ]
+
+    @pytest.mark.parametrize("case", CASES,
+                             ids=[f"n{c['numtaps']}" for c in CASES])
+    def test_taps_match(self, case):
+        h = fd.remez(**case)
+        hs = scipy_signal.remez(case["numtaps"], case["bands"],
+                                case["desired"], weight=case.get("weight"),
+                                fs=1.0)
+        assert h.shape == hs.shape
+        np.testing.assert_allclose(h, hs, atol=5e-5)
+
+    def test_weighted_multiband_ripple_near_optimum(self):
+        """Heavily weighted 3-band case: compare achieved weighted ripple, not
+        taps (both solvers stop within grid resolution of the optimum)."""
+        case = dict(numtaps=101, bands=[0, 0.08, 0.12, 0.28, 0.34, 0.5],
+                    desired=[0, 1, 0], weight=[10, 1, 10])
+
+        def ripple(h):
+            H = np.abs(np.fft.rfft(h, 65536))
+            fr = np.arange(len(H)) / 65536
+            worst = 0.0
+            for (lo, hi), d, w in zip(
+                    np.asarray(case["bands"]).reshape(-1, 2),
+                    case["desired"], case["weight"]):
+                m = (fr >= lo) & (fr <= hi)
+                worst = max(worst, w * np.max(np.abs(H[m] - d)))
+            return worst
+
+        h = fd.remez(**case, grid_density=32, maxiter=120)
+        hs = scipy_signal.remez(case["numtaps"], case["bands"],
+                                case["desired"], weight=case["weight"], fs=1.0)
+        assert ripple(h) <= ripple(hs) * 1.05
+
+    def test_symmetry_and_fs_scaling(self):
+        h = fd.remez(51, [0, 2000, 2500, 5000], [1, 0], fs=10000.0)
+        np.testing.assert_allclose(h, h[::-1], atol=0)
+        hs = scipy_signal.remez(51, [0, 2000, 2500, 5000], [1, 0], fs=10000.0)
+        np.testing.assert_allclose(h, hs, atol=5e-5)
+
+    def test_validation(self):
+        with pytest.raises(ValueError):
+            fd.remez(0, [0, 0.2, 0.3, 0.5], [1, 0])
+        with pytest.raises(ValueError):
+            fd.remez(31, [0, 0.3, 0.2, 0.5], [1, 0])   # non-monotonic edges
+        with pytest.raises(ValueError):
+            fd.remez(31, [0, 0.2, 0.3, 0.5], [1, 0, 1])  # desired len mismatch
+        with pytest.raises(ValueError):
+            fd.remez(31, [0, 0.2, 0.3, 0.5], [1, 0], weight=[1])  # weight len
+        with pytest.raises(ValueError):  # type II cannot pass at Nyquist
+            fd.remez(32, [0, 0.15, 0.25, 0.5], [0, 1])
