@@ -41,17 +41,23 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not _SO.exists() and not build_native():
-        return None
+    if not build_native():  # mtime-checked: rebuilds BEFORE the first dlopen
+        return None         # (dlopen caches by path; a later rebuild is invisible)
     try:
-        lib = ctypes.CDLL(str(_SO))
-    except OSError:
+        # PyDLL: the ring ops are nanosecond-scale and never block, so holding
+        # the GIL is cheaper than CDLL's release/reacquire per call (measured
+        # 2x producer throughput with 4 spinning readers)
+        lib = ctypes.PyDLL(str(_SO))
+        lib.gr4_ring_data  # stale prebuilt .so → no native path this process
+    except (OSError, AttributeError):
         return None
     lib.gr4_ring_create.restype = ctypes.c_void_p
     lib.gr4_ring_create.argtypes = [ctypes.c_size_t]
     lib.gr4_ring_destroy.argtypes = [ctypes.c_void_p]
     lib.gr4_ring_capacity.restype = ctypes.c_size_t
     lib.gr4_ring_capacity.argtypes = [ctypes.c_void_p]
+    lib.gr4_ring_data.restype = ctypes.c_void_p
+    lib.gr4_ring_data.argtypes = [ctypes.c_void_p]
     lib.gr4_ring_add_reader.restype = ctypes.c_int
     lib.gr4_ring_add_reader.argtypes = [ctypes.c_void_p]
     lib.gr4_ring_reserve.restype = ctypes.c_void_p
@@ -93,7 +99,13 @@ class HostRing:
             self._h = lib.gr4_ring_create(capacity_items * self.itemsize)
             if not self._h:
                 raise MemoryError("gr4_ring_create failed")
-            self.capacity = lib.gr4_ring_capacity(self._h) // self.itemsize
+            cap_bytes = lib.gr4_ring_capacity(self._h)
+            self.capacity = cap_bytes // self.itemsize
+            # one persistent typed view over the whole double-mapped region:
+            # reserve/read pointers become cheap slices (offset = ptr - base)
+            self._base = lib.gr4_ring_data(self._h)
+            raw = (ctypes.c_char * (2 * cap_bytes)).from_address(self._base)
+            self._view = np.frombuffer(raw, dtype=self.dtype)
         else:  # pure-python fallback (locked deque of bytes)
             self._h = None
             self.capacity = 1
@@ -114,8 +126,8 @@ class HostRing:
             cnt = avail.value // self.itemsize
             if not ptr or cnt == 0:
                 return np.empty(0, self.dtype)
-            buf = (ctypes.c_char * (cnt * self.itemsize)).from_address(ptr)
-            return np.frombuffer(buf, dtype=self.dtype)
+            off = (ptr - self._base) // self.itemsize
+            return self._view[off:off + cnt]
         with self._lock:
             tail = min(self._tails, default=self._head)
             free = self.capacity - (self._head - tail)
@@ -182,8 +194,8 @@ class HostRing:
             cnt = avail.value // self.itemsize
             if not ptr or cnt == 0:
                 return np.empty(0, self.dtype)
-            buf = (ctypes.c_char * (cnt * self.itemsize)).from_address(ptr)
-            return np.frombuffer(buf, dtype=self.dtype)
+            off = (ptr - self._base) // self.itemsize
+            return self._view[off:off + cnt]
         with self._lock:
             tail = self._tails[reader]
             n = self._head - tail

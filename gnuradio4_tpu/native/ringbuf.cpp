@@ -97,6 +97,11 @@ void gr4_ring_destroy(Ring* r) {
 
 std::size_t gr4_ring_capacity(Ring* r) { return r->capacity; }
 
+// base of the double-mapped region (2 x capacity bytes contiguous) — lets the
+// Python wrapper hold ONE persistent numpy view and turn reserve/read pointers
+// into cheap slices instead of per-call buffer construction
+std::uint8_t* gr4_ring_data(Ring* r) { return r->base; }
+
 int gr4_ring_add_reader(Ring* r) {
     int id = r->n_readers.fetch_add(1, std::memory_order_acq_rel);
     if (id >= Ring::kMaxReaders) { r->n_readers.fetch_sub(1); return -1; }
