@@ -14,6 +14,8 @@ callable. Two flavors:
 
 from __future__ import annotations
 
+import threading
+
 from typing import Any, Callable
 
 import jax
@@ -83,3 +85,86 @@ class HostBlock(Block):
             else self.out_shape_fn(x)
         y = jax.pure_callback(self.fn, shape, x, vmap_method="sequential")
         return state, {"out": y}
+
+
+@register_block("StreamSource")
+class StreamSource(Block):
+    """Generic host-push streaming source: any thread calls :meth:`push` with
+    sample arrays; the scheduler drains them through the lock-free host ring
+    (native/ringbuf.cpp ≈ reference CircularBuffer.hpp). Call :meth:`close`
+    to signal end-of-stream.
+
+    This is the programmatic twin of FileSource/SdrSource for data that
+    originates in the user's own Python code (network handlers, simulators,
+    test harnesses)::
+
+        src = g.emplace("StreamSource", dtype="complex64")
+        ...
+        src.push(samples)        # from any thread, before or during run
+        src.close()              # flowgraph drains remaining data, then stops
+    """
+
+    IN = ()
+    OUT = (Port("out"),)
+    FEED = True
+    dtype = Setting(default="float32", kind="static",
+                    choices=("float32", "complex64", "int32", "int16", "uint8"))
+    capacity = Setting(default=1 << 20, kind="static")   # ring items
+    timeout = Setting(default=30.0, kind="static")       # starvation limit (s)
+    wait = Setting(default="sleep", kind="static",
+                   choices=("spin", "yield", "sleep", "block"))
+
+    def __init__(self, name=None, **settings):
+        super().__init__(name=name, **settings)
+        self._ring = None
+        self._reader = None
+        self._ring_lock = threading.Lock()
+
+    def _ensure_ring(self):
+        # user threads (push/close) race the scheduler thread (host_feed) for
+        # first touch — without the lock each side can build its own ring and
+        # the producer's data lands in an orphan
+        with self._ring_lock:
+            if self._ring is None:
+                from ..native.ring import HostRing
+                ring = HostRing(int(self.settings.get("capacity")),
+                                np.dtype(str(self.settings.get("dtype"))))
+                self._reader = ring.add_reader()
+                self._ring = ring
+        return self._ring
+
+    # -- producer side (user threads) ------------------------------------------
+    def push(self, data, *, block: bool = True, timeout: float = 10.0) -> int:
+        """Queue samples for the flowgraph. Returns items accepted (may be short
+        only when ``block=False`` or on timeout against a stalled graph)."""
+        ring = self._ensure_ring()
+        if ring.eos:
+            from ..core.errors import GrError
+            raise GrError(f"{self.name}: push() after close()")
+        return ring.write(np.asarray(data), block=block, timeout=timeout)
+
+    def close(self) -> None:
+        """Mark end-of-stream; the graph stops once the ring drains."""
+        self._ensure_ring().set_eos()
+
+    # -- scheduler side --------------------------------------------------------
+    def host_feed(self, n, abs_index):
+        from ..core.feeder import read_exact
+        self._ensure_ring()
+        if n > self._ring.capacity:
+            from ..core.errors import GrError
+            raise GrError(
+                f"{self.name}: ring capacity {self._ring.capacity} < scheduler "
+                f"block_len {n}; raise the 'capacity' setting")
+        got = read_exact(self._ring, self._reader, n,
+                         timeout=float(self.settings.get("timeout")),
+                         wait=str(self.settings.get("wait")))
+        if got is None:
+            return None
+        return {"out": got}, len(got)
+
+    def out_dtype(self, port, in_dtypes):
+        return np.dtype(str(self.settings.get("dtype")))
+
+    def apply(self, state, ins, ctx):
+        return state, {"out": ins["out"]}

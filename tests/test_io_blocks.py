@@ -216,3 +216,44 @@ class TestSdrMultiChannel:
         # both channels carry the tone; channel 1 has the 0.1-rad phase offset
         ratio = iq[1, 100:200] / iq[0, 100:200]
         np.testing.assert_allclose(np.angle(ratio), 2 * np.pi * 0.1, atol=1e-3)
+
+
+class TestStreamSource:
+    """Generic host-push source (blocks/python_block.py StreamSource)."""
+
+    def test_threaded_push_exact_roundtrip(self):
+        data = np.arange(100_003, dtype=np.float32)
+        g = gr.Graph()
+        src = g.emplace("StreamSource")
+        snk = g.emplace("VectorSink")
+        g.connect(src, snk)
+
+        def producer():
+            pos = 0
+            while pos < len(data):
+                n = min(7919, len(data) - pos)   # chunks misaligned to blocks
+                src.push(data[pos:pos + n])
+                pos += n
+            src.close()
+
+        threading.Thread(target=producer, daemon=True).start()
+        gr.Scheduler(g, block_len=4096, sample_rate=1e6).run_and_wait()
+        y = np.asarray(snk.data())
+        assert len(y) >= len(data)
+        np.testing.assert_array_equal(y[: len(data)], data)
+
+    def test_complex_dtype_and_push_after_close(self):
+        g = gr.Graph()
+        src = g.emplace("StreamSource", dtype="complex64")
+        snk = g.emplace("VectorSink")
+        g.connect(src, snk)
+        c = (np.linspace(0, 1, 8192) + 1j * np.linspace(1, 0, 8192)
+             ).astype(np.complex64)
+        src.push(c)
+        src.close()
+        gr.Scheduler(g, block_len=2048, sample_rate=1e6).run_and_wait()
+        y = np.asarray(snk.data())[: len(c)]
+        assert y.dtype == np.complex64
+        np.testing.assert_array_equal(y, c)
+        with pytest.raises(Exception, match="after close"):
+            src.push(np.zeros(4, np.complex64))
