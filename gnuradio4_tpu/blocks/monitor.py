@@ -58,6 +58,8 @@ class ImChartMonitor(SinkBlock):
 
     def draw(self, config=None):
         """Drawable protocol: render the current history on demand."""
+        if len(self._hist.view()) == 0:
+            return None  # nothing consumed yet (e.g. dashboard's first frame)
         chart = ImChart(int(self.settings.get("width")),
                         int(self.settings.get("height")))
         chart.plot(self._hist.view(), label=self.name)

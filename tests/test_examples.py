@@ -54,3 +54,47 @@ def test_channelizer_example_with_poller():
     data = np.concatenate([c.data for c in chunks], axis=-1)
     # tone at 5 MHz = channel 5 of 16 @ 16 MHz → strong dB level
     assert np.median(data[2000:]) > -10.0
+
+
+class TestCliDashboard:
+    """`python -m gnuradio4_tpu run --draw` (live Drawable dashboard)."""
+
+    YAML = """
+name: dash
+sample_rate: 48000.0
+block_len: 8192
+blocks:
+  - name: src
+    id: SignalGenerator
+    parameters: {frequency: 440.0, n_samples: 262144}
+  - name: mon
+    id: ImChartMonitor
+    parameters: {window: 256}
+connections:
+  - [src, out, mon, in]
+"""
+
+    def test_draw_renders_final_frame(self, tmp_path):
+        import subprocess, sys
+        f = tmp_path / "dash.yaml"
+        f.write_text(self.YAML)
+        r = subprocess.run(
+            [sys.executable, "-m", "gnuradio4_tpu", "run", str(f), "--cpu",
+             "--draw", "--draw-interval", "0.1"],
+            capture_output=True, text=True, timeout=180)
+        assert r.returncode == 0, r.stderr[-500:]
+        assert "mon" in r.stdout          # chart header for the monitor block
+        assert "[STOPPED] step" in r.stdout
+
+    def test_draw_without_drawables_falls_back(self, tmp_path):
+        import subprocess, sys
+        yaml = self.YAML.replace("ImChartMonitor", "NullSink").replace(
+            "    parameters: {window: 256}\n", "")
+        f = tmp_path / "plain.yaml"
+        f.write_text(yaml)
+        r = subprocess.run(
+            [sys.executable, "-m", "gnuradio4_tpu", "run", str(f), "--cpu",
+             "--draw"],
+            capture_output=True, text=True, timeout=180)
+        assert r.returncode == 0, r.stderr[-500:]
+        assert "no drawable blocks" in r.stderr
