@@ -367,3 +367,34 @@ class PerformanceMonitor(SinkBlock):
         if self.t0 is None or self.t_last is None or self.t_last <= self.t0:
             return 0.0
         return self.n / (self.t_last - self.t0)
+
+
+@register_block("SettingsChangeRecorder")
+class SettingsChangeRecorder(Block):
+    """Pass-through that scales by ``scaling_factor`` and records every applied
+    settings change (≈ reference SettingsChangeRecorder test block) — used to
+    assert staged→applied timing, tag auto-update, and context switches.
+
+    ``recorded`` holds ``(step_or_None, {key: new_value})`` in apply order.
+    """
+
+    IN = (Port("in"),)
+    OUT = (Port("out"),)
+    scaling_factor = Setting(default=1.0, kind="dynamic")
+    context = Setting(default="", kind="static")
+
+    def __init__(self, name=None, **settings):
+        super().__init__(name=name, **settings)
+        self.recorded: list[tuple[int | None, dict]] = []
+        self._step = 0
+
+    def apply(self, state, ins, ctx):
+        return state, {"out": ins["in"] * ctx.params["scaling_factor"]}
+
+    def on_settings_applied(self, res) -> None:
+        if res.applied:
+            self.recorded.append((self._step, dict(res.applied)))
+
+    def process_tags(self, in_tags, ctx):
+        self._step = ctx.step
+        return super().process_tags(in_tags, ctx)

@@ -18,6 +18,7 @@ import numpy as np
 _HERE = Path(__file__).resolve().parent
 _SO = _HERE / "libgr4ring.so"
 _lib = None
+_lib_blocking = None   # CDLL view of the same .so (releases the GIL per call)
 _build_lock = threading.Lock()
 
 
@@ -48,7 +49,7 @@ def _load():
         # the GIL is cheaper than CDLL's release/reacquire per call (measured
         # 2x producer throughput with 4 spinning readers)
         lib = ctypes.PyDLL(str(_SO))
-        lib.gr4_ring_data  # stale prebuilt .so → no native path this process
+        lib.gr4_ring_data, lib.gr4_ring_reserve_mp  # stale prebuilt .so → no native path
     except (OSError, AttributeError):
         return None
     lib.gr4_ring_create.restype = ctypes.c_void_p
@@ -76,6 +77,18 @@ def _load():
     lib.gr4_ring_set_eos.argtypes = [ctypes.c_void_p]
     lib.gr4_ring_eos.restype = ctypes.c_int
     lib.gr4_ring_eos.argtypes = [ctypes.c_void_p]
+    lib.gr4_ring_reserve_mp.restype = ctypes.c_void_p
+    lib.gr4_ring_reserve_mp.argtypes = [ctypes.c_void_p, ctypes.c_size_t,
+                                        ctypes.POINTER(ctypes.c_size_t),
+                                        ctypes.POINTER(ctypes.c_uint64)]
+    # publish_mp spin-waits for predecessor producers — it MUST release the GIL
+    # (through PyDLL the spinning thread would hold the GIL the predecessor
+    # needs to finish its copy: instant deadlock). CDLL view of the same lib.
+    global _lib_blocking
+    libb = ctypes.CDLL(str(_SO))
+    libb.gr4_ring_publish_mp.argtypes = [ctypes.c_void_p, ctypes.c_uint64,
+                                         ctypes.c_size_t]
+    _lib_blocking = libb
     _lib = lib
     return lib
 
@@ -89,7 +102,16 @@ class HostRing:
     path) valid until the matching publish/release."""
 
     def __init__(self, capacity_items: int, dtype=np.float32, *,
-                 force_python: bool = False):
+                 force_python: bool = False, producers: str = "single"):
+        """``producers="multi"`` enables the CAS-claim multi-producer path
+        (≈ MultiProducerStrategy, ClaimStrategy.hpp:116): concurrent
+        :meth:`write` calls from many threads claim disjoint ranges and
+        publish in ticket order. Zero-copy reserve/publish stays
+        single-producer-only."""
+        if producers not in ("single", "multi"):
+            raise ValueError("producers must be 'single' or 'multi'")
+        self.producers = producers
+        self._mp_lock = threading.Lock()  # python-fallback MP serialization
         self.dtype = np.dtype(dtype)
         self.itemsize = self.dtype.itemsize
         lib = None if force_python else _load()
@@ -119,6 +141,13 @@ class HostRing:
     # -- producer --------------------------------------------------------------
     def reserve(self, n: int) -> np.ndarray:
         """Writable contiguous view of ≤ n items (may be shorter; len 0 = full)."""
+        if self.producers == "multi":
+            raise RuntimeError(
+                "zero-copy reserve/publish is single-producer-only; on a "
+                "producers='multi' ring use write() (CAS range claim)")
+        return self._reserve_unchecked(n)
+
+    def _reserve_unchecked(self, n: int) -> np.ndarray:
         if self._h is not None:
             avail = ctypes.c_size_t()
             ptr = self._lib.gr4_ring_reserve(self._h, n * self.itemsize,
@@ -157,21 +186,52 @@ class HostRing:
 
     def write(self, data: np.ndarray, *, block: bool = True,
               timeout: float = 10.0) -> int:
-        """Convenience copy-in; blocks for space if requested. Returns items written."""
+        """Convenience copy-in; blocks for space if requested. Returns items written.
+
+        Thread-safe across concurrent writers when the ring was created with
+        ``producers="multi"`` (CAS range claim + ticket-ordered publish)."""
         import time as _t
         data = np.ascontiguousarray(data, dtype=self.dtype)
         done = 0
         deadline = _t.monotonic() + timeout
+        multi = self.producers == "multi"
         while done < len(data):
-            span = self.reserve(len(data) - done)
-            if len(span) == 0:
-                if not block or _t.monotonic() > deadline:
-                    return done
-                _t.sleep(1e-4)
+            if multi and self._h is not None:
+                avail = ctypes.c_size_t()
+                ticket = ctypes.c_uint64()
+                ptr = self._lib.gr4_ring_reserve_mp(
+                    self._h, (len(data) - done) * self.itemsize,
+                    ctypes.byref(avail), ctypes.byref(ticket))
+                cnt = avail.value // self.itemsize
+                if not ptr or cnt == 0:
+                    if not block or _t.monotonic() > deadline:
+                        return done
+                    _t.sleep(1e-4)
+                    continue
+                off = (ptr - self._base) // self.itemsize
+                self._view[off:off + cnt] = data[done:done + cnt]
+                _lib_blocking.gr4_ring_publish_mp(self._h, ticket.value,
+                                                  cnt * self.itemsize)
+                done += cnt
                 continue
-            span[:] = data[done:done + len(span)]
-            self.publish(len(span))
-            done += len(span)
+            if multi:
+                with self._mp_lock:  # python fallback: serialize writers
+                    span = self._reserve_unchecked(len(data) - done)
+                    if len(span):
+                        span[:] = data[done:done + len(span)]
+                        self.publish(len(span))
+                        done += len(span)
+                        continue
+            else:
+                span = self.reserve(len(data) - done)
+                if len(span):
+                    span[:] = data[done:done + len(span)]
+                    self.publish(len(span))
+                    done += len(span)
+                    continue
+            if not block or _t.monotonic() > deadline:
+                return done
+            _t.sleep(1e-4)
         return done
 
     # -- consumers -------------------------------------------------------------

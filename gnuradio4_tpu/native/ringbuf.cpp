@@ -17,6 +17,7 @@
 #include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <ctime>
 #include <new>
 
 #include <sys/mman.h>
@@ -169,5 +170,41 @@ std::size_t gr4_ring_writable(Ring* r) {
 
 void gr4_ring_set_eos(Ring* r) { r->eos.store(1, std::memory_order_release); }
 int gr4_ring_eos(Ring* r) { return r->eos.load(std::memory_order_acquire); }
+
+// -- multi-producer claim (≈ MultiProducerStrategy, ClaimStrategy.hpp:116) ----
+// Producers CAS-claim disjoint byte ranges on the `reserved` cursor; publish
+// completes in ticket order (each producer waits until `head` reaches its
+// claim start, then advances it past its range). Ordered completion replaces
+// the reference's per-slot AtomicBitset — simpler, and producer copies are
+// similar-sized here so out-of-order completion windows are short.
+
+std::uint8_t* gr4_ring_reserve_mp(Ring* r, std::size_t n, std::size_t* avail,
+                                  std::uint64_t* ticket) {
+    for (;;) {
+        std::uint64_t claim = r->reserved.value.load(std::memory_order_acquire);
+        std::uint64_t tail = min_tail(r);
+        std::size_t free_b = r->capacity - (std::size_t)(claim - tail);
+        std::size_t grant = n < free_b ? n : free_b;
+        if (grant == 0) { *avail = 0; return nullptr; }
+        if (r->reserved.value.compare_exchange_weak(
+                claim, claim + grant,
+                std::memory_order_acq_rel, std::memory_order_acquire)) {
+            *avail = grant;
+            *ticket = claim;
+            return r->base + (claim & (r->capacity - 1));
+        }
+    }
+}
+
+void gr4_ring_publish_mp(Ring* r, std::uint64_t ticket, std::size_t n) {
+    int spins = 0;
+    while (r->head.value.load(std::memory_order_acquire) != ticket) {
+        if (++spins > 4096) {  // be polite under heavy producer contention
+            struct timespec ts{0, 1000};
+            nanosleep(&ts, nullptr);
+        }
+    }
+    r->head.value.store(ticket + n, std::memory_order_release);
+}
 
 } // extern "C"

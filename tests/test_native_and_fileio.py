@@ -234,3 +234,59 @@ class TestNativeConvert:
         ref = iq.astype(np.float32) / 32768.0
         np.testing.assert_allclose(out.real, ref[0::2], atol=1e-6)
         np.testing.assert_allclose(out.imag, ref[1::2], atol=1e-6)
+
+
+class TestMultiProducerRing:
+    """CAS-claim multi-producer write path (≈ MultiProducerStrategy,
+    ClaimStrategy.hpp:116): concurrent writers, ticket-ordered publish."""
+
+    @pytest.mark.parametrize("force_py", [False, True],
+                             ids=["native", "python"])
+    def test_concurrent_writers_no_interleave_corruption(self, force_py):
+        import threading, time
+        ring = HostRing(1 << 14, np.int64, force_python=force_py,
+                        producers="multi")
+        rid = ring.add_reader()
+        NP, PER = 4, 30_000
+        def producer(pid):
+            seq = (np.int64(pid) << 48) | np.arange(PER, dtype=np.int64)
+            pos = 0
+            rng = np.random.default_rng(pid)
+            while pos < PER:
+                n = int(min(rng.integers(1, 2049), PER - pos))
+                assert ring.write(seq[pos:pos + n], timeout=60) == n
+                pos += n
+        out = []
+        def consumer():
+            got = 0
+            while got < NP * PER:
+                span = ring.read(rid, 0)
+                if len(span) == 0:
+                    time.sleep(1e-5)
+                    continue
+                out.append(span.copy())
+                ring.release(rid, len(span))
+                got += len(span)
+        threads = [threading.Thread(target=producer, args=(p,), daemon=True)
+                   for p in range(NP)]
+        ct = threading.Thread(target=consumer, daemon=True)
+        ct.start()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(120)
+        ct.join(120)
+        y = np.concatenate(out)
+        assert len(y) == NP * PER
+        for p in range(NP):   # each producer's substream complete and in order
+            sub = y[(y >> 48) == p] & ((1 << 48) - 1)
+            np.testing.assert_array_equal(sub, np.arange(PER))
+
+    def test_invalid_producers_arg(self):
+        with pytest.raises(ValueError, match="single.*multi|multi.*single"):
+            HostRing(1024, producers="many")
+
+    def test_zero_copy_reserve_rejected_on_multi(self):
+        ring = HostRing(1024, producers="multi")
+        with pytest.raises(RuntimeError, match="single-producer-only"):
+            ring.reserve(8)

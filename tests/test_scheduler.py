@@ -230,3 +230,26 @@ def test_block_message_edges_drive_settings():
     np.testing.assert_allclose(out[:1024], np.arange(1024))
     # gain applies at the step boundary after the message
     np.testing.assert_allclose(out[1536:], 7.0 * np.arange(1536, 4096))
+
+
+def test_settings_change_recorder_message_and_tag_paths():
+    """SettingsChangeRecorder captures applied changes from BOTH control paths:
+    a Set message and a tag auto-update (key matching a setting name)."""
+    from gnuradio4_tpu.core.tags import Tag
+
+    g = gr.Graph()
+    src = g.emplace("TagSource", value=1.0, n_samples=16384,
+                    tags=[Tag(8192, {"scaling_factor": 3.0})])
+    rec = g.emplace("SettingsChangeRecorder", scaling_factor=2.0, name="rec")
+    snk = g.emplace("VectorSink")
+    g.connect_chain(src, rec, snk)
+    sched = gr.Scheduler(g, block_len=4096, sample_rate=1e6)
+    sched.bus.send_command(Command.Set, "rec", Property.SETTING,
+                           {"scaling_factor": 5.0})
+    sched.run_and_wait()
+    y = np.asarray(snk.data())
+    seen = [v for v in (2.0, 5.0, 3.0) if np.any(np.isclose(y, v))]
+    assert 5.0 in seen and 3.0 in seen          # message then tag both applied
+    changes = [c for _, c in rec.recorded]
+    assert {"scaling_factor": 5.0} in changes
+    assert {"scaling_factor": 3.0} in changes
