@@ -185,3 +185,45 @@ class TestUserBlocks:
         gr.Scheduler(g, block_len=128).run_and_wait()
         np.testing.assert_allclose(snk.data(), np.arange(1, 129, dtype=np.float32))
         assert calls  # actually ran on host
+
+
+class TestBenchmarkHarness:
+    """utils/benchmark.py (≈ reference bench/benchmark.hpp)."""
+
+    def test_benchmark_basic(self):
+        from gnuradio4_tpu.utils.benchmark import benchmark
+        acc = []
+        r = benchmark(lambda: acc.append(1), n=1000, warmup=1, name="append")
+        assert r.n_ops == 1000 and len(acc) >= 1000
+        assert r.wall_s > 0 and r.ops_per_s > 0
+        assert "append" in str(r) and "ops/s" in str(r)
+
+    def test_benchmark_autocalibration(self):
+        from gnuradio4_tpu.utils.benchmark import benchmark
+        r = benchmark(lambda: sum(range(100)), min_time=0.05, name="sum")
+        assert r.wall_s >= 0.02  # calibrated into the ballpark
+
+    def test_counters_graceful_when_unavailable(self):
+        from gnuradio4_tpu.utils.benchmark import PerfCounters, benchmark
+        pc = PerfCounters()
+        try:
+            r = benchmark(lambda: None, n=100)
+            if pc.available:   # real PMU: counters must be populated + sane
+                assert r.counters.get("cycles", 0) > 0
+                assert r.ipc is None or r.ipc > 0
+            else:              # VM without PMU: clean empty-dict degradation
+                assert r.counters == {}
+                assert r.cycles_per_op is None and r.ipc is None
+        finally:
+            pc.close()
+
+    def test_marker_map(self):
+        import time
+        from gnuradio4_tpu.utils.benchmark import MarkerMap
+        mm = MarkerMap()
+        mm.mark("a"); time.sleep(0.01); mm.mark("b"); mm.mark("c")
+        iv = dict(mm.intervals())
+        assert iv["a→b"] >= 0.009 and iv["b→c"] < 0.01
+        assert mm.total_s() >= 0.009
+        mm.clear()
+        assert mm.intervals() == [] and mm.total_s() == 0.0
