@@ -25,6 +25,7 @@ from .core.messages import Command, Message, MessageBus, Property
 from .core.registry import (BlockRegistry, PluginLoader, global_registry,
                             global_scheduler_registry, register_block,
                             register_scheduler)
+from .core.runtime import PipeSink, Runtime
 from .core.scheduler import Scheduler, SimpleScheduler, BreadthFirstScheduler
 from .core.settings import Setting, Settings, SettingsCtx
 from .core.stream import StreamSpec
@@ -51,7 +52,8 @@ __all__ = [
     "CompiledGraph", "compile_graph", "Error", "GrError", "Edge", "Graph", "State",
     "Command", "Message", "MessageBus", "Property", "BlockRegistry", "PluginLoader",
     "global_registry", "global_scheduler_registry", "register_block",
-    "register_scheduler", "Scheduler", "SimpleScheduler", "BreadthFirstScheduler",
+    "register_scheduler", "Runtime", "PipeSink", "Scheduler", "SimpleScheduler",
+    "BreadthFirstScheduler",
     "Setting", "Settings", "SettingsCtx", "StreamSpec", "Keys", "Tag",
     "TagPropagation",
 ]

@@ -118,7 +118,13 @@ class Scheduler:
             self.fsm.force_error()
             raise
         finally:
-            self._drain()
+            try:
+                self._drain()
+            except Exception as e:
+                if self.error is None:
+                    self.error = Error.here(str(e), block=self.name)
+                self.fsm.force_error()
+                raise
             if self.fsm.state in (State.RUNNING, State.PAUSED, State.REQUESTED_PAUSE):
                 self.fsm.transition_to(State.REQUESTED_STOP)
             if self.fsm.state is State.REQUESTED_STOP:
@@ -138,6 +144,10 @@ class Scheduler:
             self._runner.join(timeout)
             if self._runner.is_alive():
                 raise TimeoutError(f"{self.name} still running")
+        if self.fsm.state is State.ERROR and self.error is not None:
+            # surface runner-thread failures to the waiter (a dead background
+            # thread would otherwise look like a clean finish)
+            raise GrError(f"{self.name} failed: {self.error.message}")
 
     def request_pause(self) -> None:
         self.fsm.transition_to(State.REQUESTED_PAUSE)
