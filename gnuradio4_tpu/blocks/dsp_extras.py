@@ -226,3 +226,62 @@ class PllCarrierTracking(Block):
         (ph, fr), yT = jax.lax.scan(step, (state["phase"], state["freq"]), xT)
         return ({"phase": ph, "freq": fr},
                 {"out": jnp.moveaxis(yT, 0, -1).astype(jnp.complex64)})
+
+
+@register_block("CostasLoop")
+class CostasLoop(Block):
+    """Decision-directed carrier recovery for M-PSK (≈ GNU Radio
+    costas_loop_cc; beyond the reference's blocklib, expected by GR users).
+
+    Order 2 (BPSK): e = Re·Im; order 4 (QPSK): e = sign(Re)·Im − sign(Im)·Re;
+    order 8 (8PSK): QPSK detector with the K = √2−1 axis weighting.
+    """
+
+    IN = (Port("in", dtype="complex64"),)
+    OUT = (Port("out", dtype="complex64"),)
+    loop_bw = Setting(default=0.02, kind="static", limits=(1e-6, 1.0))
+    order = Setting(default=4, kind="static", choices=(2, 4, 8))
+    max_freq = Setting(default=1.0, kind="static",
+                       description="frequency clamp, rad/sample")
+
+    def init_state(self, ctx):
+        ch = ctx.channels.get("in", 0)
+        shape = () if ch == 0 else (ch,)
+        return {"phase": jnp.zeros(shape, jnp.float32),
+                "freq": jnp.zeros(shape, jnp.float32)}
+
+    def apply(self, state, ins, ctx):
+        x = ins["in"]
+        order = int(self.settings.get("order"))
+        bw = float(self.settings.get("loop_bw"))
+        fmax = float(self.settings.get("max_freq"))
+        damp = float(np.sqrt(2.0) / 2.0)
+        denom = 1.0 + 2.0 * damp * bw + bw * bw
+        alpha = jnp.float32(4.0 * damp * bw / denom)
+        beta = jnp.float32(4.0 * bw * bw / denom)
+        k8 = jnp.float32(np.sqrt(2.0) - 1.0)
+
+        def detector(yn):
+            re, im = jnp.real(yn), jnp.imag(yn)
+            if order == 2:
+                return re * im
+            if order == 4:
+                return jnp.sign(re) * im - jnp.sign(im) * re
+            # 8PSK (GR costas_loop_cc order-8 detector)
+            cond = jnp.abs(re) >= jnp.abs(im)
+            return jnp.where(cond,
+                             jnp.sign(re) * im - jnp.sign(im) * re * k8,
+                             jnp.sign(re) * im * k8 - jnp.sign(im) * re)
+
+        def step(carry, xn):
+            ph, fr = carry
+            yn = xn * jnp.exp(-1j * ph.astype(jnp.complex64))
+            err = detector(yn)
+            fr = jnp.clip(fr + beta * err, -fmax, fmax)
+            ph = jnp.mod(ph + fr + alpha * err + np.pi, 2.0 * np.pi) - np.pi
+            return (ph, fr), yn
+
+        xT = jnp.moveaxis(x, -1, 0)
+        (ph, fr), yT = jax.lax.scan(step, (state["phase"], state["freq"]), xT)
+        return ({"phase": ph, "freq": fr},
+                {"out": jnp.moveaxis(yT, 0, -1).astype(jnp.complex64)})

@@ -167,3 +167,55 @@ class TestCoarseCfo:
         spec = np.abs(np.fft.fft(y4))
         k = np.argmax(spec)
         assert k == 0 or k == len(y4) - 1 or k == 1
+
+
+class TestCostasLoop:
+    @staticmethod
+    def _run(order, syms_per_sym, cfo, ph0, nsym=16384, bw=0.05):
+        rng = np.random.default_rng(0)
+        m = order
+        # BPSK locks to the real axis (no offset); QPSK/8PSK to pi/m offsets
+        off = 0.0 if m == 2 else np.pi / m
+        pts = np.exp(1j * (off + 2 * np.pi / m *
+                           rng.integers(0, m, nsym)))
+        x = (pts * np.exp(1j * (cfo * np.arange(nsym) + ph0))
+             ).astype(np.complex64)
+        g = gr.Graph()
+        src = g.emplace("StreamSource", dtype="complex64")
+        cl = g.emplace("CostasLoop", order=order, loop_bw=bw)
+        snk = g.emplace("VectorSink")
+        g.connect_chain(src, cl, snk)
+        src.push(x)
+        src.close()
+        gr.Scheduler(g, block_len=4096, sample_rate=1e6).run_and_wait()
+        return np.asarray(snk.data())[:nsym]
+
+    @pytest.mark.parametrize("order", [2, 4, 8])
+    def test_locks_on_residual_carrier(self, order):
+        y = self._run(order, 1, cfo=0.003, ph0=0.7)
+        tail = y[10000:]
+        m = order
+        off = 0.0 if m == 2 else np.pi / m
+        # post-lock samples sit on the constellation modulo the 2pi/m ambiguity
+        ang = np.angle(tail * np.exp(-1j * off))
+        err = np.abs(((ang + np.pi / m) % (2 * np.pi / m)) - np.pi / m)
+        assert np.degrees(err.mean()) < 4.0, \
+            f"order {m}: mean angular error {np.degrees(err.mean()):.2f} deg"
+
+    def test_state_continuity_across_blocks(self):
+        y1 = self._run(4, 1, cfo=0.002, ph0=0.3)
+        # same input through tiny blocks must match (state carries phase/freq)
+        rng = np.random.default_rng(0)
+        pts = np.exp(1j * (np.pi / 4 + np.pi / 2 * rng.integers(0, 4, 16384)))
+        x = (pts * np.exp(1j * (0.002 * np.arange(16384) + 0.3))
+             ).astype(np.complex64)
+        g = gr.Graph()
+        src = g.emplace("StreamSource", dtype="complex64")
+        cl = g.emplace("CostasLoop", order=4, loop_bw=0.05)
+        snk = g.emplace("VectorSink")
+        g.connect_chain(src, cl, snk)
+        src.push(x)
+        src.close()
+        gr.Scheduler(g, block_len=512, sample_rate=1e6).run_and_wait()
+        y2 = np.asarray(snk.data())[:16384]
+        np.testing.assert_allclose(y1, y2, atol=2e-5)
