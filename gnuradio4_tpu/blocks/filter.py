@@ -116,6 +116,33 @@ class FreqXlatingFir(FirFilter):
         return {"hist": hist, "phase": new_phase}, {"out": y}
 
 
+@register_block("IQDemodulator")
+class IQDemodulator(FreqXlatingFir):
+    """RF → decimated complex baseband in one block (≈ reference IQDemodulator,
+    blocks/filter FrequencyEstimator.hpp, Resampling<1024,1>): heterodyne at
+    ``center_freq``, anti-alias low-pass, decimate by ``decim``. Taps are
+    auto-designed (windowed-sinc, cutoff 0.4·fs/decim, 8·decim+1 taps) unless
+    given explicitly. Accepts real or complex input."""
+
+    IN = (Port("in"),)   # real RF or complex IF both work
+    OUT = (Port("out", dtype="complex64"),)
+    taps = Setting(default=(), kind="static",
+                   description="anti-alias taps; empty → auto-designed")
+
+    def _taps_array(self):
+        user = np.asarray(self.settings.get("taps"))
+        if user.size:   # explicit taps win over the auto design
+            return super()._taps_array()
+        if getattr(self, "_auto_taps", None) is None:
+            from ..ops.filter_design import design_fir
+            d = int(self.settings.get("decim"))
+            ntaps = 8 * d + 1
+            self._auto_taps = design_fir(
+                "lowpass", ntaps, sample_rate=1.0, f_low=0.4 / max(d, 1),
+                window="Hamming").astype(np.float32)
+        return self._auto_taps
+
+
 @register_block("Decimator")
 class Decimator(Block):
     """Keep every N-th sample (≈ Decimator, time_domain_filter.hpp:216)."""

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.block import Block, BlockCtx, Port, SinkBlock, SourceBlock
+from ..core.errors import GrError
 from ..core.registry import register_block
 from ..core.settings import Setting
 from ..core.stream import canonical_dtype
@@ -398,3 +399,69 @@ class SettingsChangeRecorder(Block):
     def process_tags(self, in_tags, ctx):
         self._step = ctx.step
         return super().process_tags(in_tags, ctx)
+
+
+@register_block("ArraySource")
+class ArraySource(SourceBlock):
+    """Multi-port playback source: one host array per output port
+    (≈ ArraySource qa helper, CollectionTestBlocks.hpp). All arrays must share
+    the trailing (time) length; ports are named out0..outN-1."""
+
+    OUT = ()
+    FEED = True
+    repeat = Setting(default=False, kind="static")
+
+    def __init__(self, arrays=(), name=None, **settings):
+        super().__init__(name=name, **settings)
+        self.arrays = [np.asarray(a) for a in arrays]
+        if not self.arrays:
+            raise GrError("ArraySource needs at least one array")
+        if len({a.shape[-1] for a in self.arrays}) != 1:
+            raise GrError("ArraySource arrays must share the time length")
+        self.out_ports = tuple(Port(f"out{i}") for i in range(len(self.arrays)))
+
+    def out_dtype(self, port, in_dtypes):
+        return self.arrays[int(port[3:])].dtype
+
+    def out_channels(self, port, in_channels):
+        a = self.arrays[int(port[3:])]
+        return 0 if a.ndim <= 1 else a.shape[0]
+
+    def host_feed(self, n, abs_index):
+        total = self.arrays[0].shape[-1]
+        if self.settings.get("repeat"):
+            idx = (np.arange(abs_index, abs_index + n) % total)
+            return {f"out{i}": a[..., idx] for i, a in enumerate(self.arrays)}, n
+        if abs_index >= total:
+            return None
+        out = {f"out{i}": a[..., abs_index:abs_index + n]
+               for i, a in enumerate(self.arrays)}
+        return out, self.arrays[0][..., abs_index:abs_index + n].shape[-1]
+
+    def apply(self, state, ins, ctx):
+        return state, dict(ins)
+
+
+@register_block("ArraySink")
+class ArraySink(SinkBlock):
+    """Multi-port collecting sink: captures each input port into its own list
+    (≈ ArraySink qa helper). ``data(i)`` returns port i's concatenated stream."""
+
+    IN = ()
+
+    def __init__(self, n_inputs: int = 1, name=None, **settings):
+        super().__init__(name=name, **settings)
+        self.in_ports = tuple(Port(f"in{i}") for i in range(int(n_inputs)))
+        self._chunks: dict[str, list[np.ndarray]] = \
+            {p.name: [] for p in self.in_ports}
+
+    def consume(self, arrays, tags, n_valid, abs_index):
+        for pname, arr in arrays.items():
+            if n_valid > 0:
+                self._chunks[pname].append(np.asarray(arr[..., :n_valid]))
+
+    def data(self, port: int = 0) -> np.ndarray:
+        chunks = self._chunks[f"in{port}"]
+        if not chunks:
+            return np.zeros(0)
+        return np.concatenate(chunks, axis=-1)

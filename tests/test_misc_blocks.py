@@ -307,3 +307,52 @@ class TestEstimators:
         for k in range(1, 10):
             r = sre.update(k * 1000, k * 1.0)
         np.testing.assert_allclose(r, 1000.0, rtol=0.01)
+
+
+class TestArraySourceSink:
+    """Multi-port qa helpers (≈ ArraySource/ArraySink, CollectionTestBlocks.hpp)."""
+
+    def test_two_port_roundtrip(self):
+        a0 = np.arange(10_000, dtype=np.float32)
+        a1 = -np.arange(10_000, dtype=np.float32)
+        g = gr.Graph()
+        src = gr.global_registry.create("ArraySource", arrays=[a0, a1])
+        snk = gr.global_registry.create("ArraySink", n_inputs=2)
+        g.add(src); g.add(snk)
+        g.connect(src["out0"], snk["in0"])
+        g.connect(src["out1"], snk["in1"])
+        gr.Scheduler(g, block_len=1024, sample_rate=1e6).run_and_wait()
+        np.testing.assert_array_equal(snk.data(0)[:10_000], a0)
+        np.testing.assert_array_equal(snk.data(1)[:10_000], a1)
+
+    def test_validation(self):
+        with pytest.raises(gr.GrError, match="at least one"):
+            gr.global_registry.create("ArraySource", arrays=[])
+        with pytest.raises(gr.GrError, match="time length"):
+            gr.global_registry.create(
+                "ArraySource", arrays=[np.zeros(8), np.zeros(9)])
+
+
+class TestIQDemodulator:
+    """RF -> decimated baseband composite (≈ reference IQDemodulator)."""
+
+    def test_real_rf_tone_to_baseband(self):
+        fs, fc, n = 1.0e6, 200e3, 262144
+        t = np.arange(n) / fs
+        x = np.cos(2 * np.pi * (fc + 5e3) * t).astype(np.float32)
+        g = gr.Graph()
+        src = g.emplace("VectorSource")
+        src.data = x
+        iq = g.emplace("IQDemodulator", center_freq=fc, decim=16,
+                       sample_rate_in=fs)
+        snk = g.emplace("VectorSink")
+        g.connect_chain(src, iq, snk)
+        gr.Scheduler(g, block_len=16384, sample_rate=fs).run_and_wait()
+        y = np.asarray(snk.data())
+        assert y.dtype == np.complex64
+        seg = y[2048:2048 + 8192] * np.hanning(8192)
+        S = np.abs(np.fft.fftshift(np.fft.fft(seg)))
+        f = np.fft.fftshift(np.fft.fftfreq(8192, 16 / fs))
+        assert abs(f[np.argmax(S)] - 5e3) < 100          # tone at +5 kHz
+        img = S[np.argmin(np.abs(f + 30e3))]             # aliased image spot
+        assert 20 * np.log10(img / S.max()) < -60        # auto AA filter works
