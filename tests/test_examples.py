@@ -98,3 +98,13 @@ connections:
             capture_output=True, text=True, timeout=180)
         assert r.returncode == 0, r.stderr[-500:]
         assert "no drawable blocks" in r.stderr
+
+
+def test_tour_runs_end_to_end(tmp_path):
+    import subprocess, sys
+    r = subprocess.run([sys.executable, "examples/tour.py", "--cpu"],
+                       capture_output=True, text=True, timeout=600,
+                       cwd=str(Path(__file__).resolve().parent.parent))
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "tour complete" in r.stdout
+    assert "post-lock angular error 0.00 deg" in r.stdout
