@@ -213,7 +213,17 @@ class Settings:
             v = self._applied[k]
             if v is None:
                 continue
-            out[k] = np.asarray(v, dtype=s.dtype) if s.dtype is not None else np.asarray(v)
+            arr = np.asarray(v, dtype=s.dtype) if s.dtype is not None \
+                else np.asarray(v)
+            if arr.dtype.kind in "USO":
+                # strings/objects can't be traced args of the jitted step —
+                # fail here with guidance instead of a raw JAX abstract-array
+                # error deep inside compile_graph
+                raise SettingsError(
+                    f"dynamic setting {k!r} has non-numeric value {v!r} "
+                    f"(dtype {arr.dtype}); declare it kind='static' — "
+                    f"string settings cannot be runtime-traced parameters")
+            out[k] = arr
         return out
 
     def static_params(self) -> dict[str, Any]:

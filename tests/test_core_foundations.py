@@ -243,3 +243,27 @@ class TestDotExport:
         g.connect(a, b)
         dot = to_dot(g)
         assert dot.startswith("digraph") and "src" in dot and "->" in dot
+
+
+def test_string_dynamic_setting_fails_with_guidance():
+    """Strings can't be traced runtime params — the framework must say so
+    instead of surfacing a raw JAX abstract-array error (NOTES round-2 item)."""
+    import gnuradio4_tpu as gr
+    from gnuradio4_tpu.core.block import Block, Port
+
+    class BadBlock(Block):
+        IN = (Port("in"),)
+        OUT = (Port("out"),)
+        label = Setting(default="hello", kind="dynamic")
+
+        def apply(self, state, ins, ctx):
+            return state, {"out": ins["in"]}
+
+    g = gr.Graph()
+    src = g.emplace("ConstantSource", value=1.0, n_samples=1024)
+    bad = BadBlock()
+    snk = g.emplace("NullSink")
+    g.connect(src, bad)
+    g.connect(bad, snk)
+    with pytest.raises(SettingsError, match="kind='static'"):
+        gr.Scheduler(g, block_len=512, sample_rate=1e6).run_and_wait()
