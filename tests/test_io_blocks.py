@@ -257,3 +257,42 @@ class TestStreamSource:
         np.testing.assert_array_equal(y, c)
         with pytest.raises(Exception, match="after close"):
             src.push(np.zeros(4, np.complex64))
+
+
+class TestWaterfallMonitor:
+    def test_chirp_renders_moving_peak(self):
+        fs = 48000.0
+        n = 14 * 256
+        t = np.arange(n) / fs
+        f0, f1 = 0.05 * fs, 0.45 * fs
+        chirp = np.exp(2j * np.pi * (f0 * t + (f1 - f0) / (2 * t[-1]) * t ** 2)
+                       ).astype(np.complex64)
+        g = gr.Graph()
+        src = g.emplace("StreamSource", dtype="complex64")
+        wf = g.emplace("WaterfallMonitor", fft_size=256, rows=14, width=64,
+                       color=False)
+        g.connect(src, wf)
+        src.push(chirp)
+        src.close()
+        gr.Scheduler(g, block_len=512, sample_rate=fs).run_and_wait()
+        out = wf.draw()
+        lines = out.splitlines()[:-1]
+        assert len(lines) == 14
+        # peak column must move monotonically right (rising chirp)
+        cols = [max(range(len(l)), key=lambda i: "  .:-=+*#%@".find(l[i]))
+                for l in lines]
+        assert cols[-1] > cols[0] + 20
+        assert all(b >= a - 2 for a, b in zip(cols, cols[1:]))
+
+    def test_empty_draw_and_real_input(self):
+        g = gr.Graph()
+        src = g.emplace("StreamSource", dtype="float32")
+        wf = g.emplace("WaterfallMonitor", fft_size=128, rows=4, width=32,
+                       color=False)
+        g.connect(src, wf)
+        assert wf.draw() is None          # dashboard first frame: no crash
+        src.push(np.sin(2 * np.pi * 5000 / 48000 * np.arange(4096)
+                        ).astype(np.float32))
+        src.close()
+        gr.Scheduler(g, block_len=1024, sample_rate=48000.0).run_and_wait()
+        assert len(wf.draw().splitlines()) == 5
