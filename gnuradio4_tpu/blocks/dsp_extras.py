@@ -285,3 +285,97 @@ class CostasLoop(Block):
         (ph, fr), yT = jax.lax.scan(step, (state["phase"], state["freq"]), xT)
         return ({"phase": ph, "freq": fr},
                 {"out": jnp.moveaxis(yT, 0, -1).astype(jnp.complex64)})
+
+
+@register_block("FllBandEdge")
+class FllBandEdge(Block):
+    """Band-edge frequency-locked loop (≈ GNU Radio fll_band_edge_cc; beyond
+    the reference's blocklib). Acquires carrier offsets up to ~half the symbol
+    bandwidth using the energy difference between upper/lower band-edge
+    filters of the matched (RRC) pulse.
+
+    TPU-native design: instead of the per-sample loop (O(T·K) sequential),
+    the loop updates once per ``subblock`` samples — each sub-block is
+    de-rotated, run through both band-edge filters as ONE batched matmul,
+    and the averaged energy difference drives a first-order integrator.
+    Acquisition is slower by the sub-block factor but each step is MXU work.
+    """
+
+    IN = (Port("in", dtype="complex64"),)
+    OUT = (Port("out", dtype="complex64"),)
+    samples_per_symbol = Setting(default=4.0, kind="static")
+    rolloff = Setting(default=0.35, kind="static", limits=(0.0, 1.0))
+    filter_size = Setting(default=45, kind="static", limits=(3, 1024))
+    loop_bw = Setting(default=0.01, kind="static", limits=(1e-6, 1.0))
+    subblock = Setting(default=64, kind="static", limits=(8, 4096))
+    max_freq = Setting(default=1.0, kind="static")
+
+    def _band_edge_taps(self):
+        """Upper/lower band-edge filters: a sinc-squared edge prototype
+        heterodyned to ±(1+a)/(2·sps) cycles/sample (GR's design intent)."""
+        if getattr(self, "_be", None) is None:
+            sps = float(self.settings.get("samples_per_symbol"))
+            a = float(self.settings.get("rolloff"))
+            k = int(self.settings.get("filter_size"))
+            n = np.arange(k, dtype=np.float64) - (k - 1) / 2.0
+            # edge prototype: squared sinc ramp over the transition band a/sps
+            g = np.sinc(a * n / sps) ** 2
+            g /= np.sum(g)
+            fe = (1.0 + a) / (2.0 * sps)          # band-edge center, cyc/sample
+            rot = np.exp(2j * np.pi * fe * n)
+            self._be = (np.asarray(g * rot, np.complex64),
+                        np.asarray(g * np.conj(rot), np.complex64))
+        return self._be
+
+    def init_state(self, ctx):
+        return {"phase": jnp.zeros((), jnp.float32),
+                "freq": jnp.zeros((), jnp.float32)}
+
+    def apply(self, state, ins, ctx):
+        x = ins["in"]
+        sb = int(self.settings.get("subblock"))
+        k = int(self.settings.get("filter_size"))
+        bw = float(self.settings.get("loop_bw"))
+        fmax = float(self.settings.get("max_freq"))
+        up, lo = self._band_edge_taps()
+        # correlation with conj(h): downconverts the band at +fe (resp. -fe)
+        # to DC, so |frames @ upj|^2 measures upper-band-edge energy. NO tap
+        # reversal — reversing the symmetric-envelope taps flips e^{+j} to
+        # e^{-j} and swaps the two bands (measured: loop diverges to -clamp)
+        upj = jnp.asarray(np.conj(up))
+        loj = jnp.asarray(np.conj(lo))
+        n = x.shape[-1]
+        nblk = n // sb
+        xb = x[..., : nblk * sb].reshape(nblk, sb)
+
+        def step(carry, blk):
+            ph, fr = carry
+            idx = jnp.arange(sb, dtype=jnp.float32)
+            rot = jnp.exp(-1j * (ph + fr * idx).astype(jnp.complex64))
+            y = blk * rot
+            # band-edge energies over the valid region of this sub-block
+            frames = jnp.stack([jax.lax.dynamic_slice_in_dim(y, i, k)
+                                for i in range(0, sb - k + 1,
+                                               max(1, (sb - k) // 8 or 1))])
+            eu = jnp.mean(jnp.abs(frames @ upj) ** 2)
+            el = jnp.mean(jnp.abs(frames @ loj) ** 2)
+            err = (eu - el) / (eu + el + 1e-20)
+            fr = jnp.clip(fr + jnp.float32(bw) * err, -fmax, fmax)
+            ph = jnp.mod(ph + fr * sb + np.pi, 2.0 * np.pi) - np.pi
+            return (ph, fr), y
+
+        (ph, fr), yb = jax.lax.scan(step, (state["phase"], state["freq"]), xb)
+        y = yb.reshape(-1)
+        if n > nblk * sb:  # rotate the tail with the final estimate
+            idx = jnp.arange(n - nblk * sb, dtype=jnp.float32)
+            tail = x[..., nblk * sb:] * jnp.exp(
+                -1j * (ph + fr * idx).astype(jnp.complex64))
+            y = jnp.concatenate([y, tail], axis=-1)
+            ph = jnp.mod(ph + fr * (n - nblk * sb) + np.pi,
+                         2.0 * np.pi) - np.pi
+        return ({"phase": ph, "freq": fr},
+                {"out": y.astype(jnp.complex64)})
+
+    def estimated_freq(self, state) -> float:
+        """Current frequency estimate, rad/sample (for tests/monitoring)."""
+        return float(state["freq"])

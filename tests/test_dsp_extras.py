@@ -219,3 +219,52 @@ class TestCostasLoop:
         gr.Scheduler(g, block_len=512, sample_rate=1e6).run_and_wait()
         y2 = np.asarray(snk.data())[:16384]
         np.testing.assert_allclose(y1, y2, atol=2e-5)
+
+
+class TestFllBandEdge:
+    @staticmethod
+    def _shaped_qpsk(nsym=16384, sps=4, alpha=0.35, cfo=0.0, seed=0):
+        from gnuradio4_tpu.ops.digital import rrc_taps
+        rng = np.random.default_rng(seed)
+        syms = np.exp(1j * (np.pi / 4 + np.pi / 2 * rng.integers(0, 4, nsym)))
+        ups = np.zeros(nsym * sps, complex)
+        ups[::sps] = syms
+        h = rrc_taps(sps, 11 * sps + 1, beta=alpha)
+        shaped = np.convolve(ups, h)[: nsym * sps]
+        return (shaped * np.exp(1j * cfo * np.arange(len(shaped)))
+                ).astype(np.complex64)
+
+    @pytest.mark.parametrize("cfo", [0.02, -0.05])
+    def test_acquires_cfo(self, cfo):
+        x = self._shaped_qpsk(cfo=cfo)
+        g = gr.Graph()
+        src = g.emplace("StreamSource", dtype="complex64")
+        fll = g.emplace("FllBandEdge", samples_per_symbol=4, rolloff=0.35,
+                        loop_bw=0.05)
+        snk = g.emplace("VectorSink")
+        g.connect_chain(src, fll, snk)
+        src.push(x)
+        src.close()
+        sch = gr.Scheduler(g, block_len=8192, sample_rate=1e6)
+        sch.run_and_wait()
+        est = float(np.asarray(sch._states[fll.unique_name]["freq"]))
+        assert abs(est - cfo) < 0.005, f"estimate {est} vs true {cfo}"
+
+    def test_fll_costas_cascade_zeroes_cfo(self):
+        """Classic receiver front half: FLL coarse pull-in + Costas fine."""
+        x = self._shaped_qpsk(cfo=0.04)
+        g = gr.Graph()
+        src = g.emplace("StreamSource", dtype="complex64")
+        fll = g.emplace("FllBandEdge", samples_per_symbol=4, rolloff=0.35,
+                        loop_bw=0.05)
+        cst = g.emplace("CostasLoop", order=4, loop_bw=0.02)
+        snk = g.emplace("VectorSink")
+        g.connect_chain(src, fll, cst, snk)
+        src.push(x)
+        src.close()
+        gr.Scheduler(g, block_len=8192, sample_rate=1e6).run_and_wait()
+        y = np.asarray(snk.data())[-16384:]
+        S = np.abs(np.fft.fftshift(np.fft.fft(y ** 4)))
+        f = np.fft.fftshift(np.fft.fftfreq(len(y)))
+        resid = abs(f[np.argmax(S)] * 2 * np.pi / 4)
+        assert resid < 1e-3
