@@ -151,3 +151,107 @@ def test_mm_symbol_sync_tracks_fractional_offset(rng):
         ref = syms[2000 - k: 7000 - k]
         best = max(best, np.mean(tail_out[: len(ref)] == ref))
     assert best > 0.995
+
+
+class TestPfbClockSync:
+    @staticmethod
+    def _rx(tau=0.0, drift=0.0, nsym=8192, sps=4, alpha=0.35, seed=0):
+        from gnuradio4_tpu.ops.digital import rrc_taps
+        rng = np.random.default_rng(seed)
+        syms = np.exp(1j * (np.pi / 4 + np.pi / 2 * rng.integers(0, 4, nsym)))
+        ups = np.zeros(nsym * sps, complex)
+        ups[::sps] = syms
+        shaped = np.convolve(ups, rrc_taps(sps, 11 * sps + 1, beta=alpha)
+                             )[: nsym * sps]
+        X = np.fft.fft(shaped)
+        f = np.fft.fftfreq(len(shaped))
+        rx = np.fft.ifft(X * np.exp(-2j * np.pi * f * tau))
+        if drift:
+            t = np.arange(len(rx)) * (1.0 + drift)
+            rx = (np.interp(t, np.arange(len(rx)), rx.real) +
+                  1j * np.interp(t, np.arange(len(rx)), rx.imag))
+        return rx.astype(np.complex64)
+
+    @pytest.mark.parametrize("tau,drift", [(0.37, 0.0), (0.0, 2e-5),
+                                           (0.73, 1e-5)])
+    def test_locks_timing(self, tau, drift):
+        rx = self._rx(tau=tau, drift=drift)
+        g = gr.Graph()
+        src = g.emplace("StreamSource", dtype="complex64")
+        pcs = g.emplace("PfbClockSync", sps=4, rolloff=0.35)
+        snk = g.emplace("VectorSink")
+        g.connect_chain(src, pcs, snk)
+        src.push(rx)
+        src.close()
+        gr.Scheduler(g, block_len=4096, sample_rate=1e6).run_and_wait()
+        y = np.asarray(snk.data())
+        tail = y[len(y) // 2:]
+        mag = np.abs(tail)
+        ang = np.angle(tail * np.exp(-1j * np.pi / 4))
+        err = np.abs(((ang + np.pi / 4) % (np.pi / 2)) - np.pi / 4)
+        assert abs(mag.mean() - 1.0) < 0.1        # matched-filter gain ~1
+        assert mag.std() < 0.1                    # low EVM = correct instants
+        assert np.degrees(err.mean()) < 5.0
+
+    def test_rate_is_one_symbol_per_sps(self):
+        rx = self._rx(nsym=1024)
+        g = gr.Graph()
+        src = g.emplace("StreamSource", dtype="complex64")
+        pcs = g.emplace("PfbClockSync", sps=4)
+        snk = g.emplace("VectorSink")
+        g.connect_chain(src, pcs, snk)
+        src.push(rx)
+        src.close()
+        gr.Scheduler(g, block_len=1024, sample_rate=1e6).run_and_wait()
+        assert len(np.asarray(snk.data())) == 1024
+
+
+def test_full_receiver_chain_all_impairments():
+    """The money test: FLL -> PfbClockSync -> Costas recovers QPSK symbols at
+    100% through CFO 0.03 rad/sample + 0.6-sample delay + 15 ppm clock drift
+    + 20 dB SNR."""
+    from gnuradio4_tpu.ops.digital import rrc_taps
+    sps, alpha = 4, 0.35
+    rng = np.random.default_rng(3)
+    nsym = 16384
+    bits = rng.integers(0, 4, nsym)
+    syms = np.exp(1j * (np.pi / 4 + np.pi / 2 * bits)).astype(np.complex64)
+    ups = np.zeros(nsym * sps, complex)
+    ups[::sps] = syms
+    shaped = np.convolve(ups, rrc_taps(sps, 11 * sps + 1, beta=alpha)
+                         )[: nsym * sps]
+    X = np.fft.fft(shaped)
+    fr = np.fft.fftfreq(len(shaped))
+    rx = np.fft.ifft(X * np.exp(-2j * np.pi * fr * 0.6))
+    t = np.arange(len(rx)) * (1.0 + 1.5e-5)
+    rx = (np.interp(t, np.arange(len(rx)), rx.real) +
+          1j * np.interp(t, np.arange(len(rx)), rx.imag))
+    rx = rx * np.exp(1j * 0.03 * np.arange(len(rx)))
+    rx = (rx + (rng.standard_normal(len(rx)) +
+                1j * rng.standard_normal(len(rx))) * np.sqrt(0.005)
+          ).astype(np.complex64)
+
+    g = gr.Graph()
+    src = g.emplace("StreamSource", dtype="complex64")
+    fll = g.emplace("FllBandEdge", samples_per_symbol=sps, rolloff=alpha,
+                    loop_bw=0.01)
+    pcs = g.emplace("PfbClockSync", sps=sps, rolloff=alpha)
+    cst = g.emplace("CostasLoop", order=4, loop_bw=0.06)
+    snk = g.emplace("VectorSink")
+    g.connect_chain(src, fll, pcs, cst, snk)
+    src.push(rx)
+    src.close()
+    gr.Scheduler(g, block_len=8192, sample_rate=1e6).run_and_wait()
+    y = np.asarray(snk.data())
+    lo = len(y) - 2000
+    w = y[lo:lo + 1024]
+    best = max((abs(np.vdot(syms[l:l + 1024], w)), l)
+               for l in range(lo - 48, lo + 48))
+    ref = syms[best[1]:best[1] + 1024]
+    rot = np.vdot(ref, w)
+    rot /= abs(rot)
+    dec = np.round(np.angle(w * np.conj(rot) * np.exp(-1j * np.pi / 4))
+                   / (np.pi / 2)) % 4
+    sent = np.round(np.angle(ref * np.exp(-1j * np.pi / 4))
+                    / (np.pi / 2)) % 4
+    assert np.mean(dec == sent) > 0.999
