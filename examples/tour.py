@@ -145,6 +145,49 @@ def main():
     print(f"   two schedulers, one ring pipe: downstream graph captured "
           f"{np.asarray(d_snk.data()).shape[0]} samples")
 
+    print("== 9. full digital receiver (FLL → PFB timing → Costas) " + "=" * 13)
+    from gnuradio4_tpu.ops.digital import rrc_taps
+    sps, rolloff = 4, 0.35
+    rng = np.random.default_rng(3)
+    nsym = 8192
+    bits = rng.integers(0, 4, nsym)
+    tx = np.exp(1j * (np.pi / 4 + np.pi / 2 * bits)).astype(np.complex64)
+    ups = np.zeros(nsym * sps, complex)
+    ups[::sps] = tx
+    shaped = np.convolve(ups, rrc_taps(sps, 11 * sps + 1, beta=rolloff)
+                         )[: nsym * sps]
+    Xf = np.fft.fft(shaped)
+    fbins = np.fft.fftfreq(len(shaped))
+    rxs = np.fft.ifft(Xf * np.exp(-2j * np.pi * fbins * 0.6))   # timing offset
+    rxs = rxs * np.exp(1j * 0.03 * np.arange(len(rxs)))          # CFO
+    rxs = (rxs + (rng.standard_normal(len(rxs)) +
+                  1j * rng.standard_normal(len(rxs))) * np.sqrt(0.005)
+           ).astype(np.complex64)                                 # 20 dB SNR
+    g9 = gr.Graph()
+    s9 = g9.emplace("StreamSource", dtype="complex64")
+    fll = g9.emplace("FllBandEdge", samples_per_symbol=sps, rolloff=rolloff,
+                     loop_bw=0.01)
+    pcs = g9.emplace("PfbClockSync", sps=sps, rolloff=rolloff)
+    cst = g9.emplace("CostasLoop", order=4, loop_bw=0.06)
+    k9 = g9.emplace("VectorSink")
+    g9.connect_chain(s9, fll, pcs, cst, k9)
+    s9.push(rxs)
+    s9.close()
+    gr.Scheduler(g9, block_len=8192, sample_rate=fs).run_and_wait()
+    y9 = np.asarray(k9.data())
+    lo = len(y9) - 2000
+    w9 = y9[lo:lo + 1024]
+    best = max((abs(np.vdot(tx[l:l + 1024], w9)), l)
+               for l in range(lo - 48, lo + 48))
+    ref = tx[best[1]:best[1] + 1024]
+    rot = np.vdot(ref, w9)
+    rot /= abs(rot)
+    dec = np.round(np.angle(w9 * np.conj(rot) * np.exp(-1j * np.pi / 4))
+                   / (np.pi / 2)) % 4
+    sent = np.round(np.angle(ref * np.exp(-1j * np.pi / 4)) / (np.pi / 2)) % 4
+    print(f"   QPSK through CFO+timing offset+noise: "
+          f"{100 * np.mean(dec == sent):.1f}% symbols recovered")
+
     print("== tour complete " + "=" * 53)
 
 
