@@ -8,7 +8,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.block import Block, Port
+from ..core.block import Block, Port, SinkBlock
+from ..core.errors import GrError
 from ..core.registry import register_block
 from ..core.settings import Setting
 from ..ops.digital import (default_occupied, iq_to_symbols, make_constellation,
@@ -309,3 +310,126 @@ class PfbClockSync(Block):
             xa, nsym * sps, H)
         return ({"hist": new_hist, "acc": acc, "rate": rate, "prev": prev},
                 {"out": ys.astype(jnp.complex64)})
+
+
+@register_block("DiffEncoder")
+class DiffEncoder(Block):
+    """Differential phase encoder: y[n] = x[n]·y[n-1] (phases accumulate).
+    O(log T) via associative scan — cumulative complex product — instead of a
+    sequential loop; state carries the last output for stream continuity.
+    ≈ GNU Radio diff_encoder (phase-domain form)."""
+
+    IN = (Port("in", dtype="complex64"),)
+    OUT = (Port("out", dtype="complex64"),)
+
+    def init_state(self, ctx):
+        return jnp.ones((), jnp.complex64)
+
+    def apply(self, state, ins, ctx):
+        x = ins["in"]
+        prod = jax.lax.associative_scan(jnp.multiply, x, axis=-1)
+        y = (state * prod).astype(jnp.complex64)
+        # renormalize: pure phase accumulation must not drift in magnitude
+        y = y / jnp.maximum(jnp.abs(y), 1e-30)
+        return y[..., -1], {"out": y}
+
+
+@register_block("DiffDecoder")
+class DiffDecoder(Block):
+    """Differential phase decoder: y[n] = x[n]·conj(x[n-1]) — embarrassingly
+    parallel; state carries the previous input sample."""
+
+    IN = (Port("in", dtype="complex64"),)
+    OUT = (Port("out", dtype="complex64"),)
+
+    def init_state(self, ctx):
+        return jnp.ones((), jnp.complex64)
+
+    def apply(self, state, ins, ctx):
+        x = ins["in"]
+        prev = jnp.concatenate([state[None], x[..., :-1]], axis=-1)
+        y = (x * jnp.conj(prev)).astype(jnp.complex64)
+        return x[..., -1], {"out": y}
+
+
+@register_block("PreambleCorrelator")
+class PreambleCorrelator(Block):
+    """Burst/preamble detection: correlates against a known symbol sequence
+    on-device (MXU frames matmul), emits the stream unchanged on ``out`` and
+    a fixed-capacity detection record ``[2, max_det]`` (row 0: in-step index,
+    row 1: normalized correlation magnitude) on ``det``.
+
+    Pair with :class:`DetectionSink` to collect absolute-indexed detections
+    on the host (≈ GNU Radio correlate_access_code / corr_est, redesigned for
+    the one-fused-program model: detection indices ride a data port instead
+    of stream tags, since data-dependent tags cannot exist within the step
+    that computes them)."""
+
+    IN = (Port("in", dtype="complex64"),)
+    OUT = (Port("out", dtype="complex64"), Port("det", dtype="float32"))
+    threshold = Setting(default=0.7, kind="static", limits=(0.0, 1.0),
+                        description="normalized correlation threshold")
+    max_detections = Setting(default=8, kind="static", limits=(1, 256))
+
+    def __init__(self, preamble=(), name=None, **settings):
+        super().__init__(name=name, **settings)
+        self._pre = np.asarray(preamble, np.complex64)
+        if self._pre.size == 0:
+            raise GrError("PreambleCorrelator needs a preamble sequence")
+        self._pre = self._pre / np.linalg.norm(self._pre)
+
+    def out_channels(self, port, in_channels):
+        if port == "det":
+            return 2
+        return in_channels.get("in", 0)
+
+    def init_state(self, ctx):
+        k = len(self._pre)
+        return jnp.zeros((k - 1,), jnp.complex64)
+
+    def apply(self, state, ins, ctx):
+        x = ins["in"]
+        k = len(self._pre)
+        cap = int(self.settings.get("max_detections"))
+        thr = jnp.float32(self.settings.get("threshold"))
+        xa = jnp.concatenate([state, x], axis=-1)
+        n = x.shape[-1]
+        cols = [jax.lax.dynamic_slice_in_dim(xa, j, n) for j in range(k)]
+        F = jnp.stack(cols, axis=-1)                       # [n, k] windows
+        pre = jnp.asarray(np.conj(self._pre))
+        c = jnp.abs(F @ pre)                               # correlation mag
+        e = jnp.sqrt(jnp.sum(jnp.abs(F) ** 2, axis=-1)) + 1e-12
+        rho = c / e                                        # normalized [0,1]
+        # local maxima above threshold, then top-cap by magnitude
+        left = jnp.concatenate([jnp.zeros(1), rho[:-1]])
+        right = jnp.concatenate([rho[1:], jnp.zeros(1)])
+        peak = (rho >= left) & (rho > right) & (rho >= thr)
+        score = jnp.where(peak, rho, 0.0)
+        mags, idxs = jax.lax.top_k(score, cap)
+        idxs = jnp.where(mags > 0, idxs - (k - 1), -(1 << 30))
+        # det stream matches the data length (single rate algebra); only the
+        # first max_detections columns carry records, the rest are padding
+        det = jnp.zeros((2, n), jnp.float32)
+        det = det.at[0, :cap].set(idxs.astype(jnp.float32))
+        det = det.at[1, :cap].set(mags)
+        new_state = jax.lax.dynamic_slice_in_dim(xa, n, k - 1)
+        return new_state, {"out": x, "det": det}
+
+
+@register_block("DetectionSink")
+class DetectionSink(SinkBlock):
+    """Collects PreambleCorrelator ``det`` records into absolute-indexed
+    detections: ``.detections`` = list of (abs_sample_index, correlation)."""
+
+    IN = (Port("in", dtype="float32"),)
+
+    def __init__(self, name=None, **settings):
+        super().__init__(name=name, **settings)
+        self.detections: list[tuple[int, float]] = []
+
+    def consume(self, arrays, tags, n_valid, abs_index):
+        det = np.asarray(arrays["in"])
+        cap = det.shape[-1]
+        for i, m in zip(det[0, :cap], det[1, :cap]):
+            if m > 0 and i > -(1 << 29):
+                self.detections.append((int(abs_index + i), float(m)))

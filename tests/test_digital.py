@@ -255,3 +255,71 @@ def test_full_receiver_chain_all_impairments():
     sent = np.round(np.angle(ref * np.exp(-1j * np.pi / 4))
                     / (np.pi / 2)) % 4
     assert np.mean(dec == sent) > 0.999
+
+
+class TestDiffCoding:
+    def test_encode_decode_roundtrip(self):
+        rng = np.random.default_rng(0)
+        x = np.exp(1j * (np.pi / 4 + np.pi / 2 * rng.integers(0, 4, 16384))
+                   ).astype(np.complex64)
+        g = gr.Graph()
+        src = g.emplace("StreamSource", dtype="complex64")
+        enc = g.emplace("DiffEncoder")
+        dec = g.emplace("DiffDecoder")
+        snk = g.emplace("VectorSink")
+        g.connect_chain(src, enc, dec, snk)
+        src.push(x)
+        src.close()
+        gr.Scheduler(g, block_len=2048, sample_rate=1e6).run_and_wait()
+        np.testing.assert_allclose(np.asarray(snk.data())[:16384], x,
+                                   atol=1e-5)
+
+    def test_decoder_removes_constant_rotation(self):
+        """Differential decoding is immune to a fixed phase offset."""
+        rng = np.random.default_rng(1)
+        d = np.exp(1j * np.pi / 2 * rng.integers(0, 4, 4096))
+        enc = np.cumprod(d).astype(np.complex64)
+        g = gr.Graph()
+        src = g.emplace("StreamSource", dtype="complex64")
+        dec = g.emplace("DiffDecoder")
+        snk = g.emplace("VectorSink")
+        g.connect_chain(src, dec, snk)
+        src.push((enc * np.exp(1j * 0.7)).astype(np.complex64))  # rotated
+        src.close()
+        gr.Scheduler(g, block_len=1024, sample_rate=1e6).run_and_wait()
+        y = np.asarray(snk.data())[1:4096]
+        np.testing.assert_allclose(y, d[1:4096].astype(np.complex64),
+                                   atol=1e-5)
+
+
+class TestPreambleCorrelator:
+    def test_detects_bursts_exactly(self):
+        rng = np.random.default_rng(0)
+        n = 65536
+        pre = np.exp(1j * np.pi / 4 * (2 * rng.integers(0, 4, 63) + 1)
+                     ).astype(np.complex64)
+        sig = ((rng.standard_normal(n) + 1j * rng.standard_normal(n))
+               * 0.15).astype(np.complex64)
+        # includes one preamble STRADDLING the 8192 block boundary
+        true = [5000, 8192 - 30, 21777, 40000, 60001]
+        for off in true:
+            sig[off:off + 63] += pre
+        g = gr.Graph()
+        src = g.emplace("StreamSource", dtype="complex64")
+        cor = g.emplace("PreambleCorrelator", preamble=pre, threshold=0.6)
+        out = g.emplace("NullSink")
+        det = g.emplace("DetectionSink")
+        g.connect(src, cor)
+        g.connect(cor["out"], out["in"])
+        g.connect(cor["det"], det["in"])
+        src.push(sig)
+        src.close()
+        gr.Scheduler(g, block_len=8192, sample_rate=1e6).run_and_wait()
+        found = sorted(i for i, _ in det.detections)
+        for t in true:
+            assert any(abs(f - t) <= 1 for f in found), (t, found)
+        assert len(found) == len(true)      # no false alarms at 0.6
+
+    def test_empty_preamble_rejected(self):
+        with pytest.raises(Exception, match="preamble"):
+            gr.Graph().emplace("PreambleCorrelator", preamble=[])
