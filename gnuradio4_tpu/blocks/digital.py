@@ -433,3 +433,157 @@ class DetectionSink(SinkBlock):
         for i, m in zip(det[0, :cap], det[1, :cap]):
             if m > 0 and i > -(1 << 29):
                 self.detections.append((int(abs_index + i), float(m)))
+
+
+_PRBS_TAPS = {7: (7, 6), 9: (9, 5), 15: (15, 14), 23: (23, 18), 31: (31, 28)}
+
+
+@register_block("PrbsSource")
+class PrbsSource(Block):
+    """ITU-T PRBS bit source (PRBS7/9/15/23/31, Fibonacci LFSR) — the standard
+    link-measurement stimulus (≈ GNU Radio glfsr_source_b). Bits are generated
+    host-side per step (FEED) and streamed as int32 0/1."""
+
+    IN = ()
+    OUT = (Port("out", dtype="int32"),)
+    FEED = True
+    order = Setting(default=15, kind="static", choices=tuple(_PRBS_TAPS))
+    n_bits = Setting(default=0, kind="static",
+                     description="0 = endless")
+
+    def __init__(self, name=None, **settings):
+        super().__init__(name=name, **settings)
+        deg = int(self.settings.get("order"))
+        self._state = (1 << deg) - 1          # all-ones seed (never zero)
+
+    def _gen(self, n: int) -> np.ndarray:
+        deg, tap2 = _PRBS_TAPS[int(self.settings.get("order"))]
+        s = self._state
+        out = np.empty(n, np.int32)
+        for i in range(n):
+            b = ((s >> (deg - 1)) ^ (s >> (tap2 - 1))) & 1
+            s = ((s << 1) | b) & ((1 << deg) - 1)
+            out[i] = b
+        self._state = s
+        return out
+
+    def host_feed(self, n, abs_index):
+        total = int(self.settings.get("n_bits"))
+        if total and abs_index >= total:
+            return None
+        take = n if not total else min(n, total - abs_index)
+        return {"out": self._gen(take)}, take
+
+    def apply(self, state, ins, ctx):
+        return state, {"out": ins["out"]}
+
+
+@register_block("PackBits")
+class PackBits(Block):
+    """k bits (int32 0/1, MSB first) → one symbol int32 (≈ pack_k_bits_bb)."""
+
+    IN = (Port("in", dtype="int32"),)
+    OUT = (Port("out", dtype="int32"),)
+    k = Setting(default=2, kind="static", limits=(1, 30))
+
+    @property
+    def ratio(self):
+        return Fraction(1, int(self.settings.get("k")))
+
+    @property
+    def alignment(self):
+        return int(self.settings.get("k"))
+
+    def apply(self, state, ins, ctx):
+        k = int(self.settings.get("k"))
+        x = ins["in"].reshape(*ins["in"].shape[:-1], -1, k)
+        w = (2 ** jnp.arange(k - 1, -1, -1)).astype(jnp.int32)
+        return state, {"out": jnp.sum(x * w, axis=-1)}
+
+
+@register_block("UnpackBits")
+class UnpackBits(Block):
+    """One symbol int32 → k bits (MSB first) (≈ unpack_k_bits_bb)."""
+
+    IN = (Port("in", dtype="int32"),)
+    OUT = (Port("out", dtype="int32"),)
+    k = Setting(default=2, kind="static", limits=(1, 30))
+
+    @property
+    def ratio(self):
+        return Fraction(int(self.settings.get("k")), 1)
+
+    def apply(self, state, ins, ctx):
+        k = int(self.settings.get("k"))
+        shifts = jnp.arange(k - 1, -1, -1, dtype=jnp.int32)
+        bits = (ins["in"][..., None] >> shifts) & 1
+        return state, {"out": bits.reshape(*ins["in"].shape[:-1], -1)}
+
+
+@register_block("BerSink")
+class BerSink(SinkBlock):
+    """Bit-error-rate meter: compares the incoming bit stream against a local
+    PRBS replica after self-synchronizing to it (correlation over the first
+    window). ``.report()`` → dict(bits, errors, ber, synced)."""
+
+    IN = (Port("in", dtype="int32"),)
+    order = Setting(default=15, kind="static", choices=tuple(_PRBS_TAPS))
+    sync_window = Setting(default=4096, kind="static", limits=(64, 1 << 20))
+
+    def __init__(self, name=None, **settings):
+        super().__init__(name=name, **settings)
+        self._rx: list[np.ndarray] = []
+        self._synced = None      # (lag, invert)
+        self._bits = 0
+        self._errors = 0
+        deg = int(self.settings.get("order"))
+        self._period = (1 << deg) - 1
+
+    def _replica(self, n: int, phase: int) -> np.ndarray:
+        deg, tap2 = _PRBS_TAPS[int(self.settings.get("order"))]
+        s = (1 << deg) - 1
+        out = np.empty(phase + n, np.int8)
+        for i in range(phase + n):
+            b = ((s >> (deg - 1)) ^ (s >> (tap2 - 1))) & 1
+            s = ((s << 1) | b) & ((1 << deg) - 1)
+            out[i] = b
+        return out[phase:]
+
+    def consume(self, arrays, tags, n_valid, abs_index):
+        if n_valid <= 0:
+            return
+        self._rx.append(np.asarray(arrays["in"][..., :n_valid]).ravel())
+        if self._synced is None:
+            w = int(self.settings.get("sync_window"))
+            have = sum(len(c) for c in self._rx)
+            if have < w:
+                return
+            rx = np.concatenate(self._rx)[:w].astype(np.int8)
+            ref = self._replica(w + self._period, 0)
+            best = (w + 1, 0, False)
+            x = 2 * rx - 1
+            for lag in range(self._period):
+                r = 2 * ref[lag:lag + w].astype(np.int32) - 1
+                c = int(np.dot(x, r))
+                if w - abs(c) < best[0] * 2:
+                    best = ((w - abs(c)) // 2, lag, c < 0)
+            self._synced = (best[1], best[2])
+            self._pos = 0
+            self._pending = [np.concatenate(self._rx)]
+            self._rx = []
+        else:
+            self._pending = [self._rx.pop()]
+        lag, inv = self._synced
+        for chunk in self._pending:
+            ref = self._replica(len(chunk), lag + self._pos)
+            if inv:
+                ref = 1 - ref
+            self._errors += int(np.sum(chunk.astype(np.int8) != ref))
+            self._bits += len(chunk)
+            self._pos += len(chunk)
+        self._pending = []
+
+    def report(self) -> dict:
+        return {"bits": self._bits, "errors": self._errors,
+                "ber": self._errors / self._bits if self._bits else None,
+                "synced": self._synced is not None}
