@@ -96,3 +96,33 @@ def test_wbfm_registry_block():
     assert len(audio) == n // 5
     snr = tone_snr_db(audio[2000:], 1000.0, quad_rate / 5)
     assert snr > 30.0
+
+
+class TestSsbDemod:
+    @staticmethod
+    def _run(iq, sideband, fs=48000.0):
+        g = gr.Graph()
+        src = g.emplace("StreamSource", dtype="complex64")
+        dem = g.emplace("SsbDemod", sideband=sideband, bandwidth=2700.0,
+                        sample_rate_in=fs)
+        snk = g.emplace("VectorSink")
+        g.connect_chain(src, dem, snk)
+        src.push(iq)
+        src.close()
+        gr.Scheduler(g, block_len=8192, sample_rate=fs).run_and_wait()
+        y = np.asarray(snk.data())
+        seg = y[8192:8192 + 16384] * np.hanning(16384)
+        S = np.abs(np.fft.rfft(seg))
+        f = np.fft.rfftfreq(16384, 1 / fs)
+        return f[np.argmax(S)], S.max()
+
+    def test_usb_lsb_recover_audio_and_reject_opposite(self):
+        fs, n = 48000.0, 65536
+        t = np.arange(n) / fs
+        usb = np.exp(2j * np.pi * 1000.0 * t).astype(np.complex64)
+        lsb = np.exp(-2j * np.pi * 1000.0 * t).astype(np.complex64)
+        pk_u, a_u = self._run(usb, "usb")
+        pk_l, a_l = self._run(lsb, "lsb")
+        _, a_x = self._run(lsb, "usb")       # opposite sideband
+        assert abs(pk_u - 1000) < 5 and abs(pk_l - 1000) < 5
+        assert 20 * np.log10(a_u / (a_x + 1e-12)) > 45   # sideband rejection
