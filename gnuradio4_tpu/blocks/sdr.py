@@ -378,3 +378,86 @@ class SsbDemod(Block):
         new_phase = state["phase"] + jnp.asarray(dphi, jnp.uint32) * jnp.uint32(n)
         return ({"hist": hist, "phase": new_phase},
                 {"out": (2.0 * jnp.real(y)).astype(jnp.float32)})
+
+
+@register_block("FmStereoDecoder")
+class FmStereoDecoder(Block):
+    """FM stereo MPX decoder: composite (FM-demodulated baseband) → L and R.
+
+    Feed-forward TPU-native pilot recovery (no feedback loop): the 19 kHz
+    pilot is band-passed and SQUARED to regenerate the 38 kHz subcarrier
+    (classic doubling trick), which demodulates the DSB-SC L−R band; L+R is
+    the 0–15 kHz baseband. Everything is windowed-sinc FIRs (MXU) +
+    elementwise math in one fused program. De-emphasize each channel
+    downstream at audio rate. Outputs at the input (quadrature) rate.
+    """
+
+    IN = (Port("in", dtype="float32"),)
+    OUT = (Port("left", dtype="float32"), Port("right", dtype="float32"))
+    sample_rate_in = Setting(default=0.0, kind="static",
+                             description="0 → inherit resolved edge rate")
+    ntaps = Setting(default=129, kind="static", limits=(31, 1025))
+
+    def _fs(self, ctx_rate: float) -> float:
+        fs = float(self.settings.get("sample_rate_in"))
+        return fs if fs > 0 else ctx_rate
+
+    def _filters(self, fs: float):
+        if getattr(self, "_flt", None) is None or self._flt_fs != fs:
+            from ..ops.filter_design import design_fir
+            k = int(self.settings.get("ntaps"))
+            lp15 = design_fir("lowpass", k, sample_rate=fs,
+                              f_low=15e3).astype(np.float32)
+            # ANALYTIC 19 kHz pilot filter (one-sided): narrow lowpass
+            # heterodyned to +19 kHz — output a = A·e^{jθ}, so the phase-true
+            # 38 kHz subcarrier is Im((a/|a|)²) = sin 2θ. (Squaring the REAL
+            # pilot gives cos 2θ — orthogonal to the DSB subcarrier; measured
+            # 0.6 dB separation that way.)
+            n = np.arange(k, dtype=np.float64) - (k - 1) / 2.0
+            lp500 = design_fir("lowpass", k, sample_rate=fs, f_low=500.0)
+            bp19c = (lp500 * np.exp(2j * np.pi * 19e3 / fs * n)
+                     ).astype(np.complex64)
+            bp38 = design_fir("bandpass", k, sample_rate=fs, f_low=23e3,
+                              f_high=53e3).astype(np.float32)
+            self._flt = (lp15, bp19c, bp38)
+            self._flt_fs = fs
+        return self._flt
+
+    def init_state(self, ctx):
+        from ..ops.fir import fir_init_state
+        k = int(self.settings.get("ntaps"))
+        return {"h_sum": fir_init_state(0, k, jnp.float32),
+                "h_pil": fir_init_state(0, k, jnp.complex64),
+                "h_dsb": fir_init_state(0, k, jnp.float32),
+                "h_dif": fir_init_state(0, k, jnp.float32),
+                # the difference arm passes TWO filters (bp38 then lp15); the
+                # mono arm only one — delay mono by (k-1)/2 so L/R re-align
+                # (without this the sum/difference mix and separation is ~4 dB)
+                "d_mono": jnp.zeros(((k - 1) // 2,), jnp.float32)}
+
+    def apply(self, state, ins, ctx):
+        from ..ops.fir import fir_apply
+        x = ins["in"].astype(jnp.float32)
+        fs = self._fs(ctx.sample_rate)
+        lp15, bp19c, bp38 = self._filters(fs)
+        mono, h_sum = fir_apply(x, lp15, state["h_sum"])        # L+R
+        a, h_pil = fir_apply(x.astype(jnp.complex64), bp19c,
+                             state["h_pil"])                    # analytic pilot
+        dsb, h_dsb = fir_apply(x, bp38, state["h_dsb"])         # 38 kHz DSB
+        u = a / (jnp.abs(a) + 1e-12)
+        # analytic filter of sin(θ) yields u = e^{j(θ-π/2)}, so u² = -e^{j2θ};
+        # negate to recover +sin 2θ (without this L and R swap exactly)
+        carrier = -jnp.imag(u * u)
+        diff_raw = dsb * carrier * 2.0
+        diff, h_dif = fir_apply(diff_raw, lp15, state["h_dif"])  # L−R
+        k = int(self.settings.get("ntaps"))
+        d = (k - 1) // 2
+        mono_al = jnp.concatenate([state["d_mono"], mono], axis=-1)
+        mono_d = mono_al[..., :mono.shape[-1]]
+        new_d = mono_al[..., mono.shape[-1]:]
+        left = mono_d + diff
+        right = mono_d - diff
+        return ({"h_sum": h_sum, "h_pil": h_pil, "h_dsb": h_dsb,
+                 "h_dif": h_dif, "d_mono": new_d},
+                {"left": left.astype(jnp.float32),
+                 "right": right.astype(jnp.float32)})

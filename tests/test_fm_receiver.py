@@ -126,3 +126,51 @@ class TestSsbDemod:
         _, a_x = self._run(lsb, "usb")       # opposite sideband
         assert abs(pk_u - 1000) < 5 and abs(pk_l - 1000) < 5
         assert 20 * np.log10(a_u / (a_x + 1e-12)) > 45   # sideband rejection
+
+
+class TestFmStereoDecoder:
+    FS = 240000.0
+
+    def _decode(self, mpx):
+        g = gr.Graph()
+        src = g.emplace("StreamSource", dtype="float32")
+        dec = g.emplace("FmStereoDecoder", sample_rate_in=self.FS)
+        kl = g.emplace("VectorSink")
+        kr = g.emplace("VectorSink")
+        g.connect(src, dec)
+        g.connect(dec["left"], kl["in"])
+        g.connect(dec["right"], kr["in"])
+        src.push(mpx)
+        src.close()
+        gr.Scheduler(g, block_len=16384, sample_rate=self.FS).run_and_wait()
+        return np.asarray(kl.data()), np.asarray(kr.data())
+
+    def test_stereo_separation(self):
+        n = 262144
+        t = np.arange(n) / self.FS
+        L = np.sin(2 * np.pi * 1000.0 * t)
+        R = np.sin(2 * np.pi * 2500.0 * t)
+        th = 2 * np.pi * 19000.0 * t
+        mpx = (0.45 * (L + R) + 0.1 * np.sin(th) +
+               0.45 * (L - R) * np.sin(2 * th)).astype(np.float32)
+        yl, yr = self._decode(mpx)
+
+        def tone(y, f0):
+            seg = y[32768:32768 + 65536] * np.hanning(65536)
+            S = np.abs(np.fft.rfft(seg))
+            f = np.fft.rfftfreq(65536, 1 / self.FS)
+            return S[np.argmin(np.abs(f - f0))]
+
+        sep_l = 20 * np.log10(tone(yl, 1000) / (tone(yl, 2500) + 1e-12))
+        sep_r = 20 * np.log10(tone(yr, 2500) / (tone(yr, 1000) + 1e-12))
+        assert sep_l > 40 and sep_r > 40, (sep_l, sep_r)
+
+    def test_mono_compatibility(self):
+        """No pilot -> both channels carry the mono program, no blowup."""
+        n = 131072
+        t = np.arange(n) / self.FS
+        mpx = (0.9 * np.sin(2 * np.pi * 1000.0 * t)).astype(np.float32)
+        yl, yr = self._decode(mpx)
+        a, b = yl[40000:100000], yr[40000:100000]
+        assert np.all(np.isfinite(a)) and np.all(np.isfinite(b))
+        assert np.dot(a, b) / np.linalg.norm(a) / np.linalg.norm(b) > 0.999
