@@ -3,5 +3,6 @@ blocks with the global registry."""
 
 from . import (acquisition, audio, basic, channelizer, digital,  # noqa: F401
                dsp_extras, electrical, equalizer, fileio, filter, fourier, http, math,
-               misc, monitor, python_block, sdr, testing, timing, util_blocks)
+               misc, monitor, network, python_block, sdr, testing, timing,
+               util_blocks)
 from ..core import datasink as _datasink  # noqa: F401  (registers DataSink)

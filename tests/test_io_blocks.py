@@ -296,3 +296,53 @@ class TestWaterfallMonitor:
         src.close()
         gr.Scheduler(g, block_len=1024, sample_rate=48000.0).run_and_wait()
         assert len(wf.draw().splitlines()) == 5
+
+
+class TestTcpBlocks:
+    """TcpSource/TcpSink raw-stream transport (blocks/network.py)."""
+
+    def test_two_graph_link_exact(self):
+        rt = gr.Runtime()
+        tx = gr.Graph()
+        t_src = tx.emplace("CountingSource", n_samples=100_000)
+        t_snk = tx.emplace("TcpSink", port=52321, listen=True)
+        tx.connect(t_src, t_snk)
+        rx = gr.Graph()
+        r_src = rx.emplace("TcpSource", port=52321, listen=False,
+                           dtype="float32", n_samples=100_000)
+        r_snk = rx.emplace("VectorSink")
+        rx.connect(r_src, r_snk)
+        rt.add(tx, block_len=8192, sample_rate=1e6)
+        rt.add(rx, block_len=4096, sample_rate=1e6)
+        rt.run_all(timeout=120)
+        np.testing.assert_array_equal(
+            np.asarray(r_snk.data())[:100_000],
+            np.arange(100_000, dtype=np.float32))
+
+    def test_reversed_roles_complex(self):
+        rt = gr.Runtime()
+        tx = gr.Graph()
+        t_src = tx.emplace("ComplexToneSource", frequency=1000.0,
+                           n_samples=50_000)
+        t_snk = tx.emplace("TcpSink", port=52322, listen=False)
+        tx.connect(t_src, t_snk)
+        rx = gr.Graph()
+        r_src = rx.emplace("TcpSource", port=52322, listen=True,
+                           dtype="complex64", n_samples=50_000)
+        r_snk = rx.emplace("VectorSink")
+        rx.connect(r_src, r_snk)
+        rt.add(tx, block_len=4096, sample_rate=48000.0)
+        rt.add(rx, block_len=4096, sample_rate=48000.0)
+        rt.run_all(timeout=120)
+        y = np.asarray(r_snk.data())[:50_000]
+        assert y.dtype == np.complex64
+        np.testing.assert_allclose(np.mean(np.abs(y) ** 2), 1.0, atol=1e-3)
+
+    def test_dead_peer_raises(self):
+        g = gr.Graph()
+        s = g.emplace("TcpSource", port=59998, listen=False,
+                      connect_timeout=1.5)
+        k = g.emplace("NullSink")
+        g.connect(s, k)
+        with pytest.raises(Exception, match="refused|Connection"):
+            gr.Scheduler(g, block_len=1024, sample_rate=1e6).run_and_wait()
