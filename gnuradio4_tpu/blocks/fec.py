@@ -97,12 +97,15 @@ class ViterbiDecoder(Block):
     seamless across scheduler blocks.
     """
 
-    IN = (Port("in", dtype="int32"),)
+    IN = (Port("in"),)   # int32 hard bits, or float32 soft values in [0,1]
     OUT = (Port("out", dtype="int32"),)
     constraint = Setting(default=7, kind="static", limits=(3, 10))
     poly0 = Setting(default=0o171, kind="static")
     poly1 = Setting(default=0o133, kind="static")
     traceback = Setting(default=64, kind="static", limits=(8, 512))
+    soft = Setting(default=False, kind="static",
+                   description="input is float32 confidence in [0,1] "
+                               "(0=strong 0, 1=strong 1) instead of hard bits")
 
     @property
     def ratio(self):
@@ -173,3 +176,58 @@ class ViterbiDecoder(Block):
         new_tail = jax.lax.dynamic_slice_in_dim(all_dec, total - tb, tb)
         return ({"metrics": m_end, "tail_dec": new_tail},
                 {"out": emit})
+
+
+@register_block("Scrambler")
+class Scrambler(Block):
+    """Multiplicative (self-synchronizing) LFSR scrambler over bits
+    (≈ GNU Radio scrambler_bb): out[n] = in[n] ⊕ parity(mask & reg);
+    reg shifts in out[n]. Default CCSDS/V.35-style x^7+x^4+1 (mask 0o221→
+    taps at 7,4 ⇒ mask 0x48, length 7)."""
+
+    IN = (Port("in", dtype="int32"),)
+    OUT = (Port("out", dtype="int32"),)
+    mask = Setting(default=0x48, kind="static",
+                   description="feedback tap mask over the register")
+    length = Setting(default=7, kind="static", limits=(2, 30))
+    seed = Setting(default=0x7F, kind="static")
+
+    _DESCRAMBLE = False
+
+    def init_state(self, ctx):
+        return jnp.asarray(int(self.settings.get("seed")), jnp.int32)
+
+    def apply(self, state, ins, ctx):
+        bits = ins["in"].astype(jnp.int32)
+        mask = int(self.settings.get("mask"))
+        length = int(self.settings.get("length"))
+        regmask = (1 << length) - 1
+
+        def parity(v):
+            # popcount & 1 over <=30 bits, vectorized-friendly
+            v = v ^ (v >> 16)
+            v = v ^ (v >> 8)
+            v = v ^ (v >> 4)
+            v = v ^ (v >> 2)
+            v = v ^ (v >> 1)
+            return v & 1
+
+        descramble = self._DESCRAMBLE
+
+        def step(reg, b):
+            fb = parity(reg & mask)
+            y = b ^ fb
+            shift_in = b if descramble else y   # self-synchronizing property
+            reg2 = ((reg << 1) | shift_in) & regmask
+            return reg2, y
+
+        reg_end, out = jax.lax.scan(step, state, bits)
+        return reg_end, {"out": out.astype(jnp.int32)}
+
+
+@register_block("Descrambler")
+class Descrambler(Scrambler):
+    """Inverse of :class:`Scrambler`; self-synchronizes after ``length`` bits
+    regardless of seed (≈ GNU Radio descrambler_bb)."""
+
+    _DESCRAMBLE = True
