@@ -206,3 +206,121 @@ class TcpSink(SinkBlock):
             except OSError:
                 pass
             self._sock = None
+
+
+@register_block("UdpSource")
+class UdpSource(SourceBlock):
+    """Receives raw sample datagrams on a UDP port (lossy transport: dropped
+    datagrams are simply absent from the stream — no reordering buffer)."""
+
+    OUT = (Port("out"),)
+    FEED = True
+    host = Setting(default="127.0.0.1", kind="static")
+    port = Setting(default=52002, kind="static")
+    dtype = Setting(default="float32", kind="static",
+                    choices=("float32", "complex64", "int16", "int32"))
+    n_samples = Setting(default=0, kind="static", description="0 = endless")
+    idle_timeout = Setting(default=30.0, kind="static",
+                           description="stop after this long with no data")
+
+    def __init__(self, name=None, **settings):
+        super().__init__(name=name, **settings)
+        self._feeder: ThreadedFeeder | None = None
+        self._sock: socket.socket | None = None
+
+    def out_dtype(self, port, in_dtypes):
+        return np.dtype(str(self.settings.get("dtype")))
+
+    def start(self):
+        if self._sock is None:
+            self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+            self._sock.bind((str(self.settings.get("host")) or "127.0.0.1",
+                             int(self.settings.get("port"))))
+            self._sock.settimeout(float(self.settings.get("idle_timeout")))
+
+    def _ensure_feeder(self):
+        if self._feeder is not None:
+            return
+        self.start()
+        dt = np.dtype(str(self.settings.get("dtype")))
+        sock = self._sock
+        limit = int(self.settings.get("n_samples"))
+
+        def frames():
+            served = 0
+            while not limit or served < limit:
+                try:
+                    pkt = sock.recv(1 << 16)
+                except (socket.timeout, OSError):
+                    break
+                n_items = len(pkt) // dt.itemsize
+                if not n_items:
+                    continue
+                arr = np.frombuffer(pkt[: n_items * dt.itemsize], dtype=dt)
+                if limit:
+                    arr = arr[: limit - served]
+                served += len(arr)
+                yield arr
+
+        self._feeder = ThreadedFeeder(frames(), dt,
+                                      name=f"{self.name}.udp").start()
+
+    def stop(self):
+        if self._sock is not None:
+            try:
+                self._sock.close()
+            except OSError:
+                pass
+        if self._feeder is not None:
+            self._feeder.stop()
+
+    def host_feed(self, n, abs_index):
+        if self._feeder is None:
+            self._ensure_feeder()
+        got = read_exact(self._feeder.ring, self._feeder.reader, n)
+        if self._feeder.error is not None:
+            raise GrError(f"{self.name}: UDP thread failed: "
+                          f"{self._feeder.error}")
+        if got is None:
+            return None
+        return {"out": got}, len(got)
+
+    def apply(self, state, ins, ctx):
+        return state, {"out": ins["out"]}
+
+
+@register_block("UdpSink")
+class UdpSink(SinkBlock):
+    """Sends the stream as UDP datagrams of ``payload_items`` samples."""
+
+    IN = (Port("in"),)
+    host = Setting(default="127.0.0.1", kind="static")
+    port = Setting(default=52002, kind="static")
+    payload_items = Setting(default=1024, kind="static", limits=(1, 8192))
+
+    def __init__(self, name=None, **settings):
+        super().__init__(name=name, **settings)
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self._addr = None
+
+    def consume(self, arrays, tags, n_valid, abs_index):
+        if n_valid <= 0:
+            return
+        if self._addr is None:
+            self._addr = (str(self.settings.get("host")) or "127.0.0.1",
+                          int(self.settings.get("port")))
+        data = np.ascontiguousarray(arrays["in"][..., :n_valid])
+        step = int(self.settings.get("payload_items"))
+        flat = data.reshape(-1)
+        for i in range(0, len(flat), step):
+            try:
+                self._sock.sendto(flat[i:i + step].tobytes(), self._addr)
+            except OSError as e:
+                raise GrError(f"{self.name}: UDP send failed: {e}")
+
+    def stop(self):
+        try:
+            self._sock.close()
+        except OSError:
+            pass

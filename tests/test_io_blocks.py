@@ -346,3 +346,36 @@ class TestTcpBlocks:
         g.connect(s, k)
         with pytest.raises(Exception, match="refused|Connection"):
             gr.Scheduler(g, block_len=1024, sample_rate=1e6).run_and_wait()
+
+
+class TestUdpBlocks:
+    def test_loopback_link(self):
+        rt = gr.Runtime()
+        rx = gr.Graph()
+        r_src = rx.emplace("UdpSource", port=52341, dtype="float32",
+                           n_samples=80_000, idle_timeout=20.0)
+        r_snk = rx.emplace("VectorSink")
+        rx.connect(r_src, r_snk)
+        tx = gr.Graph()
+        t_src = tx.emplace("CountingSource", n_samples=80_000)
+        t_snk = tx.emplace("UdpSink", port=52341, payload_items=1000)
+        tx.connect(t_src, t_snk)
+        rt.add(rx, block_len=4096, sample_rate=1e6)
+        rt.add(tx, block_len=8192, sample_rate=1e6)
+        rt.run_all(timeout=120)
+        y = np.asarray(r_snk.data())
+        # loopback UDP virtually never drops; allow tiny loss but demand order
+        assert len(y) >= 79_000
+        ref = np.arange(80_000, dtype=np.float32)
+        assert np.all(np.diff(y) > 0)           # in-order
+        assert np.isin(y, ref).all()
+
+    def test_idle_timeout_ends_stream(self):
+        g = gr.Graph()
+        src = g.emplace("UdpSource", port=52342, idle_timeout=1.0)
+        snk = g.emplace("NullSink")
+        g.connect(src, snk)
+        import time
+        t0 = time.monotonic()
+        gr.Scheduler(g, block_len=1024, sample_rate=1e6).run_and_wait()
+        assert time.monotonic() - t0 < 35      # ends via idle timeout, no hang
