@@ -587,3 +587,177 @@ class BerSink(SinkBlock):
         return {"bits": self._bits, "errors": self._errors,
                 "ber": self._errors / self._bits if self._bits else None,
                 "synced": self._synced is not None}
+
+
+@register_block("PacketFramer")
+class PacketFramer(Block):
+    """Bits → framed QPSK burst symbols: [preamble | 16-bit length | payload
+    bits as QPSK | 32-bit CRC32C]. Fixed frame geometry per step: consumes
+    ``payload_bits`` per frame, emits ``frame_syms`` symbols (rate algebra
+    stays static). Pair with PreambleCorrelator + PacketReceiver.
+    """
+
+    IN = (Port("in", dtype="int32"),)
+    OUT = (Port("out", dtype="complex64"),)
+    payload_bits = Setting(default=512, kind="static", limits=(8, 1 << 16))
+    preamble_len = Setting(default=63, kind="static", limits=(15, 255))
+
+    def __init__(self, name=None, **settings):
+        super().__init__(name=name, **settings)
+        rng = np.random.default_rng(0xC0FFEE)   # fixed, shared with receiver
+        m = int(self.settings.get("preamble_len"))
+        self._preamble = np.exp(
+            1j * np.pi / 4 * (2 * rng.integers(0, 4, m) + 1)
+        ).astype(np.complex64)
+
+    @property
+    def preamble(self) -> np.ndarray:
+        return self._preamble
+
+    def _geometry(self):
+        pb = int(self.settings.get("payload_bits"))
+        if pb % 2:
+            raise GrError("payload_bits must be even (QPSK: 2 bits/symbol)")
+        header_syms = 8            # 16-bit length as QPSK
+        crc_syms = 16              # 32-bit CRC32C as QPSK
+        m = int(self.settings.get("preamble_len"))
+        return pb, m + header_syms + pb // 2 + crc_syms
+
+    @property
+    def ratio(self):
+        pb, fs = self._geometry()
+        return Fraction(fs, pb)
+
+    @property
+    def alignment(self):
+        return self._geometry()[0]
+
+    def host_feed(self, n, abs_index):
+        return None  # not a source
+
+    def prepare_params(self, params):
+        return params
+
+    def apply(self, state, ins, ctx):
+        # framing is host-friendly logic but must trace: build per-frame
+        # symbol layout with static shapes (frames per step is static)
+        from ..core.errors import GrError as _  # noqa: F401
+        bits = ins["in"].astype(jnp.int32)
+        pb, fsyms = self._geometry()
+        nframes = bits.shape[-1] // pb
+        payload = bits.reshape(nframes, pb)
+
+        def frame(pl):
+            length = jnp.asarray(pb, jnp.uint32)
+            hdr_bits = ((length[None] >> jnp.arange(15, -1, -1)) & 1
+                        ).astype(jnp.int32)
+            crc = _crc32c_bits_jax(pl)
+            crc_bits = ((crc[None] >> jnp.arange(31, -1, -1)) & 1
+                        ).astype(jnp.int32)
+            allbits = jnp.concatenate([hdr_bits, pl, crc_bits])
+            pairs = allbits.reshape(-1, 2)
+            symidx = pairs[:, 0] * 2 + pairs[:, 1]
+            # Gray-coded QPSK at pi/4 offsets
+            gray = jnp.asarray([0, 1, 3, 2], jnp.int32)
+            ang = jnp.pi / 4 + jnp.pi / 2 * gray[symidx].astype(jnp.float32)
+            body = jnp.exp(1j * ang.astype(jnp.complex64))
+            return jnp.concatenate([jnp.asarray(self._preamble), body])
+
+        out = jax.vmap(frame)(payload).reshape(-1)
+        return state, {"out": out.astype(jnp.complex64)}
+
+
+def _crc32c_bits_jax(bits):
+    """CRC32C (Castagnoli, reflected) over a bit array — bitwise LFSR via
+    fori_loop; frames are short so this stays cheap and traceable."""
+    poly = jnp.uint32(0x82F63B78)
+
+    def step(i, crc):
+        b = bits[i].astype(jnp.uint32)
+        crc = crc ^ b
+        crc = jnp.where(crc & 1, (crc >> 1) ^ poly, crc >> 1)
+        return crc
+
+    crc = jax.lax.fori_loop(0, bits.shape[0], step,
+                            jnp.uint32(0xFFFFFFFF))
+    return crc ^ jnp.uint32(0xFFFFFFFF)
+
+
+def _crc32c_bits_np(bits: np.ndarray) -> int:
+    crc = 0xFFFFFFFF
+    for b in bits.astype(np.uint32):
+        crc ^= int(b)
+        crc = ((crc >> 1) ^ 0x82F63B78) if (crc & 1) else (crc >> 1)
+    return crc ^ 0xFFFFFFFF
+
+
+@register_block("PacketReceiver")
+class PacketReceiver(SinkBlock):
+    """Host-side packet extraction: feed it the SAME stream the
+    PreambleCorrelator saw (its ``out`` port) — it buffers samples, and
+    :meth:`on_detection` (call with DetectionSink results, or connect the
+    correlator's ``det`` port to input ``det``) demodulates header/payload/CRC
+    at each detection. ``.packets`` = list of dicts(index, ok, bits)."""
+
+    IN = (Port("in", dtype="complex64"), Port("det", dtype="float32"))
+    preamble_len = Setting(default=63, kind="static")
+
+    def __init__(self, name=None, **settings):
+        super().__init__(name=name, **settings)
+        self._buf = np.zeros(0, np.complex64)
+        self._buf_start = 0            # absolute index of _buf[0]
+        self.packets: list[dict] = []
+
+    def consume(self, arrays, tags, n_valid, abs_index):
+        x = np.asarray(arrays["in"][..., :n_valid])
+        if self._buf.size == 0:
+            self._buf_start = abs_index
+        self._buf = np.concatenate([self._buf, x])
+        det = np.asarray(arrays.get("det", np.zeros((2, 0))))
+        for i, m in zip(det[0], det[1]):
+            if m > 0 and i > -(1 << 29):
+                self._try_decode(int(abs_index + i))
+        # bound the buffer: keep 1<<18 most recent samples
+        if len(self._buf) > (1 << 18):
+            drop = len(self._buf) - (1 << 18)
+            self._buf = self._buf[drop:]
+            self._buf_start += drop
+
+    def _try_decode(self, det_abs: int) -> None:
+        pre = int(self.settings.get("preamble_len"))
+        start = det_abs - self._buf_start + pre
+        if start < 0:
+            return
+        buf = self._buf
+
+        def read_syms(off, n):
+            if start + off + n > len(buf):
+                return None
+            return buf[start + off: start + off + n]
+
+        hdr = read_syms(0, 8)
+        if hdr is None:
+            return
+        gray_rev = {0: 0, 1: 1, 3: 2, 2: 3}
+
+        def demod_bits(syms):
+            k = np.round((np.angle(syms) - np.pi / 4) / (np.pi / 2)) % 4
+            out = []
+            for s in k.astype(int):
+                v = gray_rev[s]
+                out += [(v >> 1) & 1, v & 1]
+            return np.asarray(out, np.int64)
+
+        hbits = demod_bits(hdr)
+        length = int("".join(map(str, hbits)), 2)
+        if length <= 0 or length > (1 << 15) or length % 2:
+            return
+        body = read_syms(8, length // 2 + 16)
+        if body is None:
+            return
+        bbits = demod_bits(body)
+        payload, crc_bits = bbits[:length], bbits[length:]
+        crc_rx = int("".join(map(str, crc_bits)), 2)
+        ok = (_crc32c_bits_np(payload) == crc_rx)
+        self.packets.append({"index": det_abs, "ok": ok,
+                             "bits": payload.astype(np.int32)})

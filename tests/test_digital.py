@@ -391,3 +391,74 @@ class TestLinkInstrumentation:
         r = ber.report()
         assert r["synced"]
         assert 0.04 < r["ber"] < 0.08, r
+
+
+class TestPacketLink:
+    """PacketFramer -> PreambleCorrelator -> PacketReceiver (framing, CRC)."""
+
+    PB = 512
+    FSYMS = 63 + 8 + PB // 2 + 16
+
+    def test_noisy_link_all_frames_crc_ok(self):
+        rng = np.random.default_rng(7)
+        nframes = 16
+        bits = rng.integers(0, 2, nframes * self.PB).astype(np.int32)
+        g = gr.Graph()
+        src = g.emplace("VectorSource")
+        src.data = bits
+        fr = g.emplace("PacketFramer", payload_bits=self.PB)
+        ni = g.emplace("NoiseSource", std=0.05, seed=1,
+                       n_samples=nframes * self.FSYMS)
+        nq = g.emplace("NoiseSource", std=0.05, seed=2,
+                       n_samples=nframes * self.FSYMS)
+        cx = g.emplace("RealImagToComplex")
+        ad = g.emplace("Add", n_inputs=2)
+        cor = g.emplace("PreambleCorrelator", preamble=fr.preamble,
+                        threshold=0.6, max_detections=32)
+        prx = g.emplace("PacketReceiver")
+        g.connect(ni, cx["real"])
+        g.connect(nq, cx["imag"])
+        g.connect_chain(src, fr)
+        g.connect(fr, ad["in0"])
+        g.connect(cx, ad["in1"])
+        g.connect(ad, cor)
+        g.connect(cor["out"], prx["in"])
+        g.connect(cor["det"], prx["det"])
+        gr.Scheduler(g, block_len=self.FSYMS * 4,
+                     sample_rate=1e6).run_and_wait()
+        ok = [p for p in prx.packets if p["ok"]]
+        assert len(ok) == nframes
+        # every ok payload equals a sent frame
+        sent = {bits[i * self.PB:(i + 1) * self.PB].tobytes()
+                for i in range(nframes)}
+        assert all(p["bits"].astype(np.int32).tobytes() in sent for p in ok)
+
+    def test_crc_flags_corruption(self):
+        rng = np.random.default_rng(7)
+        nframes = 6
+        bits = rng.integers(0, 2, nframes * self.PB).astype(np.int32)
+        g1 = gr.Graph()
+        s1 = g1.emplace("VectorSource")
+        s1.data = bits
+        f1 = g1.emplace("PacketFramer", payload_bits=self.PB)
+        k1 = g1.emplace("VectorSink")
+        g1.connect_chain(s1, f1, k1)
+        gr.Scheduler(g1, block_len=self.FSYMS * 3,
+                     sample_rate=1e6).run_and_wait()
+        tx = np.asarray(k1.data())[: nframes * self.FSYMS].copy()
+        tx[2 * self.FSYMS + 63 + 8 + 40] *= np.exp(1j * np.pi / 2)
+        g2 = gr.Graph()
+        s2 = g2.emplace("StreamSource", dtype="complex64")
+        cor = g2.emplace("PreambleCorrelator", preamble=f1.preamble,
+                         threshold=0.6, max_detections=32)
+        prx = g2.emplace("PacketReceiver")
+        g2.connect(s2, cor)
+        g2.connect(cor["out"], prx["in"])
+        g2.connect(cor["det"], prx["det"])
+        s2.push(tx.astype(np.complex64))
+        s2.close()
+        gr.Scheduler(g2, block_len=self.FSYMS * 3,
+                     sample_rate=1e6).run_and_wait()
+        flags = {p["index"] // self.FSYMS: p["ok"] for p in prx.packets}
+        assert flags[2] is False or flags[2] == False  # noqa: E712
+        assert all(v for f, v in flags.items() if f != 2)
