@@ -88,7 +88,8 @@ class ConvEncoder(Block):
 
 @register_block("ViterbiDecoder")
 class ViterbiDecoder(Block):
-    """Streaming hard-decision Viterbi decoder for the rate-1/2 code.
+    """Streaming Viterbi decoder for the rate-1/2 code (hard bits or
+    soft confidences via ``soft=True``).
 
     Consumes interleaved coded bits (2 per message bit), emits decoded bits
     with ``traceback`` bits of latency: each step decodes its symbols with a
