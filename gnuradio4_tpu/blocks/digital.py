@@ -761,3 +761,110 @@ class PacketReceiver(SinkBlock):
         ok = (_crc32c_bits_np(payload) == crc_rx)
         self.packets.append({"index": det_abs, "ok": ok,
                              "bits": payload.astype(np.int32)})
+
+
+def schmidl_cox_preamble(fft_size: int, cp_len: int, seed: int = 0x5C) -> np.ndarray:
+    """Time-domain Schmidl & Cox preamble: PN symbols on EVEN subcarriers only
+    → the useful part repeats [A A]; receivers detect via lag-N/2
+    autocorrelation. Returns fft_size+cp_len complex samples."""
+    rng = np.random.default_rng(seed)
+    spec = np.zeros(fft_size, complex)
+    even = np.arange(2, fft_size // 2, 2)
+    pn = np.exp(1j * np.pi / 2 * rng.integers(0, 4, len(even)))
+    spec[even] = pn
+    spec[-even] = np.conj(pn)[::-1] * 0 + np.exp(
+        1j * np.pi / 2 * rng.integers(0, 4, len(even)))
+    td = np.fft.ifft(spec) * np.sqrt(fft_size)
+    td = td / np.sqrt(np.mean(np.abs(td) ** 2))
+    return np.concatenate([td[-cp_len:], td]).astype(np.complex64)
+
+
+@register_block("OfdmSync")
+class OfdmSync(Block):
+    """Schmidl & Cox OFDM synchronizer: lag-N/2 autocorrelation over the
+    repeated preamble half gives a timing metric (plateau → peak) and the
+    fractional CFO from the correlation angle. Fully feed-forward (cumsum
+    sliding sums — no sequential loop).
+
+    Ports: ``out`` passes the stream through; ``det`` carries up to
+    ``max_detections`` records [3 rows: in-step index, metric, cfo_est
+    (subcarrier-spacing units)] — collect with :class:`OfdmSyncSink`.
+    """
+
+    IN = (Port("in", dtype="complex64"),)
+    OUT = (Port("out", dtype="complex64"), Port("det", dtype="float32"))
+    fft_size = Setting(default=64, kind="static", limits=(16, 1 << 14))
+    cp_len = Setting(default=16, kind="static")
+    threshold = Setting(default=0.6, kind="static", limits=(0.0, 1.0))
+    max_detections = Setting(default=4, kind="static", limits=(1, 64))
+
+    def out_channels(self, port, in_channels):
+        return 3 if port == "det" else in_channels.get("in", 0)
+
+    def init_state(self, ctx):
+        nf = int(self.settings.get("fft_size"))
+        return jnp.zeros((nf,), jnp.complex64)   # carry N samples of history
+
+    def apply(self, state, ins, ctx):
+        x = ins["in"].astype(jnp.complex64)
+        nf = int(self.settings.get("fft_size"))
+        half = nf // 2
+        cap = int(self.settings.get("max_detections"))
+        thr = jnp.float32(self.settings.get("threshold"))
+        n = x.shape[-1]
+        xa = jnp.concatenate([state, x], axis=-1)      # [nf + n]
+        # P(d) = sum_{m<half} conj(xa[d+m]) xa[d+m+half]  via cumsum
+        prod = jnp.conj(xa[:-half]) * xa[half:]        # [nf/2 + n]
+        cp_ = jnp.cumsum(jnp.concatenate([jnp.zeros(1, prod.dtype), prod]))
+        P = cp_[half:] - cp_[:-half]                   # windows of length half
+        e = jnp.abs(xa) ** 2
+        ce = jnp.cumsum(jnp.concatenate([jnp.zeros(1, e.dtype), e]))
+        d = jnp.arange(n)
+        E1 = ce[d + half] - ce[d]              # energy of window 1 [d, d+half)
+        E2 = ce[d + nf] - ce[d + half]         # energy of window 2
+        # Cauchy-Schwarz normalization: |P|^2 <= E1*E2, so m in [0, 1] —
+        # the naive |P|^2/R^2 blows up where the R window covers only noise
+        # (measured spurious metrics of 2.8-80 in noise/stream-end regions)
+        m = jnp.abs(P[:n]) ** 2 / (E1 * E2 + 1e-12)
+        # peak-pick: local maxima above threshold, top-cap
+        left = jnp.concatenate([jnp.zeros(1), m[:-1]])
+        right = jnp.concatenate([m[1:], jnp.zeros(1)])
+        peak = (m >= left) & (m > right) & (m >= thr)
+        score = jnp.where(peak, m, 0.0)
+        mags, idxs = jax.lax.top_k(score, cap)
+        cfo = jnp.angle(P[:n][idxs]) / jnp.pi          # subcarrier-spacing units
+        base = idxs - nf                                # relative to step start
+        det = jnp.zeros((3, n), jnp.float32)
+        det = det.at[0, :cap].set(jnp.where(mags > 0, base, -(1 << 30)
+                                            ).astype(jnp.float32))
+        det = det.at[1, :cap].set(mags)
+        det = det.at[2, :cap].set(jnp.where(mags > 0, cfo, 0.0))
+        new_state = jax.lax.dynamic_slice_in_dim(xa, n, nf)
+        return new_state, {"out": x, "det": det}
+
+
+@register_block("OfdmSyncSink")
+class OfdmSyncSink(SinkBlock):
+    """Collects OfdmSync detections, clustering the S&C plateau (multiple
+    peaks per preamble within ``min_gap`` samples → keep the strongest):
+    ``.detections`` = list of (abs_sample_index, metric, cfo_subcarriers)."""
+
+    IN = (Port("in", dtype="float32"),)
+    min_gap = Setting(default=256, kind="static")
+
+    def __init__(self, name=None, **settings):
+        super().__init__(name=name, **settings)
+        self.detections: list[tuple[int, float, float]] = []
+
+    def consume(self, arrays, tags, n_valid, abs_index):
+        det = np.asarray(arrays["in"])
+        gap = int(self.settings.get("min_gap"))
+        for i, m, c in sorted(zip(det[0], det[1], det[2])):
+            if m <= 0 or i <= -(1 << 29):
+                continue
+            rec = (int(abs_index + i), float(m), float(c))
+            if self.detections and rec[0] - self.detections[-1][0] < gap:
+                if rec[1] > self.detections[-1][1]:   # keep the stronger
+                    self.detections[-1] = rec
+            else:
+                self.detections.append(rec)

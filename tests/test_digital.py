@@ -462,3 +462,50 @@ class TestPacketLink:
         flags = {p["index"] // self.FSYMS: p["ok"] for p in prx.packets}
         assert flags[2] is False or flags[2] == False  # noqa: E712
         assert all(v for f, v in flags.items() if f != 2)
+
+
+class TestOfdmSync:
+    def test_schmidl_cox_timing_and_cfo(self):
+        from gnuradio4_tpu.blocks.digital import schmidl_cox_preamble
+        fft, cp = 256, 32
+        pre = schmidl_cox_preamble(fft, cp)
+        rng = np.random.default_rng(1)
+        n = 16384
+        sig = ((rng.standard_normal(n) + 1j * rng.standard_normal(n)) * 0.05
+               ).astype(np.complex64)
+        offs = [3000, 9000]
+        for o in offs:
+            sig[o:o + len(pre)] += pre
+        sig = (sig * np.exp(2j * np.pi * 0.3 * np.arange(n) / fft)
+               ).astype(np.complex64)
+        g = gr.Graph()
+        src = g.emplace("StreamSource", dtype="complex64")
+        sync = g.emplace("OfdmSync", fft_size=fft, cp_len=cp, threshold=0.6)
+        det = g.emplace("OfdmSyncSink")
+        g.connect(src, sync)
+        g.connect(sync["out"], g.emplace("NullSink")["in"])
+        g.connect(sync["det"], det["in"])
+        src.push(sig)
+        src.close()
+        gr.Scheduler(g, block_len=4096, sample_rate=1e6).run_and_wait()
+        assert len(det.detections) == 2
+        for (i, m, c), o in zip(det.detections, offs):
+            assert o <= i <= o + cp        # inside the CP-ambiguity plateau
+            assert m > 0.9
+            assert abs(c - 0.3) < 0.02     # CFO in subcarrier-spacing units
+
+    def test_noise_only_no_false_alarms(self):
+        rng = np.random.default_rng(2)
+        n = 16384
+        g = gr.Graph()
+        src = g.emplace("StreamSource", dtype="complex64")
+        sync = g.emplace("OfdmSync", fft_size=256, cp_len=32, threshold=0.6)
+        det = g.emplace("OfdmSyncSink")
+        g.connect(src, sync)
+        g.connect(sync["out"], g.emplace("NullSink")["in"])
+        g.connect(sync["det"], det["in"])
+        src.push(((rng.standard_normal(n) + 1j * rng.standard_normal(n))
+                  * 0.3).astype(np.complex64))
+        src.close()
+        gr.Scheduler(g, block_len=4096, sample_rate=1e6).run_and_wait()
+        assert det.detections == []
