@@ -130,6 +130,19 @@ class FileSource(SourceBlock):
     def host_feed(self, n, abs_index):
         if self._feeder is None:
             self.start()
+        # checkpoint resume: the restored scheduler asks for samples from
+        # abs_index, but a freshly-started IO feeder streams from offset_items
+        # again — discard the already-consumed prefix so the resumed stream is
+        # bit-exact (contract documented in core/checkpoint.py)
+        while self._served < abs_index:
+            skip = read_exact(self._feeder.ring, self._reader,
+                              min(n, abs_index - self._served))
+            if self._feeder.error is not None:
+                raise GrError(f"{self.name}: IO thread failed: "
+                              f"{self._feeder.error}")
+            if skip is None:
+                return None  # file shorter than the resume point → EOS
+            self._served += len(skip)
         got = read_exact(self._feeder.ring, self._reader, n)
         if self._feeder.error is not None:
             raise GrError(f"{self.name}: IO thread failed: {self._feeder.error}")

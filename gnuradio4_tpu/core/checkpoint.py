@@ -49,7 +49,16 @@ def _is_prng_key(leaf: Any) -> bool:
 
 
 def save_checkpoint(sched: Scheduler, path: str | Path) -> Path:
-    """Snapshot a (paused or running) scheduler to ``path`` (a directory)."""
+    """Snapshot a (paused or running) scheduler to ``path`` (a directory).
+
+    Takes the scheduler's step-boundary lock so states and counters are
+    captured atomically between steps — a concurrent pump thread can never
+    donate the state buffers mid-snapshot."""
+    with sched.step_lock:
+        return _save_checkpoint_locked(sched, path)
+
+
+def _save_checkpoint_locked(sched: Scheduler, path: str | Path) -> Path:
     if sched.compiled is None:
         raise GrError("scheduler not initialised; nothing to checkpoint")
     p = Path(path)

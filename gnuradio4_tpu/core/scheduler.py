@@ -89,6 +89,10 @@ class Scheduler:
         self._inflight: collections.deque[_InFlight] = collections.deque()
         self._runner: threading.Thread | None = None
         self._watchdog: threading.Thread | None = None
+        # step-boundary lock: held for the whole of _pump_once so external
+        # snapshotters (core/checkpoint.py) see states/counters atomically and
+        # never race a dispatch that donates the state buffers
+        self.step_lock = threading.RLock()
         self._last_progress = time.monotonic()
         self._stall_flagged = False
         self.error: Error | None = None
@@ -211,7 +215,8 @@ class Scheduler:
 
     def _pump_once(self) -> bool:
         """One scheduler step. Returns False on EOS completion."""
-        with self.profiler.duration("scheduler.step", step=self._step):
+        with self.step_lock, \
+                self.profiler.duration("scheduler.step", step=self._step):
             return self._pump_once_inner()
 
     def _pump_once_inner(self) -> bool:

@@ -62,8 +62,11 @@ def _block_to_map(block: Block) -> dict[str, Any]:
     m: dict[str, Any] = {"name": block.name,
                          "id": getattr(type(block), "registry_name",
                                        type(block).__name__)}
-    if params:
-        m["parameters"] = params
+    # the reference's loadGrc requires parameters.name (Graph_yaml_importer.hpp:101
+    # getOrThrow) — duplicate the instance name inside the parameters map so YAML
+    # written here loads in the reference too; load_grc strips it back out
+    params["name"] = block.name
+    m["parameters"] = params
     ctxs = block.settings.stored_contexts()
     if ctxs:
         m["ctx_parameters"] = [
@@ -117,6 +120,9 @@ def _build_graph(body: dict[str, Any], registry: BlockRegistry,
             by_name[sub.name] = sub
             continue
         params = dict(bm.get("parameters") or {})
+        # reference-format compatibility: parameters.name mirrors the instance
+        # name (see _block_to_map); it is not a block setting
+        params.pop("name", None)
         params = {k: (tuple(v) if isinstance(v, list) else v)
                   for k, v in params.items()}
         blk = registry.create(bid, **params)

@@ -48,7 +48,8 @@ struct Ring {
     Cursor reserved;                  // producer in-flight reserve position
     static constexpr int kMaxReaders = 8;
     Cursor tails[kMaxReaders];        // per-consumer release positions
-    std::atomic<int> n_readers{0};
+    std::atomic<int> n_readers{0};    // claim counter (slot allocation)
+    std::atomic<int> n_published{0};  // readers whose tail is initialized
     std::atomic<int> eos{0};
 };
 
@@ -106,14 +107,22 @@ std::uint8_t* gr4_ring_data(Ring* r) { return r->base; }
 int gr4_ring_add_reader(Ring* r) {
     int id = r->n_readers.fetch_add(1, std::memory_order_acq_rel);
     if (id >= Ring::kMaxReaders) { r->n_readers.fetch_sub(1); return -1; }
+    // Publish in claim order AFTER the tail is initialized: a producer's
+    // min_tail only scans tails[0..n_published), so it can never observe a
+    // zero-initialized tail (which would make head-tail exceed capacity and
+    // underflow the free-space computation, granting an overwriting span).
+    while (r->n_published.load(std::memory_order_acquire) != id) {
+        // rare: another thread mid-registration; registration is setup-time
+    }
     // new reader starts at the current head (sees only future data)
     r->tails[id].value.store(r->head.value.load(std::memory_order_acquire),
-                             std::memory_order_release);
+                             std::memory_order_relaxed);
+    r->n_published.store(id + 1, std::memory_order_release);
     return id;
 }
 
 static std::uint64_t min_tail(Ring* r) {
-    int n = r->n_readers.load(std::memory_order_acquire);
+    int n = r->n_published.load(std::memory_order_acquire);
     std::uint64_t head = r->head.value.load(std::memory_order_acquire);
     std::uint64_t m = head;  // with no readers, producer may run ahead freely
     for (int i = 0; i < n; ++i) {
@@ -129,7 +138,8 @@ static std::uint64_t min_tail(Ring* r) {
 std::uint8_t* gr4_ring_reserve(Ring* r, std::size_t n, std::size_t* avail) {
     std::uint64_t head = r->head.value.load(std::memory_order_relaxed);
     std::uint64_t tail = min_tail(r);
-    std::size_t free_b = r->capacity - (std::size_t)(head - tail);
+    std::size_t used = (std::size_t)(head - tail);
+    std::size_t free_b = used >= r->capacity ? 0 : r->capacity - used;
     std::size_t grant = n < free_b ? n : free_b;
     *avail = grant;
     if (grant == 0) return nullptr;
@@ -164,8 +174,9 @@ std::size_t gr4_ring_readable(Ring* r, int reader) {
 }
 
 std::size_t gr4_ring_writable(Ring* r) {
-    return r->capacity - (std::size_t)(r->head.value.load(std::memory_order_acquire)
-                                       - min_tail(r));
+    std::size_t used = (std::size_t)(r->head.value.load(std::memory_order_acquire)
+                                     - min_tail(r));
+    return used >= r->capacity ? 0 : r->capacity - used;
 }
 
 void gr4_ring_set_eos(Ring* r) { r->eos.store(1, std::memory_order_release); }
@@ -183,7 +194,8 @@ std::uint8_t* gr4_ring_reserve_mp(Ring* r, std::size_t n, std::size_t* avail,
     for (;;) {
         std::uint64_t claim = r->reserved.value.load(std::memory_order_acquire);
         std::uint64_t tail = min_tail(r);
-        std::size_t free_b = r->capacity - (std::size_t)(claim - tail);
+        std::size_t used = (std::size_t)(claim - tail);
+        std::size_t free_b = used >= r->capacity ? 0 : r->capacity - used;
         std::size_t grant = n < free_b ? n : free_b;
         if (grant == 0) { *avail = 0; return nullptr; }
         if (r->reserved.value.compare_exchange_weak(

@@ -90,7 +90,7 @@ def sos_apply(x: jnp.ndarray, sos: np.ndarray, state: jnp.ndarray
     """Cascaded-biquad IIR (scan). sos: [S, 6]; state: [..., S, 2] transposed-DF2."""
     sos = np.atleast_2d(np.asarray(sos, dtype=np.float64))
     S = sos.shape[0]
-    bj = jnp.asarray(sos[:, :3], x.dtype)          # [S, 3]
+    bj = jnp.asarray(sos[:, :3] / sos[:, 3:4], x.dtype)   # [S, 3], a0-normalized
     aj = jnp.asarray(sos[:, 3:] / sos[:, 3:4], x.dtype)
     xT = jnp.moveaxis(x, -1, 0)
 

@@ -101,6 +101,40 @@ class TestCheckpoint:
         gr.Scheduler(g3, block_len=1024).run_and_wait()
         np.testing.assert_array_equal(np.concatenate([a, b]), k3.data())
 
+    def test_file_source_resume_skips_served_samples(self, tmp_path):
+        """A restarted IO feeder streams from the file start again; resume must
+        fast-forward past already-consumed items (bit-exact mid-stream resume)."""
+        data = np.arange(4096, dtype=np.float32)
+        path = tmp_path / "stream.f32"
+        data.tofile(path)
+
+        def build():
+            g = gr.Graph()
+            src = g.emplace("FileSource", path=str(path), dtype="float32")
+            src.name = "file"
+            snk = gr.global_registry.create("VectorSink")
+            snk.name = "cap"
+            g.connect(src, snk)
+            return g, snk
+
+        g, snk = build()
+        sched = gr.Scheduler(g, block_len=512, pipeline_depth=1)
+        sched.init()
+        for _ in range(3):
+            sched._pump_once()
+        sched._drain()
+        first = snk.data()
+        ck = save_checkpoint(sched, tmp_path / "ck3")
+        sched.request_stop()
+
+        resumed = load_checkpoint(ck, pipeline_depth=1)
+        snk2 = [b for b in resumed.compiled.order if b.name == "cap"][0]
+        while resumed._pump_once():
+            pass
+        resumed._drain()
+        joined = np.concatenate([first, snk2.data()])
+        np.testing.assert_array_equal(joined, data)
+
     def test_duplicate_names_rejected(self, tmp_path):
         g = gr.Graph()
         a = g.emplace("ConstantSource", n_samples=100)

@@ -112,6 +112,17 @@ class TestIir:
         y, _ = sos_apply(jnp.asarray(x), res.sos, state)
         np.testing.assert_allclose(np.asarray(y), ref, rtol=0, atol=1e-3)
 
+    def test_sos_unnormalized_a0(self, rng):
+        """SOS rows with a0 != 1 must normalize b and a consistently."""
+        res = fd.design_iir("butterworth", "lowpass", 4, sample_rate=100.0,
+                            f_low=10.0)
+        x = rng.standard_normal(256).astype(np.float32)
+        ref = _np_lfilter(res.b, res.a, x)
+        sos_scaled = res.sos * 3.0  # same transfer function, a0 = 3
+        state = sos_init_state(0, sos_scaled.shape[0])
+        y, _ = sos_apply(jnp.asarray(x), sos_scaled, state)
+        np.testing.assert_allclose(np.asarray(y), ref, rtol=0, atol=1e-3)
+
     def test_one_pole_parallel_scan(self):
         pole = 0.95
         x = np.ones(128, np.float32)
