@@ -12,9 +12,10 @@ from __future__ import annotations
 import queue
 from typing import Any
 
+import jax.numpy as jnp
 import numpy as np
 
-from ..core.block import Port, SinkBlock
+from ..core.block import Block, Port, SinkBlock
 from ..core.dataset import DataSet
 from ..core.datasink import MultiplexedPoller, StreamChunk, TriggerPoller
 from ..core.registry import register_block
@@ -102,6 +103,79 @@ class StreamToDataSet(SinkBlock):
                 out.append(self.datasets.get_nowait())
             except queue.Empty:
                 return out
+
+
+@register_block("TriggerGate")
+class TriggerGate(Block):
+    """Device-side trigger-windowed gating (the TagArrays device path).
+
+    Passes samples inside ``[tag − n_pre, tag + n_post)`` windows around each
+    matching trigger tag and zeroes everything else — trigger capture *inside
+    the data path*, the analog of the reference gating streams on TriggerMatcher
+    hits in DataSink::processBulk (blocks/basic DataSink.hpp:468,
+    core TriggerMatcher.hpp:19). The host packs this step's matching tags into
+    fixed-capacity index/valid arrays (:class:`~..core.tags.TagArrays`, capacity
+    = ``Scheduler(max_tags_per_step=)``) and the mask is computed on-device with
+    static shapes; a window extending past the step boundary is carried as
+    device state into the next step (``n_pre`` cannot reach backwards across a
+    step boundary — pre-trigger history is a host-side capture concern,
+    see :class:`StreamToDataSet`).
+    """
+
+    IN = (Port("in"),)
+    OUT = (Port("out"),)
+    WANTS_TAG_ARRAYS = True
+    filter = Setting(default="", kind="static",
+                     description="trigger matcher DSL; empty = every trigger tag")
+    n_pre = Setting(default=0, kind="static", limits=(0, 1 << 20))
+    n_post = Setting(default=1024, kind="static", limits=(1, 1 << 24))
+
+    def __init__(self, name=None, **settings):
+        super().__init__(name=name, **settings)
+        from ..core.trigger import MatchResult, match_trigger
+        patt = str(self.settings.get("filter"))
+        if patt:
+            m = match_trigger(patt)
+            self._matches = lambda t: m(t) is MatchResult.MATCHED
+        else:
+            self._matches = lambda t: Keys.TRIGGER_NAME in t.map
+        # populated by the scheduler's tag walk each step (WANTS_TAG_ARRAYS)
+        self._step_in_tags = []
+        self._tag_capacity = 64
+
+    def init_state(self, ctx):
+        # samples of an open window still to pass at the start of the next step
+        return jnp.zeros((), jnp.int32)
+
+    def prepare_params(self, params):
+        from ..core.tags import TagArrays
+        ta = TagArrays.from_tags(
+            [t for t in self._step_in_tags if self._matches(t)],
+            self._tag_capacity)
+        params = dict(params)
+        params["tag_idx"] = ta.indices
+        params["tag_valid"] = ta.valid
+        return params
+
+    def apply(self, state, ins, ctx):
+        x = ins["in"]
+        n = x.shape[-1]
+        pre = int(self.settings.get("n_pre"))
+        post = int(self.settings.get("n_post"))
+        idx = ctx.p("tag_idx", jnp.zeros(self._tag_capacity, jnp.int32))
+        valid = ctx.p("tag_valid", jnp.zeros(self._tag_capacity, bool))
+        t = jnp.arange(n, dtype=jnp.int32)
+        lo = idx - pre
+        hi = idx + post
+        mask = ((t[None, :] >= lo[:, None]) & (t[None, :] < hi[:, None])
+                & valid[:, None]).any(axis=0)
+        mask = mask | (t < state)  # window carried over from the previous step
+        carry = jnp.maximum(state - n, 0)
+        carry = jnp.maximum(carry, jnp.max(
+            jnp.where(valid, hi - n, 0)).astype(jnp.int32))
+        y = jnp.where(mask if x.ndim == 1 else mask[None, :], x,
+                      jnp.zeros((), x.dtype))
+        return carry, {"out": y}
 
 
 @register_block("DataSetSink")

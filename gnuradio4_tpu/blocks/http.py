@@ -55,9 +55,8 @@ class HttpSource(SourceBlock):
 
     def start(self):
         self._stop.clear()
-        self._thread = threading.Thread(target=self._run, daemon=True,
-                                        name=f"{self.name}.http")
-        self._thread.start()
+        from ..utils import thread_pool
+        self._thread = thread_pool.spawn(self._run, name=f"{self.name}.http")
 
     def stop(self):
         self._stop.set()

@@ -116,6 +116,25 @@ def compile_graph(graph: Graph, *, block_len: int = 1 << 16,
     """Flatten, validate, solve rates/dtypes/channels, trace, and jit the graph."""
     flat = graph.flatten()
     flat.validate()
+    # Edge ComputeDomain consumption (≈ reference per-edge domain consumed at
+    # buffer binding, BlockModel.hpp:89-97): a 'host' domain forces the dst
+    # block's inputs through the host each step (HOST_TAP delivery — the data
+    # crosses the device→host boundary instead of staying fused on device).
+    from .compute_domain import DomainKind
+    for e in flat.edges:
+        if e.domain is None:
+            continue
+        if e.domain.kind in (DomainKind.GPU, DomainKind.FPGA):
+            raise GrError(f"edge {e} requests compute domain "
+                          f"{e.domain.kind.value!r}; this build targets "
+                          f"tpu/host only")
+        if e.domain.kind is DomainKind.HOST:
+            if not hasattr(e.dst, "consume"):
+                raise GrError(
+                    f"edge {e} has domain=host but {e.dst.name} has no "
+                    f"consume() hook to receive host-side data; use a "
+                    f"SinkBlock or a block with HOST_TAP semantics")
+            e.dst.HOST_TAP = True
     order = flat.topological_order()
     in_len, out_len = flat.resolve_rates(block_len, sample_rate)
 

@@ -28,14 +28,16 @@ class ThreadedFeeder:
         # the writer (with no readers) runs ahead and early data is lost
         self.reader = self.ring.add_reader()
         self._iter = iter(source)
-        self._thread = threading.Thread(target=self._run, daemon=True, name=name)
+        self._name = name
+        self._thread: threading.Thread | None = None
         self.error: Exception | None = None
         self._started = False
 
     def start(self) -> "ThreadedFeeder":
         if not self._started:
             self._started = True
-            self._thread.start()
+            from ..utils import thread_pool
+            self._thread = thread_pool.spawn(self._run, name=self._name)
         return self
 
     def _run(self) -> None:
@@ -64,19 +66,27 @@ def read_exact(ring: HostRing, reader: int, n: int, *, timeout: float = 30.0,
 
     ``wait`` selects the back-off strategy (≈ reference WaitStrategy.hpp):
     'spin' (busy, lowest latency), 'yield' (sched_yield-ish), 'sleep' (default
-    50 µs naps), 'block' (1 ms naps, lowest CPU).
+    50 µs naps), 'block' (futex-parked in the kernel — zero CPU while waiting,
+    woken directly by the producer's publish; ≈ BlockingWaitStrategy,
+    WaitStrategy.hpp:54).
     """
-    sleep_for = {"spin": 0.0, "yield": 0.0, "sleep": 50e-6, "block": 1e-3}[wait]
-    deadline = time.monotonic() + timeout
-    while ring.readable(reader) < n:
-        if ring.eos:
-            break
-        if time.monotonic() > deadline:
+    sleep_for = {"spin": 0.0, "yield": 0.0, "sleep": 50e-6, "block": None}[wait]
+    if sleep_for is None:
+        st = ring.wait_readable(reader, n, timeout=timeout)
+        if st == -1:
             raise TimeoutError(f"ring feed starved (< {n} items for {timeout}s)")
-        if wait == "yield":
-            time.sleep(0)
-        elif sleep_for:
-            time.sleep(sleep_for)
+    else:
+        deadline = time.monotonic() + timeout
+        while ring.readable(reader) < n:
+            if ring.eos:
+                break
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"ring feed starved (< {n} items for {timeout}s)")
+            if wait == "yield":
+                time.sleep(0)
+            elif sleep_for:
+                time.sleep(sleep_for)
     avail = ring.readable(reader)
     take = min(n, avail)
     if take == 0:

@@ -138,10 +138,9 @@ class Scheduler:
 
     def start(self, n_steps: int | None = None) -> None:
         """Run the pump on a background thread (≈ multiThreaded policy)."""
-        self._runner = threading.Thread(
-            target=self.run_and_wait, args=(n_steps,), daemon=True,
-            name=f"{self.name}-runner")
-        self._runner.start()
+        from ..utils import thread_pool
+        self._runner = thread_pool.spawn(
+            lambda: self.run_and_wait(n_steps), name=f"{self.name}-runner")
 
     def wait_done(self, timeout: float | None = None) -> None:
         if self._runner is not None:
@@ -382,6 +381,13 @@ class Scheduler:
                         b.settings.activate_context(SettingsCtx(
                             time=float(t.map.get(Keys.CTX_TIME, 0.0)),
                             context=str(t.map[Keys.CONTEXT])))
+            # device-visible tag path: blocks that gate on tags on-device
+            # (WANTS_TAG_ARRAYS) receive this step's input tags; their
+            # prepare_params packs them into fixed-capacity TagArrays
+            # (static shapes, capacity = max_tags_per_step)
+            if getattr(b, "WANTS_TAG_ARRAYS", False):
+                b._step_in_tags = [t for ts in in_tags.values() for t in ts]
+                b._tag_capacity = self.max_tags_per_step
             out_tags = b.process_tags(in_tags, hc)
             # source-emitted tags (host hook, e.g. TagSource / EOS)
             emitted = b.emit_tags(hc) if hasattr(b, "emit_tags") else []
@@ -582,9 +588,8 @@ class Scheduler:
                         # ≈ the reference watchdog escalating on non-responsive
                         # blocks (Scheduler.hpp:845): wind the graph down
                         self.request_stop()
-        self._watchdog = threading.Thread(target=monitor, daemon=True,
-                                          name=f"{self.name}-watchdog")
-        self._watchdog.start()
+        from ..utils import thread_pool
+        self._watchdog = thread_pool.spawn(monitor, name=f"{self.name}-watchdog")
 
     def _call_hooks(self, which: str) -> None:
         if self.compiled is None:

@@ -88,6 +88,14 @@ def _load():
     libb = ctypes.CDLL(str(_SO))
     libb.gr4_ring_publish_mp.argtypes = [ctypes.c_void_p, ctypes.c_uint64,
                                          ctypes.c_size_t]
+    # futex-parked waits (BlockingWaitStrategy) — CDLL only: they sleep in the
+    # kernel and must release the GIL
+    libb.gr4_ring_wait_readable.restype = ctypes.c_int
+    libb.gr4_ring_wait_readable.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                            ctypes.c_size_t, ctypes.c_long]
+    libb.gr4_ring_wait_writable.restype = ctypes.c_int
+    libb.gr4_ring_wait_writable.argtypes = [ctypes.c_void_p, ctypes.c_size_t,
+                                            ctypes.c_long]
     _lib_blocking = libb
     _lib = lib
     return lib
@@ -206,7 +214,8 @@ class HostRing:
                 if not ptr or cnt == 0:
                     if not block or _t.monotonic() > deadline:
                         return done
-                    _t.sleep(1e-4)
+                    self.wait_writable(1, timeout=max(
+                        1e-3, deadline - _t.monotonic()))
                     continue
                 off = (ptr - self._base) // self.itemsize
                 self._view[off:off + cnt] = data[done:done + cnt]
@@ -231,7 +240,7 @@ class HostRing:
                     continue
             if not block or _t.monotonic() > deadline:
                 return done
-            _t.sleep(1e-4)
+            self.wait_writable(1, timeout=max(1e-3, deadline - _t.monotonic()))
         return done
 
     # -- consumers -------------------------------------------------------------
@@ -287,6 +296,41 @@ class HostRing:
         with self._lock:
             return self.capacity - (self._head - min(self._tails,
                                                      default=self._head))
+
+    # -- blocking waits (≈ BlockingWaitStrategy, WaitStrategy.hpp:54) ----------
+    def wait_readable(self, reader: int, n: int, timeout: float = 30.0) -> int:
+        """Park in the kernel (futex) until ≥ n items are readable.
+
+        Returns 1 = satisfied, 0 = EOS first (partial data may remain),
+        -1 = timed out. Falls back to a sleep loop on the pure-python ring.
+        """
+        if self._h is not None:
+            return _lib_blocking.gr4_ring_wait_readable(
+                self._h, reader, n * self.itemsize, int(timeout * 1e6))
+        import time as _t
+        deadline = _t.monotonic() + timeout
+        while self.readable(reader) < n:
+            if self.eos:
+                return 0
+            if _t.monotonic() > deadline:
+                return -1
+            _t.sleep(1e-3)
+        return 1
+
+    def wait_writable(self, n: int, timeout: float = 30.0) -> int:
+        """Park until ≥ n items of free space (1/0/-1 as wait_readable)."""
+        if self._h is not None:
+            return _lib_blocking.gr4_ring_wait_writable(
+                self._h, n * self.itemsize, int(timeout * 1e6))
+        import time as _t
+        deadline = _t.monotonic() + timeout
+        while self.writable() < n:
+            if self.eos:
+                return 0
+            if _t.monotonic() > deadline:
+                return -1
+            _t.sleep(1e-3)
+        return 1
 
     # -- EOS -------------------------------------------------------------------
     def set_eos(self) -> None:

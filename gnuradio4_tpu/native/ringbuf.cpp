@@ -20,11 +20,13 @@
 #include <ctime>
 #include <new>
 
+#include <climits>
+#include <linux/futex.h>
 #include <sys/mman.h>
+#include <sys/syscall.h>
 #include <unistd.h>
 
 #ifndef MFD_CLOEXEC // pre-glibc-2.27 fallback
-#include <sys/syscall.h>
 static int memfd_create(const char* name, unsigned int flags) {
     return (int)syscall(SYS_memfd_create, name, flags);
 }
@@ -51,7 +53,20 @@ struct Ring {
     std::atomic<int> n_readers{0};    // claim counter (slot allocation)
     std::atomic<int> n_published{0};  // readers whose tail is initialized
     std::atomic<int> eos{0};
+    // futex-backed progress epoch (≈ BlockingWaitStrategy, reference
+    // WaitStrategy.hpp:54): bumped on every publish/release/EOS; blocked
+    // waiters sleep in the kernel on it instead of sleep-polling. Wake
+    // syscalls only fire when someone is actually parked (waiters counter).
+    std::atomic<std::uint32_t> epoch{0};
+    std::atomic<int> waiters{0};
 };
+
+void epoch_bump(Ring* r) {
+    r->epoch.fetch_add(1, std::memory_order_release);
+    if (r->waiters.load(std::memory_order_acquire) > 0)
+        syscall(SYS_futex, (std::uint32_t*)&r->epoch, FUTEX_WAKE, INT_MAX,
+                nullptr, nullptr, 0);
+}
 
 std::size_t round_up(std::size_t v, std::size_t m) { return (v + m - 1) / m * m; }
 
@@ -149,6 +164,7 @@ std::uint8_t* gr4_ring_reserve(Ring* r, std::size_t n, std::size_t* avail) {
 
 void gr4_ring_publish(Ring* r, std::size_t n) {
     r->head.value.fetch_add(n, std::memory_order_acq_rel);
+    epoch_bump(r);
 }
 
 // Consumer: contiguous readable span. Returns ptr (or null), *avail = bytes.
@@ -166,6 +182,7 @@ std::uint8_t* gr4_ring_read(Ring* r, int reader, std::size_t max_n,
 
 void gr4_ring_release(Ring* r, int reader, std::size_t n) {
     r->tails[reader].value.fetch_add(n, std::memory_order_acq_rel);
+    epoch_bump(r);  // wake producers blocked on free space
 }
 
 std::size_t gr4_ring_readable(Ring* r, int reader) {
@@ -179,7 +196,10 @@ std::size_t gr4_ring_writable(Ring* r) {
     return used >= r->capacity ? 0 : r->capacity - used;
 }
 
-void gr4_ring_set_eos(Ring* r) { r->eos.store(1, std::memory_order_release); }
+void gr4_ring_set_eos(Ring* r) {
+    r->eos.store(1, std::memory_order_release);
+    epoch_bump(r);
+}
 int gr4_ring_eos(Ring* r) { return r->eos.load(std::memory_order_acquire); }
 
 // -- multi-producer claim (≈ MultiProducerStrategy, ClaimStrategy.hpp:116) ----
@@ -217,6 +237,59 @@ void gr4_ring_publish_mp(Ring* r, std::uint64_t ticket, std::size_t n) {
         }
     }
     r->head.value.store(ticket + n, std::memory_order_release);
+    epoch_bump(r);
+}
+
+// -- blocking waits (≈ BlockingWaitStrategy / TimeoutBlockingWaitStrategy,
+// WaitStrategy.hpp:54,141). Callers MUST bind these through a GIL-releasing
+// FFI view (ctypes CDLL) — they park the calling thread in the kernel.
+// Returns 1 = condition met, 0 = EOS reached first, -1 = timed out.
+
+static int wait_epoch(Ring* r, std::uint32_t seen, long remain_us) {
+    struct timespec ts{remain_us / 1000000, (remain_us % 1000000) * 1000};
+    r->waiters.fetch_add(1, std::memory_order_acq_rel);
+    syscall(SYS_futex, (std::uint32_t*)&r->epoch, FUTEX_WAIT, seen,
+            remain_us > 0 ? &ts : nullptr, nullptr, 0);
+    r->waiters.fetch_sub(1, std::memory_order_acq_rel);
+    return 0;
+}
+
+static long now_us() {
+    struct timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return ts.tv_sec * 1000000L + ts.tv_nsec / 1000;
+}
+
+int gr4_ring_wait_readable(Ring* r, int reader, std::size_t min_bytes,
+                           long timeout_us) {
+    const long deadline = now_us() + timeout_us;
+    for (;;) {
+        std::uint32_t seen = r->epoch.load(std::memory_order_acquire);
+        std::uint64_t avail =
+            r->head.value.load(std::memory_order_acquire) -
+            r->tails[reader].value.load(std::memory_order_acquire);
+        if (avail >= min_bytes) return 1;
+        if (r->eos.load(std::memory_order_acquire)) return 0;
+        long remain = deadline - now_us();
+        if (remain <= 0) return -1;
+        wait_epoch(r, seen, remain);
+    }
+}
+
+int gr4_ring_wait_writable(Ring* r, std::size_t min_bytes, long timeout_us) {
+    const long deadline = now_us() + timeout_us;
+    for (;;) {
+        std::uint32_t seen = r->epoch.load(std::memory_order_acquire);
+        std::uint64_t head = r->head.value.load(std::memory_order_acquire);
+        std::uint64_t tail = min_tail(r);
+        std::size_t used = (std::size_t)(head - tail);
+        std::size_t free_b = used >= r->capacity ? 0 : r->capacity - used;
+        if (free_b >= min_bytes) return 1;
+        if (r->eos.load(std::memory_order_acquire)) return 0;
+        long remain = deadline - now_us();
+        if (remain <= 0) return -1;
+        wait_epoch(r, seen, remain);
+    }
 }
 
 } // extern "C"

@@ -118,6 +118,72 @@ class StagePipeline:
                 in_name=in_name, tap_name=tap_name))
         self.latency = len(self.stages) - 1
 
+    @classmethod
+    def from_graph(cls, graph: Graph, *, block_len: int,
+                   sample_rate: float = 1.0,
+                   devices: Sequence[Any] | None = None) -> "StagePipeline":
+        """Cut one flowgraph into pipeline stages at edges annotated with a TPU
+        ComputeDomain (``Graph.connect(..., domain="tpu:xla:<stage>")``): the
+        edge's ``device_index`` names the stage its *dst* block (and everything
+        downstream) runs on. This is the reference's per-edge ComputeDomain
+        (BlockModel.hpp:89-97) consumed as actual device placement.
+        """
+        from ..core.compute_domain import DomainKind
+        flat = graph.flatten()
+        order = flat.topological_order()
+        in_edges: dict[Block, list] = {b: [] for b in flat.blocks}
+        for e in flat.edges:
+            in_edges[e.dst].append(e)
+        stage_of: dict[Block, int] = {}
+        for b in order:
+            s = 0
+            for e in in_edges[b]:
+                s = max(s, stage_of[e.src])
+                if e.domain is not None and e.domain.kind is DomainKind.TPU \
+                        and e.domain.device_index > 0:
+                    s = max(s, e.domain.device_index)
+            stage_of[b] = s
+        n_stages = max(stage_of.values(), default=0) + 1
+        # boundary edges: src and dst on different stages
+        cuts = [e for e in flat.edges if stage_of[e.src] != stage_of[e.dst]]
+        for e in cuts:
+            if stage_of[e.dst] != stage_of[e.src] + 1:
+                raise GrError(f"edge {e} skips from stage {stage_of[e.src]} to "
+                              f"{stage_of[e.dst]}; stages must be consecutive")
+        by_stage: dict[int, list[tuple]] = {}
+        for e in cuts:
+            by_stage.setdefault(stage_of[e.src], []).append(e)
+        for k, es in by_stage.items():
+            if len(es) != 1:
+                raise GrError(f"stage {k} has {len(es)} boundary edges; "
+                              f"pipeline stages need exactly one")
+        stages: list[Graph] = []
+        for k in range(n_stages):
+            sg = Graph(name=f"{graph.name}.stage{k}")
+            for b in order:
+                if stage_of[b] == k:
+                    sg.add(b)
+            for e in flat.edges:
+                if stage_of[e.src] == k and stage_of[e.dst] == k:
+                    sg.edges.append(e)
+            if k > 0:
+                e = by_stage[k - 1][0]
+                sg.export_in("in", e.dst, e.dst_port)
+            if k < n_stages - 1:
+                e = by_stage[k][0]
+                sg.export_out("out", e.src, e.src_port)
+            else:
+                # final stage: surface a dangling terminal output (if exactly
+                # one) so push() returns the pipeline's product
+                consumed = {(e.src.unique_name, e.src_port) for e in flat.edges}
+                dangling = [(b, p.name) for b in sg.blocks for p in b.out_ports
+                            if (b.unique_name, p.name) not in consumed]
+                if len(dangling) == 1:
+                    sg.export_out("out", *dangling[0])
+            stages.append(sg)
+        return cls(stages, block_len=block_len, sample_rate=sample_rate,
+                   devices=devices)
+
     def push(self, block: Any | None = None) -> Any | None:
         """Advance every stage by one time block (stages run concurrently via
         async dispatch). Returns the last stage's tap output (device array)."""

@@ -39,9 +39,8 @@ class MemoryMonitor:
 
     def start(self) -> "MemoryMonitor":
         if self._thread is None:
-            self._thread = threading.Thread(target=self._run, daemon=True,
-                                            name="memory-monitor")
-            self._thread.start()
+            from . import thread_pool
+            self._thread = thread_pool.spawn(self._run, name="memory-monitor")
         return self
 
     def _run(self):

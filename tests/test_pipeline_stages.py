@@ -49,3 +49,31 @@ def test_stage_devices_distinct(devices):
     assert out is not None
     # output lives on the second stage's device
     assert list(out.devices())[0] == devices[1]
+
+
+def test_from_graph_domain_stage_cuts(devices):
+    """Per-edge ComputeDomain device_index cuts a flowgraph into pipeline
+    stages; output matches the single-device fused graph bit-for-bit."""
+    import gnuradio4_tpu as gr
+
+    def build():
+        g = gr.Graph()
+        src = g.emplace("SignalGenerator", frequency=1000.0, n_samples=16384)
+        fir = g.emplace("BasicFilter", filter_type="lowpass", f_low=2000.0,
+                        ntaps=63, sample_rate_design=48000.0)
+        mul = g.emplace("MultiplyConst", value=3.0)
+        return g, src, fir, mul
+
+    g, src, fir, mul = build()
+    g.connect(src, fir)
+    g.connect(fir, mul, domain="tpu:xla:1")
+    pipe = StagePipeline.from_graph(g, block_len=4096, sample_rate=48000.0,
+                                    devices=devices[:2])
+    assert len(pipe.stages) == 2
+    outs = [np.asarray(pipe.push()) for _ in range(4)]
+
+    g2, s2, f2, m2 = build()
+    snk = gr.global_registry.create("VectorSink")
+    g2.connect_chain(s2, f2, m2, snk)
+    gr.Scheduler(g2, block_len=4096, sample_rate=48000.0).run_and_wait()
+    np.testing.assert_allclose(np.concatenate(outs), snk.data(), atol=1e-6)
