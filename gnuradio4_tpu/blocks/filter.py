@@ -115,6 +115,39 @@ class FreqXlatingFir(FirFilter):
         new_phase = state["phase"] + jnp.asarray(dphi, jnp.uint32) * jnp.uint32(n_out)
         return {"hist": hist, "phase": new_phase}, {"out": y}
 
+    def apply_sp(self, state, ins, ctx, local_ctx, axis_name):
+        """Time-sharded lowering: FIR history via ppermute halo; the de-rotation
+        NCO phase is position-dependent, so each shard offsets its start phase
+        by its global output position (integer phase wraps mod 2³² exactly)."""
+        import jax
+        from ..ops.signal import (complex_exp, nco_phases, phase_increment,
+                                  phase_to_frac)
+        from ..parallel.halo import halo_left
+        x = ins["in"].astype(jnp.complex64)
+        h = len(self._taps_array()) - 1
+        fs = self._fs(ctx.sample_rate)
+        decim = int(self.settings.get("decim"))
+        halo = halo_left(x, h, axis_name, state["hist"].astype(x.dtype)) \
+            if h > 0 else x[..., :0]
+        y, _ = fir_apply(x, self._rotated_taps(fs), halo, decim=decim)
+        n_out = y.shape[-1]
+        idx = jax.lax.axis_index(axis_name)
+        size = jax.lax.axis_size(axis_name)
+        dphi = jnp.asarray(phase_increment(
+            -float(self.settings.get("center_freq")) * decim, fs), jnp.uint32)
+        phase0 = state["phase"] + dphi * (idx * n_out).astype(jnp.uint32)
+        ph = nco_phases(phase0, dphi, n_out)
+        y = (y * complex_exp(phase_to_frac(ph))).astype(jnp.complex64)
+        if h > 0:
+            tail = jnp.where(idx == size - 1, x[..., -h:],
+                             jnp.zeros((), x.dtype))
+            tail = jax.lax.psum(tail, axis_name)
+        else:
+            tail = x[..., :0]
+        new_phase = state["phase"] + dphi * jnp.uint32(size * n_out)
+        return ({"hist": tail.astype(state["hist"].dtype),
+                 "phase": new_phase}, {"out": y})
+
 
 @register_block("IQDemodulator")
 class IQDemodulator(FreqXlatingFir):

@@ -39,6 +39,16 @@ class QuadratureDemod(Block):
                                    gain=jnp.asarray(ctx.p("gain", 1.0), jnp.float32))
         return last, {"out": y}
 
+    # time-sharding protocol: one-sample halo; state has no trailing time axis
+    def sp_halo(self, ctx):
+        return 1
+
+    def sp_state_to_tail(self, state, ctx):
+        return state[..., None]
+
+    def sp_tail_to_state(self, tail, state, ctx):
+        return tail[..., 0].astype(jnp.complex64)
+
 
 @register_block("AmDemod")
 class AmDemod(Block):

@@ -188,6 +188,92 @@ class Block:
         """Pure, traced step over one time block. Must use static shapes only."""
         raise NotImplementedError(f"{type(self).__name__}.apply")
 
+    # -- sp (time-axis) sharding protocol --------------------------------------
+    # The graph compiler lowers ANY flowgraph onto a mesh with an 'sp' axis by
+    # tracing the whole step inside shard_map: every stream value is a local
+    # time shard [..., T/sp], and each block declares how it behaves:
+    #
+    #   sp_halo(ctx) == 0     time-local (stateless elementwise/FFT) — apply per
+    #                         shard unchanged;
+    #   sp_halo(ctx) == h>0   overlap-save: the block needs the last h input
+    #                         samples of its LEFT neighbor (ppermute halo — the
+    #                         ring-attention neighbor-pass; ≈ HistoryBuffer
+    #                         prehistory, core HistoryBuffer.hpp:68);
+    #   sp_halo(ctx) is None  not time-shardable (sequential scan state etc.) —
+    #                         the compiler falls back to a replicated gather
+    #                         island (all_gather, redundant compute, re-slice).
+    #
+    # Blocks with h>0 additionally map between their carried state and a raw
+    # input tail via sp_state_to_tail / sp_tail_to_state. Blocks with bespoke
+    # needs (position-dependent NCOs, custom collectives) override apply_sp.
+
+    def sp_halo(self, ctx: "BlockCtx"):
+        """Left-halo length in input samples under time sharding (see above)."""
+        return 0 if self.init_state(ctx) is None else None
+
+    def sp_state_to_tail(self, state: Any, ctx: "BlockCtx") -> jnp.ndarray:
+        """Carried state → input-tail array [..., sp_halo] (halo seed, shard 0)."""
+        return state
+
+    def sp_tail_to_state(self, tail: jnp.ndarray, state: Any, ctx: "BlockCtx"
+                         ) -> Any:
+        """Input tail [..., sp_halo] (+ previous state for non-tail parts) →
+        carried state."""
+        dt = getattr(state, "dtype", None)
+        return tail if dt is None else tail.astype(dt)
+
+    def apply_sp(self, state: Any, ins: dict[str, jnp.ndarray],
+                 ctx: "BlockCtx", local_ctx: "BlockCtx", axis_name: str
+                 ) -> tuple[Any, dict[str, jnp.ndarray]]:
+        """Apply under manual time sharding (called inside shard_map).
+
+        ``ins`` are local time shards; must return ``(new_state, outs)`` with
+        ``new_state`` identical on every shard (it leaves shard_map replicated)
+        and ``outs`` local shards. The default lowers via :meth:`sp_halo`.
+        """
+        import jax
+        h = self.sp_halo(ctx)
+        if h == 0:
+            return self.apply(state, ins, local_ctx)
+        if h is None:
+            # replicated gather island: every shard computes the full block
+            # identically (state stays consistent), then keeps its local slice
+            full = {p: jax.lax.all_gather(v, axis_name, axis=-1, tiled=True)
+                    for p, v in ins.items()}
+            new_state, outs = self.apply(state, full, ctx)
+            idx = jax.lax.axis_index(axis_name)
+            size = jax.lax.axis_size(axis_name)
+            local = {}
+            for p, v in outs.items():
+                n_l = v.shape[-1] // size
+                local[p] = jax.lax.dynamic_slice_in_dim(
+                    v, idx * n_l, n_l, axis=-1)
+            return new_state, local
+        # overlap-save halo path
+        stream_ins = [p.name for p in self.in_ports if not p.asynchronous]
+        if len(stream_ins) != 1:
+            raise GrError(
+                f"{self.name}: default halo sharding needs exactly one stream "
+                f"input (has {stream_ins}); override apply_sp")
+        from ..parallel.halo import halo_left
+        port = stream_ins[0]
+        x = ins[port]
+        if x.shape[-1] < h:
+            raise GrError(f"{self.name}: local shard length {x.shape[-1]} < "
+                          f"halo {h}; increase block_len")
+        seed = self.sp_state_to_tail(state, ctx)
+        halo = halo_left(x, h, axis_name,
+                         None if seed is None else seed.astype(x.dtype))
+        local_state = self.sp_tail_to_state(halo, state, ctx)
+        _, outs = self.apply(local_state, ins, local_ctx)
+        # new global state: the LAST shard's input tail, made replicated
+        idx = jax.lax.axis_index(axis_name)
+        size = jax.lax.axis_size(axis_name)
+        tail = jnp.where(idx == size - 1, x[..., -h:],
+                         jnp.zeros((), x.dtype))
+        tail = jax.lax.psum(tail, axis_name)
+        return self.sp_tail_to_state(tail, state, ctx), outs
+
     # -- host path -------------------------------------------------------------
     def process_tags(self, in_tags: dict[str, list[Tag]], ctx: "HostCtx"
                      ) -> dict[str, list[Tag]]:

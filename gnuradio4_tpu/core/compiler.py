@@ -113,7 +113,17 @@ def _feed_dtype(block: Block, port: str):
 def compile_graph(graph: Graph, *, block_len: int = 1 << 16,
                   sample_rate: float = 1.0, mesh: Any = None,
                   jit: bool = True, donate_state: bool = True) -> CompiledGraph:
-    """Flatten, validate, solve rates/dtypes/channels, trace, and jit the graph."""
+    """Flatten, validate, solve rates/dtypes/channels, trace, and jit the graph.
+
+    Mesh lowering: a mesh axis named ``sp`` time-shards the WHOLE graph — the
+    step is traced inside ``shard_map`` (manual over ``sp``), every stream value
+    becomes a local time shard, and each block lowers per its sp protocol
+    (Block.sp_halo: time-local map / ppermute halo exchange / replicated gather
+    island). A ``chan`` axis (without ``sp``) shards multi-channel streams via
+    GSPMD constraints. This is the runtime parallelizing *arbitrary* flowgraphs,
+    the analog of the reference scheduler running any graph over its worker
+    pool (Scheduler.hpp:79-86,722).
+    """
     flat = graph.flatten()
     flat.validate()
     # Edge ComputeDomain consumption (≈ reference per-edge domain consumed at
@@ -136,7 +146,9 @@ def compile_graph(graph: Graph, *, block_len: int = 1 << 16,
                     f"SinkBlock or a block with HOST_TAP semantics")
             e.dst.HOST_TAP = True
     order = flat.topological_order()
-    in_len, out_len = flat.resolve_rates(block_len, sample_rate)
+    sp = int(mesh.shape["sp"]) if (
+        mesh is not None and "sp" in getattr(mesh, "axis_names", ())) else 1
+    in_len, out_len = flat.resolve_rates(block_len, sample_rate, shard=sp)
 
     # per-edge dtype/channel resolution (compile-time type inference over the DAG)
     in_edges: dict[str, list[Edge]] = {b.unique_name: [] for b in flat.blocks}
@@ -194,6 +206,13 @@ def compile_graph(graph: Graph, *, block_len: int = 1 << 16,
              or getattr(b, "HOST_TAP", False)]
     sink_names = [b.unique_name for b in sinks]
 
+    # local (per-shard) contexts for the sp path: lengths divided by sp
+    local_ctx = {
+        uname: dataclasses.replace(
+            c, in_len={k: v // sp for k, v in c.in_len.items()},
+            out_len={k: v // sp for k, v in c.out_len.items()})
+        for uname, c in block_ctx.items()} if sp > 1 else block_ctx
+
     def step(states, params, feeds):
         values: dict[tuple[str, str], jnp.ndarray] = {}
         new_states = {}
@@ -209,7 +228,13 @@ def compile_graph(graph: Graph, *, block_len: int = 1 << 16,
             if uname in sink_names:
                 sink_ins[uname] = ins
             try:
-                st, outs = b.apply(states.get(uname), ins, ctx)
+                if sp > 1:
+                    lctx = dataclasses.replace(local_ctx[uname],
+                                               params=ctx.params)
+                    st, outs = b.apply_sp(states.get(uname), ins, ctx, lctx,
+                                          "sp")
+                else:
+                    st, outs = b.apply(states.get(uname), ins, ctx)
             except Exception as e:
                 if isinstance(e, GrError):
                     raise
@@ -218,7 +243,7 @@ def compile_graph(graph: Graph, *, block_len: int = 1 << 16,
                               block=b.name) from e
             new_states[uname] = st
             for pname, arr in outs.items():
-                if mesh is not None:
+                if mesh is not None and sp == 1:
                     # GSPMD: constrain multi-channel streams onto the mesh —
                     # XLA partitions the fused program + inserts collectives
                     spec = b.out_sharding(pname, mesh,
@@ -231,9 +256,39 @@ def compile_graph(graph: Graph, *, block_len: int = 1 << 16,
         return new_states, sink_ins
 
     step_fn = step
+    if sp > 1:
+        from jax.sharding import PartitionSpec as P
+
+        def _tspec(channels: int) -> Any:
+            return P("sp") if channels == 0 else P(None, "sp")
+
+        state_specs = {b.unique_name: P() for b in order}   # replicated
+        feed_specs = {}
+        for b in fed_blocks:
+            ctx = block_ctx[b.unique_name]
+            feed_specs[b.unique_name] = {
+                p.name: _tspec(ctx.channels.get(p.name, 0))
+                for p in b.out_ports}
+        sink_specs: dict[str, dict[str, Any]] = {}
+        for uname in sink_names:
+            specs: dict[str, Any] = {}
+            for e in flat.edges:
+                if e.dst.unique_name == uname:
+                    specs[e.dst_port] = _tspec(e.channels)
+            b = next(bb for bb in order if bb.unique_name == uname)
+            if uname in fed_names:   # fed host-tap: feeds appear in its ins
+                ctx = block_ctx[uname]
+                for p in b.out_ports:
+                    specs.setdefault(p.name,
+                                     _tspec(ctx.channels.get(p.name, 0)))
+            sink_specs[uname] = specs
+        step_fn = jax.shard_map(
+            step, mesh=mesh, in_specs=(state_specs, P(), feed_specs),
+            out_specs=(state_specs, sink_specs), axis_names={"sp"},
+            check_vma=False)
     if jit:
         donate = (0,) if donate_state else ()
-        step_fn = jax.jit(step, donate_argnums=donate)
+        step_fn = jax.jit(step_fn, donate_argnums=donate)
 
     return CompiledGraph(
         graph=flat, order=order, in_len=in_len, out_len=out_len,

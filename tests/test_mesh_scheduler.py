@@ -1,6 +1,10 @@
-"""Mesh-aware scheduler path: GSPMD sharding constraints on multi-channel
-streams (config-5 shape: channelizer + per-channel demod under Scheduler with a
-Mesh), verified equal to the unsharded run."""
+"""Mesh-aware scheduler paths.
+
+1. GSPMD 'chan' constraints on multi-channel streams (config-5 shape).
+2. Unified time-axis ('sp') sharding: the graph compiler lowers ANY flowgraph
+   inside shard_map — ppermute halo exchange for carried stream state,
+   replicated gather islands for sequential blocks — verified bit-equal to the
+   unsharded run (the sharded_rx pipeline re-expressed as a plain Graph)."""
 
 import jax
 import numpy as np
@@ -9,8 +13,10 @@ from jax.sharding import Mesh
 
 import gnuradio4_tpu as gr
 from gnuradio4_tpu.blocks.channelizer import PFBChannelizer
+from gnuradio4_tpu.blocks.filter import FirFilter
 from gnuradio4_tpu.blocks.sdr import QuadratureDemod
 from gnuradio4_tpu.blocks.testing import VectorSink, VectorSource
+from gnuradio4_tpu.ops import filter_design as fd
 
 
 @pytest.fixture(scope="module")
@@ -19,6 +25,14 @@ def chan_mesh():
     if len(devs) < 8:
         pytest.skip("needs 8 devices")
     return Mesh(np.asarray(devs[:8]), ("chan",))
+
+
+@pytest.fixture(scope="module")
+def sp_mesh():
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 devices")
+    return Mesh(np.asarray(devs[:8]), ("sp",))
 
 
 def _build(iq):
@@ -62,3 +76,99 @@ def test_mesh_sharding_constraint_present(chan_mesh):
          for b in compiled.fed_blocks})
     txt = lowered.as_text()
     assert "sharding" in txt  # GSPMD annotations present in the HLO
+
+
+class TestUnifiedSpSharding:
+    """Any graph time-shards through Scheduler(mesh=('sp',)) — VERDICT #1."""
+
+    def _rx_graph(self, iq, audio_taps):
+        g = gr.Graph()
+        src = VectorSource(iq)
+        chan = PFBChannelizer(n_channels=64, taps_per_phase=4)
+        dem = QuadratureDemod(gain=1.0)
+        fir = FirFilter(taps=audio_taps, decim=4)
+        snk = VectorSink()
+        g.connect_chain(src, chan, dem, fir, snk)
+        return g, snk
+
+    def test_sharded_rx_as_plain_graph(self, sp_mesh):
+        """The flagship sharded_rx pipeline expressed as a plain Graph of
+        PFBChannelizer→QuadratureDemod→FirFilter runs sp-sharded through the
+        Scheduler and matches the unsharded run bitwise (halo exchange keeps
+        every overlap-save boundary exact, across scheduler steps too)."""
+        rng = np.random.default_rng(5)
+        n = 64 * 1024
+        iq = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+              ).astype(np.complex64)
+        taps = fd.design_fir("lowpass", 33, sample_rate=1.0, f_low=0.1,
+                             window="Hamming").astype(np.float32)
+
+        g1, s1 = self._rx_graph(iq, taps)
+        gr.Scheduler(g1, block_len=n // 2, pipeline_depth=1).run_and_wait()
+        ref = s1.data()
+
+        g2, s2 = self._rx_graph(iq, taps)
+        gr.Scheduler(g2, block_len=n // 2, mesh=sp_mesh,
+                     pipeline_depth=1).run_and_wait()
+        out = s2.data()
+        assert out.shape == ref.shape == (64, 256)
+        np.testing.assert_array_equal(out, ref)
+
+    def test_freq_xlating_nco_phase_offsets(self, sp_mesh):
+        """Position-dependent NCO de-rotation stays exact: each shard offsets
+        its integer phase by its global output position."""
+        def build():
+            g = gr.Graph()
+            src = g.emplace("ComplexToneSource", frequency=0.12,
+                            n_samples=32768)
+            fx = g.emplace("FreqXlatingFir", center_freq=0.1,
+                           sample_rate_in=1.0, decim=4,
+                           taps=tuple(np.hamming(31) / np.hamming(31).sum()))
+            snk = gr.global_registry.create("VectorSink")
+            g.connect_chain(src, fx, snk)
+            return g, snk
+
+        g1, s1 = build()
+        gr.Scheduler(g1, block_len=8192, pipeline_depth=1).run_and_wait()
+        g2, s2 = build()
+        gr.Scheduler(g2, block_len=8192, mesh=sp_mesh,
+                     pipeline_depth=1).run_and_wait()
+        np.testing.assert_array_equal(s2.data(), s1.data())
+
+    def test_sequential_block_gather_island(self, sp_mesh):
+        """Blocks that cannot time-shard (IIR scan state) fall back to a
+        replicated all_gather island and stay exact."""
+        def build():
+            g = gr.Graph()
+            src = g.emplace("SignalGenerator", frequency=1000.0,
+                            n_samples=16384)
+            de = g.emplace("FmDeemphasis", tau=75e-6, sample_rate_in=48000.0)
+            mul = g.emplace("MultiplyConst", value=2.0)
+            snk = gr.global_registry.create("VectorSink")
+            g.connect_chain(src, de, mul, snk)
+            return g, snk
+
+        g1, s1 = build()
+        gr.Scheduler(g1, block_len=4096, sample_rate=48000.0,
+                     pipeline_depth=1).run_and_wait()
+        g2, s2 = build()
+        gr.Scheduler(g2, block_len=4096, sample_rate=48000.0, mesh=sp_mesh,
+                     pipeline_depth=1).run_and_wait()
+        np.testing.assert_array_equal(s2.data(), s1.data())
+
+    def test_collectives_present_in_sharded_program(self, sp_mesh):
+        """The lowered sp program really contains the halo/psum collectives."""
+        iq = np.zeros(64 * 512, np.complex64)
+        taps = np.ones(17, np.float32) / 17
+        g, _ = self._rx_graph(iq, taps)
+        compiled = gr.compile_graph(g, block_len=64 * 512, mesh=sp_mesh,
+                                    jit=False)
+        import jax.numpy as jnp
+        lowered = jax.jit(compiled.step_fn).lower(
+            compiled.init_states(), compiled.gather_params(),
+            {b.unique_name: {p.name: jnp.zeros((64 * 512,), jnp.complex64)
+                             for p in b.out_ports}
+             for b in compiled.fed_blocks})
+        txt = lowered.as_text()
+        assert "permute" in txt       # ppermute halo exchange (StableHLO)
+        assert "all_reduce" in txt    # psum tail broadcast
