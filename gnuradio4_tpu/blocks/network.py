@@ -235,6 +235,13 @@ class UdpSource(SourceBlock):
         if self._sock is None:
             self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
             self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+            # a small default kernel buffer drops datagrams whenever the host
+            # pauses (GC, jit compile); ask for 4 MB (kernel clamps to rmem_max)
+            try:
+                self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF,
+                                      4 << 20)
+            except OSError:
+                pass
             self._sock.bind((str(self.settings.get("host")) or "127.0.0.1",
                              int(self.settings.get("port"))))
             self._sock.settimeout(float(self.settings.get("idle_timeout")))

@@ -30,7 +30,9 @@ def _state_keys(states: dict[str, Any], name_of: dict[str, str]
                 ) -> dict[str, np.ndarray]:
     out: dict[str, np.ndarray] = {}
     for uname, state in states.items():
-        bname = name_of[uname]
+        # synthetic keys (feedback back-edges "__fb__<i>") are position-stable
+        # across processes and serialize under their own name
+        bname = name_of.get(uname, uname)
         leaves_with_paths = jax.tree_util.tree_flatten_with_path(state)[0]
         for path, leaf in leaves_with_paths:
             key = bname + "".join(str(p) for p in path)
@@ -106,7 +108,7 @@ def load_checkpoint(path: str | Path, **scheduler_kwargs) -> Scheduler:
     uname_of = {v: k for k, v in name_of.items()}
     # restore leaves by matching the freshly-initialised structure
     for uname, state in sched._states.items():
-        bname = name_of[uname]
+        bname = name_of.get(uname, uname)
         paths, treedef = jax.tree_util.tree_flatten_with_path(state)
         leaves = []
         for path, leaf in paths:

@@ -47,11 +47,15 @@ class CompiledGraph:
     sample_rate: float
     block_len: int
     mesh: Any = None
+    loop_groups: list = dataclasses.field(default_factory=list)
+    fb_init_states: dict = dataclasses.field(default_factory=dict)
 
     # -- runtime-facing helpers ------------------------------------------------
     def init_states(self) -> dict[str, Any]:
-        return {b.unique_name: b.init_state(self.block_ctx[b.unique_name])
-                for b in self.order}
+        states = {b.unique_name: b.init_state(self.block_ctx[b.unique_name])
+                  for b in self.order}
+        states.update(self.fb_init_states)   # feedback-loop carried back-edges
+        return states
 
     _params_cache: Any = None
 
@@ -105,6 +109,146 @@ def _shape(channels: int, n: int) -> tuple[int, ...]:
     return (n,) if channels == 0 else (channels, n)
 
 
+def _fb_init_values(group: dict, out_channels: dict, out_dtypes: dict
+                    ) -> dict[str, jnp.ndarray]:
+    """Initial back-edge values: fb_init broadcast over [channels?, delay]."""
+    fb0 = {}
+    for e in group["fb"]:
+        key = (e.src.unique_name, e.src_port)
+        ch = out_channels[key]
+        shape = (group["delay"],) if ch == 0 else (ch, group["delay"])
+        fb0[group["fb_keys"][key]] = jnp.full(
+            shape, e.fb_init, dtype=np.dtype(out_dtypes[key]))
+    return fb0
+
+
+def _plan_feedback(flat: Graph, order: list[Block], fb_edges: list[Edge],
+                   in_len: dict[str, int], in_edges: dict[str, list[Edge]],
+                   sink_names: list[str], fed_names: set[str]
+                   ) -> tuple[list[Any], list[dict]]:
+    """Identify feedback-loop groups and build a contracted execution plan.
+
+    A loop group = the blocks on any forward path from a feedback edge's dst to
+    its src (overlapping groups merge). The plan is a topological order over
+    the condensation: plain blocks interleaved with group dicts
+    ``{members, order, delay, fb}``.
+    """
+    from fractions import Fraction
+    fwd_out: dict[str, list[Edge]] = {b.unique_name: [] for b in flat.blocks}
+    for e in flat.edges:
+        if not e.feedback:
+            fwd_out[e.src.unique_name].append(e)
+
+    def descendants(u0: str) -> set[str]:
+        seen: set[str] = set()
+        stack = [u0]
+        while stack:
+            u = stack.pop()
+            for e in fwd_out[u]:
+                v = e.dst.unique_name
+                if v not in seen:
+                    seen.add(v)
+                    stack.append(v)
+        return seen
+
+    desc_cache = {b.unique_name: descendants(b.unique_name) for b in order}
+    raw_groups: list[set[str]] = []
+    for e in fb_edges:
+        d, s = e.dst.unique_name, e.src.unique_name
+        reach = desc_cache[d] | {d}
+        members = {u for u in reach if s == u or s in desc_cache[u]}
+        if s not in members:
+            raise GrError(f"feedback edge {e} closes no forward path "
+                          f"{e.dst.name} → {e.src.name}")
+        raw_groups.append(members)
+    merged: list[set[str]] = []
+    for g in raw_groups:
+        acc = set(g)
+        rest = []
+        for m in merged:
+            if m & acc:
+                acc |= m
+            else:
+                rest.append(m)
+        merged = rest + [acc]
+
+    by_uname = {b.unique_name: b for b in order}
+    groups: list[dict] = []
+    gid_of: dict[str, int] = {}
+    for gi, mem in enumerate(merged):
+        blocks = [b for b in order if b.unique_name in mem]  # topo within group
+        lens = {in_len[u] for u in mem}
+        for b in blocks:
+            if b.ratio != Fraction(1):
+                raise GrError(f"feedback loop member {b.name} has ratio "
+                              f"{b.ratio}; loop blocks must be rate-1")
+            if b.unique_name in sink_names or b.unique_name in fed_names:
+                raise GrError(f"feedback loop member {b.name} is a sink/"
+                              f"host-fed block; move it outside the loop")
+        if len(lens) != 1:
+            raise GrError(f"feedback loop {[b.name for b in blocks]} has "
+                          f"unequal step lengths {sorted(lens)}")
+        edges_in = [e for e in fb_edges if e.src.unique_name in mem]
+        # stable back-edge value keys (distinct src ports, group-local index):
+        # checkpoint-portable across processes, unlike unique_names
+        fb_keys: dict[tuple[str, str], str] = {}
+        for e in edges_in:
+            k = (e.src.unique_name, e.src_port)
+            if k not in fb_keys:
+                fb_keys[k] = f"v{len(fb_keys)}"
+        delays = {e.delay for e in edges_in}
+        if len(delays) != 1:
+            raise GrError(f"feedback edges of one loop must share a delay; "
+                          f"got {sorted(delays)}")
+        delay = delays.pop()
+        n = lens.pop()
+        if n % delay:
+            raise GrError(f"feedback delay {delay} must divide the loop's "
+                          f"samples-per-step {n}")
+        groups.append({"members": mem, "order": blocks, "delay": delay,
+                       "fb": edges_in, "fb_keys": fb_keys,
+                       "state_key": f"__fb__{gi}"})
+        for u in mem:
+            gid_of[u] = gi
+
+    # condensation topo sort (groups contracted to one node each)
+    def node_of(u: str):
+        return ("g", gid_of[u]) if u in gid_of else ("b", u)
+
+    nodes: list[tuple[str, Any]] = []
+    seen_nodes: set = set()
+    for b in order:
+        nd = node_of(b.unique_name)
+        if nd not in seen_nodes:
+            seen_nodes.add(nd)
+            nodes.append(nd)
+    indeg = {nd: 0 for nd in nodes}
+    succ: dict[Any, list[Any]] = {nd: [] for nd in nodes}
+    for e in flat.edges:
+        if e.feedback:
+            continue
+        a, b_ = node_of(e.src.unique_name), node_of(e.dst.unique_name)
+        if a != b_:
+            succ[a].append(b_)
+            indeg[b_] += 1
+    ready = [nd for nd in nodes if indeg[nd] == 0]
+    plan_nodes: list[Any] = []
+    while ready:
+        nd = ready.pop(0)
+        plan_nodes.append(nd)
+        for m in succ[nd]:
+            indeg[m] -= 1
+            if indeg[m] == 0:
+                ready.append(m)
+    if len(plan_nodes) != len(nodes):
+        raise GrError("feedback loop groups form a cycle among themselves; "
+                      "restructure the graph")
+    exec_plan: list[Any] = []
+    for kind, v in plan_nodes:
+        exec_plan.append(groups[v] if kind == "g" else by_uname[v])
+    return exec_plan, groups
+
+
 def _feed_dtype(block: Block, port: str):
     d = block.out_dtype(port, {})
     return np.dtype(canonical_dtype(d)) if d is not None else np.float32
@@ -150,7 +294,8 @@ def compile_graph(graph: Graph, *, block_len: int = 1 << 16,
         mesh is not None and "sp" in getattr(mesh, "axis_names", ())) else 1
     in_len, out_len = flat.resolve_rates(block_len, sample_rate, shard=sp)
 
-    # per-edge dtype/channel resolution (compile-time type inference over the DAG)
+    # per-edge dtype/channel resolution (compile-time type inference over the
+    # DAG — feedback back-edges resolve afterwards from their src's outputs)
     in_edges: dict[str, list[Edge]] = {b.unique_name: [] for b in flat.blocks}
     for e in flat.edges:
         in_edges[e.dst.unique_name].append(e)
@@ -160,7 +305,7 @@ def compile_graph(graph: Graph, *, block_len: int = 1 << 16,
     out_dtypes: dict[tuple[str, str], Any] = {}
 
     for b in order:
-        ins = in_edges[b.unique_name]
+        ins = [e for e in in_edges[b.unique_name] if not e.feedback]
         in_ch = {e.dst_port: out_channels[(e.src.unique_name, e.src_port)] for e in ins}
         in_dt = {e.dst_port: out_dtypes[(e.src.unique_name, e.src_port)] for e in ins}
         # input-side sample rate = the producing edges' resolved rate
@@ -213,11 +358,98 @@ def compile_graph(graph: Graph, *, block_len: int = 1 << 16,
             out_len={k: v // sp for k, v in c.out_len.items()})
         for uname, c in block_ctx.items()} if sp > 1 else block_ctx
 
+    # -- feedback loops (≈ reference feedback merges, BlockMerging.hpp:628-645):
+    # each cycle closed by a feedback edge is lowered as a lax.scan over
+    # delay-sized sub-chunks — the back-edge value is the scan carry, one
+    # sub-chunk behind, and member block states thread through the carry too.
+    fb_edges = [e for e in flat.edges if e.feedback]
+    loop_groups: list[dict] = []
+    exec_plan: list[Any] = list(order)
+    if fb_edges:
+        if sp > 1:
+            raise GrError("feedback loops are not yet supported together with "
+                          "time-axis (sp) mesh sharding")
+        exec_plan, loop_groups = _plan_feedback(
+            flat, order, fb_edges, in_len, in_edges, sink_names, fed_names)
+
+    def run_loop_group(group, states, params, values, new_states):
+        L = group["delay"]
+        members: list[Block] = group["order"]
+        S = in_len[members[0].unique_name] // L
+
+        def split(v):   # [..., T] → [S, ..., L]
+            return jnp.moveaxis(v.reshape(*v.shape[:-1], S, L), -2, 0)
+
+        def unsplit(v):  # [S, ..., L] → [..., T]
+            w = jnp.moveaxis(v, 0, -2)
+            return w.reshape(*w.shape[:-2], S * L)
+
+        member_names = {b.unique_name for b in members}
+        xs = {}
+        for b in members:
+            for e in in_edges[b.unique_name]:
+                if e.feedback or e.src.unique_name in member_names:
+                    continue
+                xs[(b.unique_name, e.dst_port)] = split(
+                    values[(e.src.unique_name, e.src_port)])
+        # the back-edge values persist ACROSS scheduler steps as graph state
+        # (keyed "__fb__<i>"), seeded from fb_init on the very first step
+        fb0 = states.get(group["state_key"])
+        if fb0 is None:
+            fb0 = _fb_init_values(group, out_channels, out_dtypes)
+        carry0 = (fb0, {b.unique_name: states.get(b.unique_name)
+                        for b in members})
+
+        def body(carry, x_t):
+            fb, sts = carry
+            vals: dict[tuple[str, str], jnp.ndarray] = {}
+            new_sts = {}
+            for b in members:
+                uname = b.unique_name
+                lctx = dataclasses.replace(
+                    block_ctx[uname], params=params.get(uname, {}),
+                    in_len={p.name: L for p in b.in_ports},
+                    out_len={p.name: L for p in b.out_ports})
+                ins = {}
+                for e in in_edges[uname]:
+                    skey = (e.src.unique_name, e.src_port)
+                    if e.feedback:
+                        ins[e.dst_port] = fb[group["fb_keys"][skey]]
+                    elif e.src.unique_name in member_names:
+                        ins[e.dst_port] = vals[skey]
+                    else:
+                        ins[e.dst_port] = x_t[(uname, e.dst_port)]
+                st, outs = b.apply(sts[uname], ins, lctx)
+                new_sts[uname] = st
+                for pname, arr in outs.items():
+                    vals[(uname, pname)] = arr
+            new_fb = {fk: vals[skey]
+                      for skey, fk in group["fb_keys"].items()}
+            return (new_fb, new_sts), vals
+
+        (fb_f, sts_f), ys = jax.lax.scan(body, carry0, xs)
+        new_states[group["state_key"]] = fb_f
+        for b in members:
+            new_states[b.unique_name] = sts_f[b.unique_name]
+        for key, stacked in ys.items():
+            values[key] = unsplit(stacked)
+
     def step(states, params, feeds):
         values: dict[tuple[str, str], jnp.ndarray] = {}
         new_states = {}
         sink_ins: dict[str, dict[str, jnp.ndarray]] = {}
-        for b in order:
+        for item in exec_plan:
+            if isinstance(item, dict):   # contracted feedback-loop group
+                try:
+                    run_loop_group(item, states, params, values, new_states)
+                except Exception as e:
+                    if isinstance(e, GrError):
+                        raise
+                    names = [b.name for b in item["order"]]
+                    raise GrError(f"feedback loop {names} failed during "
+                                  f"trace: {type(e).__name__}: {e}") from e
+                continue
+            b = item
             uname = b.unique_name
             ctx = dataclasses.replace(block_ctx[uname], params=params.get(uname, {}))
             ins = {e.dst_port: values[(e.src.unique_name, e.src_port)]
@@ -294,4 +526,8 @@ def compile_graph(graph: Graph, *, block_len: int = 1 << 16,
         graph=flat, order=order, in_len=in_len, out_len=out_len,
         block_ctx=block_ctx, step_fn=step_fn, fed_blocks=fed_blocks,
         sink_names=sink_names, sample_rate=sample_rate,
-        block_len=in_len[order[0].unique_name] if order else block_len, mesh=mesh)
+        block_len=in_len[order[0].unique_name] if order else block_len,
+        mesh=mesh, loop_groups=loop_groups,
+        fb_init_states={g["state_key"]:
+                        _fb_init_values(g, out_channels, out_dtypes)
+                        for g in loop_groups})

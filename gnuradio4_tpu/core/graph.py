@@ -39,6 +39,13 @@ class Edge:
     min_buffer_size: int = 0
     weight: int = 0
     domain: Any = None  # ComputeDomain annotation (≈ per-edge domain, BlockModel.hpp:94)
+    # feedback edges close graph cycles (≈ reference feedback merges,
+    # BlockMerging.hpp:628-645): the value arrives at dst delayed by ``delay``
+    # samples, initialized to ``fb_init``; lowered by the compiler as a
+    # lax.scan carry over delay-sized sub-chunks
+    feedback: bool = False
+    delay: int = 1
+    fb_init: float = 0.0
     # resolved by the compiler:
     samples_per_step: int = 0
     channels: int = 0
@@ -89,10 +96,16 @@ class Graph(Block):
     def connect(self, src: Block | PortRef, dst: Block | PortRef,
                 *, src_port: str | None = None, dst_port: str | None = None,
                 name: str = "", min_buffer_size: int = 0, weight: int = 0,
-                domain: Any = None) -> Edge:
+                domain: Any = None, feedback: bool = False, delay: int = 1,
+                fb_init: float = 0.0) -> Edge:
         """Connect an output port to an input port. Accepts ``blk["port"]`` refs,
         bare blocks (single-port inference), or string port names. ``domain``
-        annotates device placement (ComputeDomain or "kind:backend:idx")."""
+        annotates device placement (ComputeDomain or "kind:backend:idx").
+
+        ``feedback=True`` closes a cycle: dst sees src's output delayed by
+        ``delay`` samples (initial value ``fb_init``) — graph-level loops
+        (AGC/PLL control) without fusing into one block.
+        """
         sref = self._resolve(src, src_port, output=True)
         dref = self._resolve(dst, dst_port, output=False)
         for b in (sref.block, dref.block):
@@ -101,9 +114,12 @@ class Graph(Block):
         if isinstance(domain, str):
             from .compute_domain import ComputeDomain
             domain = ComputeDomain.parse(domain)
+        if feedback and delay < 1:
+            raise ConnectionError_("feedback delay must be >= 1 sample")
         edge = Edge(sref.block, sref.port, dref.block, dref.port,
                     name=name, min_buffer_size=min_buffer_size, weight=weight,
-                    domain=domain)
+                    domain=domain, feedback=feedback, delay=int(delay),
+                    fb_init=float(fb_init))
         # single-writer per input port (ring semantics): reject double connection
         for e in self.edges:
             if e.dst is dref.block and e.dst_port == dref.port:
@@ -203,13 +219,19 @@ class Graph(Block):
         return [b for b in self.blocks if b not in has_out]
 
     def topological_order(self) -> list[Block]:
+        # feedback edges are excluded: they close cycles by construction and
+        # carry their value one delay behind (compiler lowers them as scan
+        # carries), so the forward dataflow stays a DAG
+        fwd = [e for e in self.edges if not e.feedback]
         indeg = {b: 0 for b in self.blocks}
-        for e in self.edges:
+        for e in fwd:
             indeg[e.dst] += 1
         ready = [b for b in self.blocks if indeg[b] == 0]
         # stable order: keep insertion order among ready blocks (≈ Simple scheduler)
         order: list[Block] = []
-        adj = self.adjacency()
+        adj: dict[Block, list[Edge]] = {b: [] for b in self.blocks}
+        for e in fwd:
+            adj[e.src].append(e)
         while ready:
             b = ready.pop(0)
             order.append(b)
@@ -219,8 +241,9 @@ class Graph(Block):
                     ready.append(e.dst)
         if len(order) != len(self.blocks):
             cyc = [b.name for b in self.blocks if b not in order]
-            raise GrError(f"graph has a cycle involving {cyc}; feedback loops must go "
-                          f"through an explicit Delay block (round-trip state)")
+            raise GrError(f"graph has a cycle involving {cyc}; close loops with "
+                          f"connect(..., feedback=True, delay=N) so the "
+                          f"back-edge becomes a delayed scan carry")
         return order
 
     def validate(self) -> None:
@@ -252,7 +275,8 @@ class Graph(Block):
         anc: dict[Block, set[Block]] = {}
         in_edges: dict[Block, list[Edge]] = {b: [] for b in self.blocks}
         for e in self.edges:
-            in_edges[e.dst].append(e)
+            if not e.feedback:   # back-edges don't constrain rates (ratio-1 loop)
+                in_edges[e.dst].append(e)
         for b in order:
             ins = in_edges[b]
             if not ins:

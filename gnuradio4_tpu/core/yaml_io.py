@@ -76,11 +76,29 @@ def _block_to_map(block: Block) -> dict[str, Any]:
     return m
 
 
+def _edge_entry(e) -> list:
+    entry: list = [e.src.name, e.src_port, e.dst.name, e.dst_port]
+    extra: dict[str, Any] = {}
+    if e.feedback:
+        extra["feedback"] = True
+        extra["delay"] = int(e.delay)
+        if e.fb_init:
+            extra["fb_init"] = float(e.fb_init)
+    if e.domain is not None:
+        extra["domain"] = str(e.domain)
+    if e.min_buffer_size:
+        extra["min_buffer_size"] = int(e.min_buffer_size)
+    if e.weight:
+        extra["weight"] = int(e.weight)
+    if extra:
+        entry.append(extra)
+    return entry
+
+
 def _graph_body(graph: Graph) -> dict[str, Any]:
     body: dict[str, Any] = {
         "blocks": [_block_to_map(b) for b in graph.blocks],
-        "connections": [[e.src.name, e.src_port, e.dst.name, e.dst_port]
-                        for e in graph.edges],
+        "connections": [_edge_entry(e) for e in graph.edges],
     }
     exports: dict[str, Any] = {}
     if graph._exports_in:
@@ -141,14 +159,26 @@ def _build_graph(body: dict[str, Any], registry: BlockRegistry,
     for pub, (bn, prt) in (exports.get("out") or {}).items():
         g.export_out(pub, by_name[bn], prt)
     for conn in body.get("connections", []) or []:
-        if len(conn) != 4:
-            raise GrError(f"connection entry must be [src, port, dst, port]: {conn}")
+        if len(conn) == 5 and isinstance(conn[4], dict):
+            extra = dict(conn[4])
+            conn = conn[:4]
+        elif len(conn) == 4:
+            extra = {}
+        else:
+            raise GrError(f"connection entry must be "
+                          f"[src, port, dst, port(, attrs)]: {conn}")
         sname, sport, dname, dport = conn
         try:
             src, dst = by_name[sname], by_name[dname]
         except KeyError as e:
             raise GrError(f"connection references unknown block {e}") from e
-        g.connect(src, dst, src_port=sport, dst_port=dport)
+        g.connect(src, dst, src_port=sport, dst_port=dport,
+                  feedback=bool(extra.get("feedback", False)),
+                  delay=int(extra.get("delay", 1)),
+                  fb_init=float(extra.get("fb_init", 0.0)),
+                  domain=extra.get("domain"),
+                  min_buffer_size=int(extra.get("min_buffer_size", 0)),
+                  weight=int(extra.get("weight", 0)))
     return g
 
 
