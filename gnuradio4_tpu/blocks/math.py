@@ -77,6 +77,7 @@ class Divide(_NAry):
 class _ConstOp(Block):
     IN = (Port("in"),)
     OUT = (Port("out"),)
+    SAMPLE_ACCURATE = frozenset({"value"})   # tag-driven changes hit at index k
     value = Setting(default=1.0, description="constant operand")
 
 
@@ -118,6 +119,7 @@ class Rotator(Block):
 
     IN = (Port("in", dtype="complex64"),)
     OUT = (Port("out", dtype="complex64"),)
+    SAMPLE_ACCURATE = frozenset({"frequency_shift"})
     frequency_shift = Setting(default=0.0, unit="Hz",
                               description="rotation frequency (± = direction)")
 
@@ -126,6 +128,20 @@ class Rotator(Block):
         params["_dphi"] = phase_increment(float(self.settings.get("frequency_shift")),
                                           self._sample_rate_hint)
         return params
+
+    def tag_param_ramps(self, events, n):
+        """frequency_shift tag at index k → per-sample uint32 phase-increment
+        array (the derived param, not the raw Hz value): the NCO switches
+        frequency at exactly sample k with continuous phase."""
+        fs = self._sample_rate_hint
+        f = np.full(n, float(self.settings.get("frequency_shift")), np.float64)
+        for k, m in events:
+            if "frequency_shift" in m:
+                f[min(max(k, 0), n):] = float(m["frequency_shift"])
+        frac = f / np.float64(fs)
+        frac -= np.floor(frac)
+        return {"_dphi": (np.round(frac * 4294967296.0)
+                          % 4294967296.0).astype(np.uint32)}
 
     def __init__(self, name=None, sample_rate: float | None = None, **settings):
         super().__init__(name=name, **settings)
@@ -138,10 +154,15 @@ class Rotator(Block):
     def apply(self, state, ins, ctx):
         x = ins["in"]
         n = x.shape[-1]
-        dphi = ctx.params.get("_dphi", np.uint32(0))
-        ph = nco_phases(state, jnp.asarray(dphi, jnp.uint32), n)
+        dphi = jnp.asarray(ctx.params.get("_dphi", np.uint32(0)), jnp.uint32)
+        if dphi.ndim:   # per-sample increments (tag-accurate frequency ramp)
+            inc = jnp.cumsum(dphi, dtype=jnp.uint32) - dphi  # exclusive, wraps
+            ph = state + inc
+            new_phase = state + jnp.sum(dphi, dtype=jnp.uint32)
+        else:
+            ph = nco_phases(state, dphi, n)
+            new_phase = state + dphi * jnp.uint32(n)
         lo = complex_exp(phase_to_frac(ph))
-        new_phase = state + jnp.asarray(dphi, jnp.uint32) * jnp.uint32(n)
         return new_phase, {"out": (x * lo).astype(jnp.complex64)}
 
 

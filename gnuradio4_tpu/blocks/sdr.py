@@ -27,6 +27,7 @@ class QuadratureDemod(Block):
 
     IN = (Port("in", dtype="complex64"),)
     OUT = (Port("out", dtype="float32"),)
+    SAMPLE_ACCURATE = frozenset({"gain"})
     gain = Setting(default=1.0, description="rad→output scaling (fs/(2π·Δf))")
 
     def init_state(self, ctx):

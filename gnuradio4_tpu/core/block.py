@@ -314,6 +314,31 @@ class Block:
         float64 here so the device never loses precision. Default: passthrough."""
         return params
 
+    # -- sample-accurate tag-driven settings -----------------------------------
+    # The reference chunk-breaks work at the next tag so tag-driven settings
+    # apply at the exact sample (Block.hpp:1986 getNextTagAndEosPosition). The
+    # static-shape equivalent: a tag at step-relative index k turns the changed
+    # dynamic setting into a per-sample parameter ARRAY (old value before k,
+    # new from k on) for this one step; subsequent steps use the new scalar.
+    SAMPLE_ACCURATE: ClassVar[frozenset] = frozenset()
+
+    def tag_param_ramps(self, events: list[tuple[int, dict[str, Any]]],
+                        n: int) -> dict[str, Any]:
+        """Build per-sample param arrays for this step from tag events
+        ``[(index, {setting: new_value}), ...]`` (sorted). Default:
+        piecewise-constant float ramps for keys in :attr:`SAMPLE_ACCURATE`;
+        blocks with derived params (integer-NCO phase increments) override."""
+        import numpy as np
+        keys = set().union(*[set(m) for _, m in events]) & self.SAMPLE_ACCURATE
+        out: dict[str, Any] = {}
+        for key in keys:
+            arr = np.full(n, float(self.settings.get(key)), np.float32)
+            for k, m in events:
+                if key in m:
+                    arr[min(max(k, 0), n):] = float(m[key])
+            out[key] = arr
+        return out
+
     # -- host-side streaming hooks (used by the scheduler) ---------------------
     FEED: ClassVar[bool] = False  # True → runtime feeds this source's outputs from host
 

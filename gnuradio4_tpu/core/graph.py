@@ -92,6 +92,8 @@ class Graph(Block):
     def remove(self, block: Block) -> None:
         self.blocks.remove(block)
         self.edges = [e for e in self.edges if e.src is not block and e.dst is not block]
+        self.message_edges = [(s, d) for s, d in self.message_edges
+                              if s is not block and d is not block]
 
     def connect(self, src: Block | PortRef, dst: Block | PortRef,
                 *, src_port: str | None = None, dst_port: str | None = None,

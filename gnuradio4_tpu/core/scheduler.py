@@ -61,7 +61,8 @@ class Scheduler:
                  pipeline_depth: int = 2, profiler: Any = None,
                  watchdog_timeout: float | None = None,
                  watchdog_action: str = "notify",
-                 max_tags_per_step: int = 64, name: str = "scheduler"):
+                 max_tags_per_step: int = 64, name: str = "scheduler",
+                 on_block_error: str = "shutdown"):
         self.name = name
         self.graph = graph
         self.block_len = block_len
@@ -73,6 +74,14 @@ class Scheduler:
         self.watchdog_timeout = watchdog_timeout
         self.watchdog_action = watchdog_action  # 'notify' | 'stop'
         self.max_tags_per_step = max_tags_per_step
+        # 'shutdown' (default): any block failure stops the whole graph;
+        # 'prune': failed blocks go zombie — they and their dependent branch
+        # are removed, the rest of the graph re-jits and keeps streaming
+        # (≈ reference cleanupZombieBlocks, Scheduler.hpp:1210-1217)
+        if on_block_error not in ("shutdown", "prune"):
+            raise GrError("on_block_error must be 'shutdown' or 'prune'")
+        self.on_block_error = on_block_error
+        self.zombies: list[str] = []   # names of pruned blocks
 
         self.fsm = StateMachine()
         self.bus = MessageBus()
@@ -83,6 +92,7 @@ class Scheduler:
         self._abs_in: dict[str, int] = {}   # block → absolute input-sample counter
         self._abs_out: dict[str, int] = {}
         self._pending_out_tags: dict[tuple[str, str], list[Tag]] = {}
+        self._tag_ramps: dict[str, list] = {}   # uname → tag-settings events
         self._finished_sources: set[str] = set()
         self._eos_announced: set[str] = set()
         self._drain_steps = 0
@@ -179,9 +189,18 @@ class Scheduler:
     # -- compile ---------------------------------------------------------------
     def _recompile(self, *, reset_state: bool) -> None:
         old_states = None if reset_state else self._states
-        self.compiled = compile_graph(
-            self.graph, block_len=self.block_len, sample_rate=self.sample_rate,
-            mesh=self.mesh)
+        while True:
+            try:
+                self.compiled = compile_graph(
+                    self.graph, block_len=self.block_len,
+                    sample_rate=self.sample_rate, mesh=self.mesh)
+                break
+            except GrError as e:
+                # zombie path: remove the failing block (+ its dependent
+                # branch), keep the rest running (≈ Scheduler.hpp:1210-1217)
+                if self.on_block_error != "prune" or not e.block:
+                    raise
+                self._zombify(e.block, str(e))
         self._states = self.compiled.init_states()
         if old_states:
             # best-effort carry state across re-jit when shapes still match
@@ -192,6 +211,48 @@ class Scheduler:
             self._abs_in.setdefault(b.unique_name, 0)
             self._abs_out.setdefault(b.unique_name, 0)
         self._dirty = False
+
+    def _zombify(self, name: str, reason: str) -> None:
+        """Remove a failed block and every block whose non-optional input
+        depends on it; the survivors keep streaming after a re-jit."""
+        flat = self.graph.flatten()
+        target = next((b for b in flat.blocks
+                       if b.name == name or b.unique_name == name), None)
+        if target is None:
+            raise GrError(f"cannot prune unknown block {name!r}: {reason}")
+        doomed = {target}
+        changed = True
+        while changed:
+            changed = False
+            for e in flat.edges:
+                if e.src in doomed and e.dst not in doomed:
+                    decl = next((p for p in e.dst.in_ports
+                                 if p.name == e.dst_port), None)
+                    if decl is None or not decl.optional:
+                        doomed.add(e.dst)
+                        changed = True
+        survivors = [b for b in flat.blocks if b not in doomed]
+        if not survivors:
+            raise GrError(f"block {name!r} failed and nothing survives "
+                          f"pruning it: {reason}")
+        for b in doomed:
+            _remove_deep(self.graph, b)
+            self._states.pop(b.unique_name, None)
+            self._finished_sources.discard(b.unique_name)
+        self.zombies.extend(b.name for b in doomed)
+        self.bus.notify(self.name, "BlockError",
+                        {"block": name, "reason": reason,
+                         "removed": sorted(b.name for b in doomed)})
+
+    def _contain_block_error(self, block: Block, err: Exception,
+                             what: str) -> bool:
+        """Prune-mode containment for host-side block failures (feed/consume).
+        Returns True when the error was absorbed (block zombified)."""
+        if self.on_block_error != "prune":
+            return False
+        self._zombify(block.name, f"{what}: {err}")
+        self._dirty = True
+        return True
 
     # -- the pump --------------------------------------------------------------
     def _pump(self, n_steps: int | None) -> None:
@@ -250,7 +311,12 @@ class Scheduler:
                 if getattr(b, "FEED", False):
                     feeds[uname] = c.zero_feeds()[uname]
             elif getattr(b, "FEED", False):
-                got = b.host_feed(c.out_len[uname], self._abs_out[uname])
+                try:
+                    got = b.host_feed(c.out_len[uname], self._abs_out[uname])
+                except Exception as err:
+                    if self._contain_block_error(b, err, "host_feed"):
+                        return True   # retry next pump on the pruned graph
+                    raise
                 if got is None:
                     self._finished_sources.add(uname)
                     n_valid[uname] = 0
@@ -308,10 +374,32 @@ class Scheduler:
         with self.profiler.duration("scheduler.tags"):
             sink_tags = self._advance_tags(n_valid)
 
-        # 4. dispatch device step (async)
+        # 4. dispatch device step (async); tag-driven settings at index k
+        # become per-sample param arrays for this step (exact application)
         with self.profiler.duration("scheduler.dispatch", step=self._step):
             params = c.gather_params()
-            new_states, sink_ins = c.step(self._states, params, feeds)
+            if self._tag_ramps:
+                params = dict(params)
+                for uname, events in self._tag_ramps.items():
+                    blk = next(b for b in c.order if b.unique_name == uname)
+                    over = blk.tag_param_ramps(events, c.in_len[uname])
+                    if over:
+                        params[uname] = {**params.get(uname, {}), **over}
+                self._tag_ramps = {}
+            while True:
+                try:
+                    new_states, sink_ins = c.step(self._states, params, feeds)
+                    break
+                except GrError as e:
+                    # jit traces lazily, so a broken apply surfaces HERE on
+                    # the first dispatch after a (re)compile — zombie-prune
+                    # and retry the same step on the surviving graph
+                    if self.on_block_error != "prune" or not e.block:
+                        raise
+                    self._zombify(e.block, str(e))
+                    self._recompile(reset_state=False)
+                    c = self.compiled
+                    params = c.gather_params()
             self._states = new_states
 
         # 5. book-keeping + pipelined sink delivery
@@ -343,17 +431,23 @@ class Scheduler:
         c = self.compiled
         with self.profiler.duration("scheduler.deliver", step=rec.step):
             for uname, ins in rec.sink_ins.items():
-                block = next(b for b in c.order if b.unique_name == uname)
-                if not (isinstance(block, SinkBlock)
-                        or getattr(block, "HOST_TAP", False)):
+                # None: the block was zombie-pruned after this step's dispatch
+                block = next((b for b in c.order if b.unique_name == uname),
+                             None)
+                if block is None or not (isinstance(block, SinkBlock)
+                                         or getattr(block, "HOST_TAP", False)):
                     continue
                 if getattr(block, "WANTS_HOST_DATA", True):
                     arrays = {p: np.asarray(a) for p, a in ins.items()}
                 else:  # metrics-only sink: keep device arrays, skip the copy
                     arrays = dict(ins)
-                block.consume(arrays, rec.sink_tags.get(uname, {}),
-                              rec.n_valid.get(uname, c.in_len[uname]),
-                              rec.abs_in.get(uname, 0))
+                try:
+                    block.consume(arrays, rec.sink_tags.get(uname, {}),
+                                  rec.n_valid.get(uname, c.in_len[uname]),
+                                  rec.abs_in.get(uname, 0))
+                except Exception as err:
+                    if not self._contain_block_error(block, err, "consume"):
+                        raise
 
     # -- tags ------------------------------------------------------------------
     def _advance_tags(self, n_valid: dict[str, int]) -> dict[str, dict[str, list[Tag]]]:
@@ -372,15 +466,23 @@ class Scheduler:
             for e in in_edges[uname]:
                 in_tags[e.dst_port] = list(
                     edge_tags.get((e.src.unique_name, e.src_port), []))
-            # auto-update settings from incoming tag maps (Settings.hpp:329)
+            # auto-update settings from incoming tag maps (Settings.hpp:329);
+            # changes to SAMPLE_ACCURATE dynamic params additionally become
+            # per-sample ramps applied at the exact tag index THIS step
+            # (≈ the reference chunk-breaking at the next tag, Block.hpp:1986)
+            events: list[tuple[int, dict]] = []
             for tags in in_tags.values():
                 for t in tags:
-                    b.settings.auto_update(t.map)
+                    hits = b.settings.auto_update(t.map)
+                    if hits and (b.SAMPLE_ACCURATE & hits.keys()):
+                        events.append((int(t.index), hits))
                     if Keys.CONTEXT in t.map:
                         from .settings import SettingsCtx
                         b.settings.activate_context(SettingsCtx(
                             time=float(t.map.get(Keys.CTX_TIME, 0.0)),
                             context=str(t.map[Keys.CONTEXT])))
+            if events:
+                self._tag_ramps[uname] = sorted(events)
             # device-visible tag path: blocks that gate on tags on-device
             # (WANTS_TAG_ARRAYS) receive this step's input tags; their
             # prepare_params packs them into fixed-capacity TagArrays
@@ -600,6 +702,21 @@ class Scheduler:
             except Exception as e:
                 self.error = Error.here(f"{b.name}.{which}(): {e}", block=b.name)
                 self.bus.notify(b.name, "Error", {"message": str(e)})
+
+
+def _remove_deep(g: Graph, block: Block) -> bool:
+    """Remove a block from ``g`` or any nested subgraph (+ dangling exports)."""
+    if block in g.blocks:
+        g.remove(block)
+        g._exports_in = {k: v for k, v in g._exports_in.items()
+                         if v[0] is not block}
+        g._exports_out = {k: v for k, v in g._exports_out.items()
+                          if v[0] is not block}
+        return True
+    for b in g.blocks:
+        if isinstance(b, Graph) and _remove_deep(b, block):
+            return True
+    return False
 
 
 def _pad_to(a: np.ndarray, shape: tuple[int, ...], dtype) -> np.ndarray:

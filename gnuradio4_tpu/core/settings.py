@@ -155,11 +155,14 @@ class Settings:
             target[k] = s.validate(v)
         return unknown
 
-    def auto_update(self, tag_map: dict[str, Any]) -> None:
-        """Stage settings from an incoming tag map (keys matching setting names)."""
+    def auto_update(self, tag_map: dict[str, Any]) -> dict[str, Any]:
+        """Stage settings from an incoming tag map (keys matching setting
+        names). Returns the staged hits so the scheduler can build
+        sample-accurate parameter ramps for them."""
         hits = {k: v for k, v in tag_map.items() if k in self._auto_update_keys}
         if hits:
             self.set(hits)
+        return hits
 
     def apply_staged(self) -> ApplyResult:
         res = ApplyResult()
