@@ -341,6 +341,9 @@ class Block:
 
     # -- host-side streaming hooks (used by the scheduler) ---------------------
     FEED: ClassVar[bool] = False  # True → runtime feeds this source's outputs from host
+    # True → a partial host_feed block is a transient underrun (live sources,
+    # warming-up bridges), not EOS; only returning None ends the stream
+    ALLOW_UNDERRUN: ClassVar[bool] = False
 
     def host_feed(self, n: int, abs_index: int):
         """For FEED sources: return {port: np.ndarray} (or (dict, n_valid)) for the

@@ -329,7 +329,11 @@ class Scheduler:
                     nv = min(nv, min((np.asarray(a).shape[-1] for a in arrays.values()),
                                      default=nv))
                     n_valid[uname] = nv
-                    if nv < c.out_len[uname]:
+                    # ALLOW_UNDERRUN feeds (live sources, subgraph bridges
+                    # warming up) signal EOS only by returning None; a partial
+                    # block is a transient underrun, not the end of the stream
+                    if nv < c.out_len[uname] and \
+                            not getattr(b, "ALLOW_UNDERRUN", False):
                         self._finished_sources.add(uname)
             elif not b.in_ports:  # pure device source
                 done = b.host_done(self._abs_out[uname], c.out_len[uname])
@@ -368,6 +372,18 @@ class Scheduler:
 
         produced_any = any(n_valid.get(b.unique_name, 0) > 0 for b in c.order
                            if not b.in_ports)
+
+        # delivery-side validity: a FEED block WITH inputs (subgraph bridge) has
+        # its n_valid set by its own feed (output side); what its consume()
+        # receives is the INPUT stream, whose validity is the upstream's
+        n_valid_deliver = dict(n_valid)
+        for b in c.order:
+            uname = b.unique_name
+            ins = in_edges[uname]
+            if ins and getattr(b, "FEED", False):
+                n_valid_deliver[uname] = min(
+                    n_valid.get(e.src.unique_name,
+                                c.out_len[e.src.unique_name]) for e in ins)
 
         # 3. host tag sideband FIRST — tag-derived dynamic params (TagArrays via
         # Block.prepare_params) must be visible to this step's device dispatch
@@ -410,13 +426,17 @@ class Scheduler:
             self._abs_out[uname] += c.out_len[uname]
         self._inflight.append(_InFlight(
             step=self._step, sink_ins=sink_ins, sink_tags=sink_tags,
-            n_valid=n_valid, abs_in=abs_in_snapshot, t_dispatch=time.monotonic()))
+            n_valid=n_valid_deliver, abs_in=abs_in_snapshot,
+            t_dispatch=time.monotonic()))
         self._step += 1
         self._last_progress = time.monotonic()
 
         # EOS: all sources finished and nothing produced this step → stop;
-        # a completed terminate-graph block (HeadBlock) also ends the run
-        sources = [b for b in c.order if not b.in_ports]
+        # a completed terminate-graph block (HeadBlock) also ends the run.
+        # Mid-graph FEED bridges (ScheduledSubgraph) count as sources: the
+        # graph is not done while their inner pipeline still holds data.
+        sources = [b for b in c.order
+                   if not b.in_ports or getattr(b, "FEED", False)]
         all_done = sources and all(b.unique_name in self._finished_sources
                                    for b in sources)
         if (all_done and not produced_any) or graph_done:

@@ -9,9 +9,11 @@ Two composition modes exist in this framework:
 2. **Scheduled** (:class:`ScheduledSubgraph`): the inner graph runs under its OWN
    Scheduler on a separate thread, bridged to the outer graph through native
    ring buffers — for isolating rate domains, host-heavy subgraphs, or different
-   block lengths. Data crosses host↔device at the boundary; the bridge primes
-   ``latency_steps`` zero-blocks so the two pumps never deadlock (the price of
-   decoupled schedulers, analogous to the reference's inter-scheduler buffering).
+   block lengths. Data crosses host↔device at the boundary with **counted
+   latency**: while the inner pipeline warms up, the bridge source reports
+   ``n_valid = 0`` (no fabricated samples enter the stream — downstream
+   consumers skip those steps), so the consumer's first valid sample IS the
+   producer's first sample, a pipeline-fill delay later.
 """
 
 from __future__ import annotations
@@ -90,13 +92,15 @@ class ScheduledSubgraph(Block):
     before the inner graph is compiled).
     """
 
-    HOST_TAP = True   # outer runtime delivers this block's inputs to the host
-    FEED = True       # and feeds its outputs from the host
+    HOST_TAP = True        # outer runtime delivers this block's inputs to the host
+    FEED = True            # and feeds its outputs from the host
+    ALLOW_UNDERRUN = True  # partial/empty feeds = warm-up, not EOS
 
     block_len_inner = Setting(default=0, kind="static",
                               description="0 → inherit outer per-step length")
-    latency_steps = Setting(default=4, kind="static", limits=(1, 64),
-                            description="zero-priming depth of the bridge")
+    starve_timeout = Setting(default=60.0, kind="static", unit="s",
+                             description="error if the inner graph produces "
+                                         "nothing for this long")
 
     def __init__(self, inner: Graph, name=None,
                  out_dtypes: dict[str, Any] | None = None,
@@ -117,7 +121,7 @@ class ScheduledSubgraph(Block):
         self._out_rings: dict[str, HostRing] = {}
         self._out_readers: dict[str, int] = {}
         self._inner_sched = None
-        self._primed = 0
+        self._starved_since: float | None = None
         self._ctx = None
 
     def out_dtype(self, port, in_dtypes):
@@ -169,7 +173,7 @@ class ScheduledSubgraph(Block):
         kw.setdefault("pipeline_depth", 1)  # minimize bridge latency
         self._inner_sched = Scheduler(wrap, name=f"{self.name}.sched", **kw)
         self._inner_sched.start()
-        self._primed = 0
+        self._starved_since = None
 
     def stop(self):
         for ring in self._in_rings.values():
@@ -192,25 +196,65 @@ class ScheduledSubgraph(Block):
             if x.ndim > 1:
                 x = x.reshape(-1, order="F")
             ring.write(x.ravel(), block=True, timeout=60.0)
+        # forward upstream EOS into the inner graph so it winds down and the
+        # bridge's host_feed can report end-of-stream after the drain
+        from .tags import Keys
+        for port_tags in tags.values():
+            if any(t.map.get(Keys.END_OF_STREAM) for t in port_tags):
+                for ring in self._in_rings.values():
+                    ring.set_eos()
+                break
 
-    # outer feed side: produce outputs from the inner rings
+    # outer feed side: produce outputs from the inner rings. Counted latency:
+    # whatever the inner graph has produced is served, the rest of the step is
+    # reported invalid (n_valid < n) — NO fabricated samples enter the stream,
+    # and an empty feed during pipeline fill is not EOS (ALLOW_UNDERRUN).
     def host_feed(self, n, abs_index):
+        import time
         if self._inner_sched is None:
             self.start()
-        prime = int(self.settings.get("latency_steps"))
         out: dict[str, np.ndarray] = {}
-        if self._primed < prime:
-            self._primed += 1
-            for pub, ring in self._out_rings.items():
-                out[pub] = np.zeros(n, ring.dtype)
-            return out, n
+        # one common take (in frames) across ports keeps outputs aligned;
+        # multi-channel ports carry ch items per frame (column-major, matching
+        # _BridgeSink's layout)
         nv = n
+        all_eos = bool(self._out_rings)
         for pub, ring in self._out_rings.items():
-            got = read_exact(ring, self._out_readers[pub], n, timeout=60.0)
-            if got is None:
-                return None
-            nv = min(nv, len(got))
-            out[pub] = got
+            k = max(1, self._out_channels.get(pub, 0))
+            avail = ring.readable(self._out_readers[pub]) // k
+            nv = min(nv, avail)
+            if not (avail == 0 and ring.eos):
+                all_eos = False
+        if all_eos:
+            return None   # inner graph finished and fully drained
+        for pub, ring in self._out_rings.items():
+            reader = self._out_readers[pub]
+            ch = self._out_channels.get(pub, 0)
+            k = max(1, ch)
+            buf = np.zeros((ch, n) if ch else n, ring.dtype)
+            if nv:
+                got = np.array(ring.read(reader, nv * k), copy=True)
+                ring.release(reader, nv * k)
+                if ch:
+                    buf[:, :nv] = got.reshape(ch, nv, order="F")
+                else:
+                    buf[:nv] = got
+            out[pub] = buf
+        from .lifecycle import State
+        if self._inner_sched.state is State.ERROR:
+            raise GrError(f"{self.name}: inner scheduler failed: "
+                          f"{self._inner_sched.error}")
+        if nv == 0:
+            now = time.monotonic()
+            if self._starved_since is None:
+                self._starved_since = now
+            elif now - self._starved_since > float(
+                    self.settings.get("starve_timeout")):
+                raise GrError(f"{self.name}: inner graph produced nothing for "
+                              f"{self.settings.get('starve_timeout')}s")
+            time.sleep(0.0005)   # don't hot-spin the outer pump during fill
+        else:
+            self._starved_since = None
         return out, nv
 
     def apply(self, state, ins, ctx):

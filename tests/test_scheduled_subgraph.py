@@ -21,25 +21,25 @@ def _inner_chain():
 
 
 def test_scheduled_subgraph_processes_stream():
+    """Counted latency: no fabricated samples — the consumer's FIRST valid
+    sample equals the producer's first sample (warm-up steps carry
+    n_valid=0 and are skipped by the sink)."""
     n = 8192
     block = 512
     data = np.arange(n, dtype=np.float32)
     g = gr.Graph()
     src = VectorSource(data)
-    sub = ScheduledSubgraph(_inner_chain(), name="sub", latency_steps=3)
+    sub = ScheduledSubgraph(_inner_chain(), name="sub")
     snk = VectorSink()
     g.connect(src, sub)
     g.connect(sub, snk)
     sched = gr.Scheduler(g, block_len=block)
     sched.run_and_wait()
     out = snk.data()
-    # the bridge primes `latency_steps` zero-blocks, then the processed stream
-    lat = 3 * block
-    assert out.shape[0] >= lat + block
-    np.testing.assert_allclose(out[:lat], 0.0)
-    settled = out[lat:]
-    ref = data[: len(settled)] * 3.0 + 1.0
-    np.testing.assert_allclose(settled, ref)
+    ref = data * 3.0 + 1.0
+    assert out.shape[0] == n              # lossless: EOS drains the bridge
+    assert out[0] == ref[0]               # first sample IS the producer's first
+    np.testing.assert_allclose(out, ref)
 
 
 def test_subgraph_requires_exports():
