@@ -8,6 +8,12 @@ the collectives. Prints one JSON line per mesh size + a final efficiency line.
 Usage:
   XLA_FLAGS=--xla_force_host_platform_device_count=8 \
       python bench_scaling.py --channels 64 --block 65536 [--cpu]
+
+Multi-host (real pods / localhost rehearsal): every host runs the same command
+with its own --process-id; the mesh spans all processes (DCN over the 'host'
+boundary) and throughput is measured on the global step:
+  python bench_scaling.py --multihost --coordinator 10.0.0.1:9911 \
+      --num-processes 4 --process-id $ID
 """
 
 from __future__ import annotations
@@ -36,7 +42,15 @@ def measure(n_devices: int, channels: int, block_len: int, steps: int) -> float:
     step, init_state, x_sharding = build_sharded_rx(mesh, cfg)
     x = np.zeros((cfg.batch, cfg.block_len), np.complex64)
     x[:, :] = np.exp(2j * np.pi * 0.11 * np.arange(cfg.block_len))[None]
-    xd = jax.device_put(jnp.asarray(x), x_sharding)
+    if jax.process_count() > 1:
+        # every process computes the full block; contribute the local time slice
+        npz, pidx = jax.process_count(), jax.process_index()
+        tl = cfg.block_len // npz
+        xd = jax.make_array_from_process_local_data(
+            x_sharding, np.ascontiguousarray(x[:, pidx * tl:(pidx + 1) * tl]),
+            x.shape)
+    else:
+        xd = jax.device_put(jnp.asarray(x), x_sharding)
     state = init_state()
     state, audio, power = step(state, xd)
     jax.block_until_ready(audio)
@@ -54,12 +68,33 @@ def main():
     ap.add_argument("--block", type=int, default=1 << 16)
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--multihost", action="store_true",
+                    help="initialize jax.distributed and bench the global mesh")
+    ap.add_argument("--coordinator", default=None,
+                    help="host:port of process 0 (multihost)")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     args = ap.parse_args()
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+    if args.multihost:
+        from gnuradio4_tpu.parallel.multihost import init_distributed
+        if not init_distributed(args.coordinator, args.num_processes,
+                                args.process_id):
+            print(json.dumps({"error": "jax.distributed init failed"}))
+            return 1
     import jax
     n_avail = len(jax.devices())
+    if args.multihost:
+        # one measurement over the full global mesh; every process runs it
+        msps = measure(n_avail, args.channels, args.block, args.steps)
+        print(json.dumps({"devices": n_avail,
+                          "processes": jax.process_count(),
+                          "process_id": jax.process_index(),
+                          "msps": round(msps, 1),
+                          "platform": jax.devices()[0].platform}), flush=True)
+        return 0
     sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_avail
              and args.channels % n == 0]
     results = {}

@@ -68,6 +68,14 @@ class Scheduler:
         self.block_len = block_len
         self.sample_rate = sample_rate
         self.mesh = mesh
+        # multi-host (multi-controller jax): every process runs this same
+        # scheduler; feeds are assembled into global arrays from per-process
+        # local time shards, sinks drain only addressable shards
+        self._multihost = mesh is not None and jax.process_count() > 1
+        if self._multihost and set(getattr(mesh, "axis_names", ())) != {"sp"}:
+            raise GrError("multi-host scheduling currently requires a mesh "
+                          "with exactly the 'sp' (time) axis spanning all "
+                          "processes")
         self.pipeline_depth = max(1, pipeline_depth)
         from .profiler import NullProfiler
         self.profiler = profiler if profiler is not None else NullProfiler()
@@ -211,6 +219,32 @@ class Scheduler:
             self._abs_in.setdefault(b.unique_name, 0)
             self._abs_out.setdefault(b.unique_name, 0)
         self._dirty = False
+
+    def _globalize_feeds(self, feeds: dict) -> dict:
+        """Per-process local time shards → global jax.Arrays over the mesh.
+
+        Convention (parallel/multihost.py): every process's host_feed returns
+        the full global block (sources like files/generators are replicated
+        inputs); each process contributes its contiguous time slice — devices
+        in ``jax.devices()`` order are process-major, so slice p covers
+        [p·T/nproc, (p+1)·T/nproc).
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        npz = jax.process_count()
+        pid = jax.process_index()
+        out: dict = {}
+        for uname, d in feeds.items():
+            od = {}
+            for port, arr in d.items():
+                arr = np.asarray(arr)
+                spec = P(*([None] * (arr.ndim - 1)), "sp")
+                t = arr.shape[-1]
+                tl = t // npz
+                local = np.ascontiguousarray(arr[..., pid * tl:(pid + 1) * tl])
+                od[port] = jax.make_array_from_process_local_data(
+                    NamedSharding(self.mesh, spec), local, arr.shape)
+            out[uname] = od
+        return out
 
     def _zombify(self, name: str, reason: str) -> None:
         """Remove a failed block and every block whose non-optional input
@@ -385,6 +419,11 @@ class Scheduler:
                     n_valid.get(e.src.unique_name,
                                 c.out_len[e.src.unique_name]) for e in ins)
 
+        # multi-host: every process computed the full (global) feed blocks —
+        # slice out this process's time shard and assemble global jax.Arrays
+        if self._multihost and feeds:
+            feeds = self._globalize_feeds(feeds)
+
         # 3. host tag sideband FIRST — tag-derived dynamic params (TagArrays via
         # Block.prepare_params) must be visible to this step's device dispatch
         with self.profiler.duration("scheduler.tags"):
@@ -458,7 +497,14 @@ class Scheduler:
                                          or getattr(block, "HOST_TAP", False)):
                     continue
                 if getattr(block, "WANTS_HOST_DATA", True):
-                    arrays = {p: np.asarray(a) for p, a in ins.items()}
+                    if self._multihost:
+                        # only this process's shards are addressable; sinks
+                        # receive the local time slice (global gather is the
+                        # application's job if it wants it)
+                        from ..parallel.multihost import drain_local
+                        arrays = {p: drain_local(a) for p, a in ins.items()}
+                    else:
+                        arrays = {p: np.asarray(a) for p, a in ins.items()}
                 else:  # metrics-only sink: keep device arrays, skip the copy
                     arrays = dict(ins)
                 try:
