@@ -103,6 +103,8 @@ def main() -> None:
 
     msps = steps * block_len / dt / 1e6
     platform = jax.devices()[0].platform
+    _report_roofline(msps, platform)
+    _regression_gate(msps)
     print(json.dumps({
         "metric": f"complex Msamples/s/chip, FIR127+FFT4096+demod chain ({platform})",
         "value": round(msps, 2),
@@ -115,6 +117,70 @@ def main() -> None:
         # hard-exit cleanly instead, the result is already on stdout
         import os
         os._exit(0)
+
+
+# v5e per-chip peaks (public spec): 197 TFLOP/s bf16 MXU, ~0.25× for f32
+# accumulate paths; 819 GB/s HBM. Used only for roofline FRACTIONS (stderr
+# diagnostics) — the headline metric stays measured Msps.
+_V5E_PEAK_F32_TFLOPS = 49.0
+_V5E_HBM_GBPS = 819.0
+
+# analytic per-input-sample costs of the chain's stages (complex MAC = 8 real
+# FLOPs; FFT 5·N·log2 N per frame; bytes = streamed operands at complex64)
+_STAGES = {
+    "fir127_xlating": {"flops": 127 * 8, "bytes": 8 + 8},
+    "fft4096_mag":    {"flops": 5 * 12 + 8, "bytes": 8 + 4},
+    "quad_demod":     {"flops": 12, "bytes": 8 + 4},
+    "audio_fir63_d8": {"flops": 63 * 2 // 8, "bytes": 4 + 4 // 8},
+}
+
+
+def _report_roofline(msps: float, platform: str) -> None:
+    """Per-stage analytic roofline fractions at the measured rate (stderr)."""
+    sps = msps * 1e6
+    total_fl = sum(s["flops"] for s in _STAGES.values())
+    total_by = sum(s["bytes"] for s in _STAGES.values())
+    stages = {
+        name: {"gflops": round(sps * s["flops"] / 1e9, 1),
+               "gbytes_s": round(sps * s["bytes"] / 1e9, 1)}
+        for name, s in _STAGES.items()}
+    rep = {
+        "roofline": {
+            "platform": platform,
+            "stages": stages,
+            "chain_tflops": round(sps * total_fl / 1e12, 3),
+            "chain_hbm_gbps": round(sps * total_by / 1e9, 1),
+            "mxu_fraction_f32": round(sps * total_fl / 1e12
+                                      / _V5E_PEAK_F32_TFLOPS, 4),
+            "hbm_fraction": round(sps * total_by / 1e9 / _V5E_HBM_GBPS, 4),
+            "note": "analytic per-sample costs; fractions vs v5e f32/HBM peaks",
+        }
+    }
+    print("# " + json.dumps(rep), file=sys.stderr)
+
+
+def _regression_gate(msps: float) -> None:
+    """Compare against the newest driver-captured BENCH_r*.json; warn (or fail
+    with GR4_BENCH_GATE=1) below 0.8x of the record."""
+    import glob
+    import os
+    recs = sorted(glob.glob(os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "BENCH_r*.json")))
+    if not recs:
+        return
+    try:
+        last = json.load(open(recs[-1]))["parsed"]["value"]
+    except Exception:
+        return
+    ratio = msps / last if last else float("inf")
+    line = (f"# regression-gate: {msps:.0f} Msps vs last record {last:.0f} "
+            f"({recs[-1].rsplit('/', 1)[-1]}) = {ratio:.2f}x")
+    print(line, file=sys.stderr)
+    if ratio < 0.8:
+        msg = f"PERF REGRESSION: {ratio:.2f}x of last recorded rate"
+        print("# " + msg, file=sys.stderr)
+        if os.environ.get("GR4_BENCH_GATE") == "1":
+            raise SystemExit(msg)
 
 
 def _main_with_retry() -> None:

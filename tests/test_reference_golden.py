@@ -1,0 +1,179 @@
+"""Golden parity against the reference's own qa stimulus (VERDICT #10).
+
+Reproduces the behavioral contracts of the reference test suite on IDENTICAL
+stimulus — same coefficients, signals, thresholds — so "within GR4's tolerance
+on identical stimulus" is asserted directly, not approximated via SciPy:
+
+- blocks/filter/test/qa_filter.cpp:46-127  (FIR/IIR step responses, settling
+  times, direct-form equality)
+- blocks/filter/test/qa_filter.cpp:134-219 (BasicFilter in-band/out-of-band)
+- blocks/fourier/test/qa_fourier.cpp:49-100 (N=256 FFT of a 0.1·fs tone:
+  Gauss-interpolated peak within 1/N of the test frequency)
+
+All expected values are re-derived here from the reference's *stated*
+parameters; no code is copied.
+"""
+
+import numpy as np
+import pytest
+
+import gnuradio4_tpu as gr
+from gnuradio4_tpu.blocks.testing import VectorSink, VectorSource
+
+
+def settling_time(resp, step_value=1.0, threshold=1e-3):
+    """Index from which the response stays within step_value ± threshold
+    (≈ reference estimate_settling_time, qa_filter.cpp:15-44: the index of the
+    last out-of-bounds excursion, or of the first in-bounds sample)."""
+    lo, hi = step_value - threshold, step_value + threshold
+    inb = [(lo <= v <= hi) for v in resp]
+    if not any(inb):
+        raise AssertionError("no settling")
+    first = inb.index(True)
+    last_bad = max((i for i in range(first, len(resp)) if not inb[i]),
+                   default=None)
+    return last_bad if last_bad is not None else first
+
+
+def _run_chain(block, x, block_len=None):
+    g = gr.Graph()
+    src = VectorSource(np.asarray(x, np.float32))
+    snk = VectorSink()
+    g.connect_chain(src, block, snk)
+    gr.Scheduler(g, block_len=block_len or len(x),
+                 pipeline_depth=1).run_and_wait()
+    return snk.data()
+
+
+STEP20 = np.array([0.0] + [1.0] * 19, np.float32)   # qa_filter's step input
+
+
+class TestQaFilterGolden:
+    def test_fir_boxcar_step_settling(self):
+        """10-tap 0.1 boxcar on the step: y[0]=0, settles at index 10
+        (qa_filter.cpp:51,80-84)."""
+        fir = gr.global_registry.create("FirFilter", taps=(0.1,) * 10)
+        y = _run_chain(fir, STEP20)
+        assert y[0] == 0.0
+        assert settling_time(y) == 10
+
+    def test_iir_one_pole_step(self):
+        """b=[0.55,0], a=[1,-0.45] step: y[0]=0; y[n]=1-0.45^n for n>=1
+        (qa_filter.cpp:52-53). The reference's asserted settling of 5 comes
+        from its loop stepping the same filter object twice per index
+        (qa_filter.cpp:74-77) — equivalent to the even subsequence of the true
+        response; both views are pinned here."""
+        iir = gr.global_registry.create("IirFilter", b=(0.55, 0.0),
+                                        a=(1.0, -0.45))
+        y = _run_chain(iir, STEP20)
+        assert y[0] == 0.0
+        n = np.arange(1, 20)
+        np.testing.assert_allclose(y[1:], 1.0 - 0.45 ** n, atol=1e-5)
+        assert settling_time(y) == 9            # honest single-stepped filter
+        y2 = np.asarray([1.0 - 0.45 ** (2 * i) if i else 0.0
+                         for i in range(20)])   # reference's double-stepped view
+        assert settling_time(y2) == 5           # matches qa_filter.cpp:85-86
+
+    def test_iir_second_order_forms_agree(self):
+        """The reference checks 4 direct forms agree within 1e-5 on the exact
+        Butterworth-ish biquad (qa_filter.cpp:95-126); here both engines
+        (sequential scan, O(log T) parallel partial fractions) must match the
+        double-precision reference recurrence."""
+        b = (0.020083365564211, 0.040166731128423, 0.020083365564211)
+        a = (1.0, -1.561018075800718, 0.641351538057563)
+        # double-precision direct-form reference
+        yref = np.zeros(20)
+        for n in range(20):
+            x0 = 0.0 if n == 0 else 1.0
+            x1 = 0.0 if n - 1 <= 0 else 1.0
+            x2 = 0.0 if n - 2 <= 0 else 1.0
+            yref[n] = (b[0] * x0 + b[1] * x1 + b[2] * x2
+                       - a[1] * (yref[n - 1] if n >= 1 else 0.0)
+                       - a[2] * (yref[n - 2] if n >= 2 else 0.0))
+        for engine in ("scan", "parallel"):
+            iir = gr.global_registry.create("IirFilter", b=b, a=a,
+                                            engine=engine)
+            y = _run_chain(iir, STEP20)
+            np.testing.assert_allclose(y, yref, atol=1e-5), engine
+
+    @pytest.mark.parametrize("kind,f_sig,bound,cmp", [
+        ("inband", 50.0, 0.9, "ge"),
+        ("outofband", 300.0, 0.2, "le"),
+    ])
+    def test_basic_filter_band_behavior(self, kind, f_sig, bound, cmp):
+        """BasicFilter LP (fs=1000, f_low=100, Hamming FIR): in-band 50 Hz sine
+        keeps max |y| >= 0.9, out-of-band 300 Hz attenuates to <= 0.2 over the
+        second 1000 samples (qa_filter.cpp:141-196)."""
+        n = 2000
+        t = np.arange(1, n + 1)
+        x = np.sin(2 * np.pi * f_sig / 1000.0 * t).astype(np.float32)
+        filt = gr.global_registry.create(
+            "BasicFilter", filter_type="lowpass", f_low=100.0, ntaps=29,
+            window="Hamming", sample_rate_design=1000.0)
+        y = _run_chain(filt, x, block_len=1000)
+        mx = float(np.max(np.abs(y[1000:])))
+        if cmp == "ge":
+            assert mx >= bound, (kind, mx)
+        else:
+            assert mx <= bound, (kind, mx)
+
+    def test_basic_decimating_filter_band_behavior(self):
+        """BasicDecimatingFilter (decim 5): same band contract at the
+        decimated rate (qa_filter.cpp:209-219)."""
+        n = 2000
+        t = np.arange(1, n + 1)
+        filt_args = dict(filter_type="lowpass", f_low=100.0, ntaps=30,
+                         window="Hamming", sample_rate_design=1000.0, decim=5)
+        x_in = np.sin(2 * np.pi * 50.0 / 1000.0 * t).astype(np.float32)
+        f1 = gr.global_registry.create("BasicDecimatingFilter", **filt_args)
+        y = _run_chain(f1, x_in, block_len=1000)
+        assert y.shape[0] == n // 5
+        # 50 Hz decimated to fs=200 samples the sine on a fixed π/2 phase
+        # grid, so max|y| depends on the design's group delay (the reference's
+        # own 0.9 bound holds only for its particular phase luck) — assert the
+        # phase-independent quantity instead: full sine RMS = 1/√2
+        rms = float(np.sqrt(np.mean(y[200:] ** 2)))
+        assert rms >= 0.9 / np.sqrt(2), rms
+        x_out = np.sin(2 * np.pi * 300.0 / 1000.0 * t).astype(np.float32)
+        f2 = gr.global_registry.create("BasicDecimatingFilter", **filt_args)
+        y2 = _run_chain(f2, x_out, block_len=1000)
+        assert float(np.max(np.abs(y2[200:]))) <= 0.2
+
+
+class TestQaFourierGolden:
+    def test_fft_tone_peak_gauss_interpolated(self):
+        """N=256, fs=1, f=0.1·fs unit sine → the interpolated magnitude peak
+        lies within 1/N of the test frequency (qa_fourier.cpp:49-100)."""
+        from gnuradio4_tpu.ops.estimators import interpolated_peak
+        n = 256
+        fs = 1.0
+        f = 0.1 * fs
+        t = np.arange(1, n + 1)
+        x = np.sin(2 * np.pi * f / fs * t).astype(np.float32)
+
+        g = gr.Graph()
+        src = VectorSource(x)
+        fft = g.emplace("FFT", fft_size=n, window="None", output="magnitude")
+        snk = VectorSink()
+        g.connect_chain(src, fft, snk)
+        gr.Scheduler(g, block_len=n, sample_rate=fs,
+                     pipeline_depth=1).run_and_wait()
+        mag = snk.data()[:n]
+        # real-signal spectrum: search the positive-frequency half like the
+        # reference's real-input magnitude spectrum
+        half = mag[: n // 2]
+        pos, _ = interpolated_peak(half)
+        freq_est = pos * fs / n
+        assert abs(freq_est - f) <= 1.0 / n, freq_est
+
+    def test_fft_frequency_axis_conventions(self):
+        """Complex input: axis spans [-N/2·Δf, (N/2-1)·Δf]; real input starts
+        at 0 (qa_fourier.cpp:76-84)."""
+        from gnuradio4_tpu.ops.fft import freq_axis
+        n = 256
+        fs = 1.0
+        ax_c = freq_axis(n, fs, shifted=True)
+        assert ax_c[0] == pytest.approx(-(n / 2) * fs / n, abs=1e-4)
+        assert ax_c[-1] == pytest.approx((n / 2 - 1) * fs / n, abs=1e-4)
+        ax_r = freq_axis(n, fs, one_sided=True)
+        assert ax_r[0] == pytest.approx(0.0, abs=1e-9)
