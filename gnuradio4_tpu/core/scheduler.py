@@ -157,8 +157,17 @@ class Scheduler:
     def start(self, n_steps: int | None = None) -> None:
         """Run the pump on a background thread (≈ multiThreaded policy)."""
         from ..utils import thread_pool
-        self._runner = thread_pool.spawn(
-            lambda: self.run_and_wait(n_steps), name=f"{self.name}-runner")
+
+        def runner():
+            try:
+                self.run_and_wait(n_steps)
+            except Exception:
+                # already recorded in self.error / ERROR state; wait_done()
+                # re-raises it on the waiter's thread — re-raising here too
+                # would only crash the daemon thread noisily
+                pass
+
+        self._runner = thread_pool.spawn(runner, name=f"{self.name}-runner")
 
     def wait_done(self, timeout: float | None = None) -> None:
         if self._runner is not None:

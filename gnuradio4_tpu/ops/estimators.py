@@ -44,6 +44,144 @@ def interpolated_peak(x) -> tuple[float, float]:
     return i + d, b - 0.25 * (a - c) * d
 
 
+def median(x) -> float:
+    """Median (even length → mean of the two middle elements; ≈ getMedian,
+    DataSetEstimators.hpp:170)."""
+    return float(np.median(np.asarray(x)))
+
+
+def integral(x, x_values=None) -> float:
+    """Trapezoidal integral over the (x-axis, signal) pairs (≈ getIntegral,
+    DataSetEstimators.hpp:232); non-finite segment areas contribute zero."""
+    y = np.asarray(x, np.float64)
+    xs = np.arange(len(y), dtype=np.float64) if x_values is None \
+        else np.asarray(x_values, np.float64)
+    areas = 0.5 * np.diff(xs) * (y[:-1] + y[1:])
+    return float(np.sum(np.where(np.isfinite(areas), areas, 0.0)))
+
+
+def centre_of_mass(x, x_values=None) -> float:
+    """Σ x·y / Σ y over finite samples (≈ computeCentreOfMass,
+    DataSetEstimators.hpp:37); NaN when the total mass is zero."""
+    y = np.asarray(x, np.float64)
+    xs = np.arange(len(y), dtype=np.float64) if x_values is None \
+        else np.asarray(x_values, np.float64)
+    ok = np.isfinite(xs) & np.isfinite(y)
+    mass = float(np.sum(y[ok]))
+    if mass == 0.0:
+        return float("nan")
+    return float(np.sum(xs[ok] * y[ok]) / mass)
+
+
+def _hysteresis_thresholds(y: np.ndarray) -> tuple[float, float]:
+    lo_v, hi_v = float(np.nanmin(y)), float(np.nanmax(y))
+    rng = hi_v - lo_v
+    return lo_v + 0.45 * rng, lo_v + 0.55 * rng
+
+
+def duty_cycle(x) -> float:
+    """High-time fraction with a 45%/55%-of-range hysteresis band
+    (≈ getDutyCycle, DataSetEstimators.hpp:289): samples inside the band count
+    for neither state; NaN for flat/non-finite signals."""
+    y = np.asarray(x, np.float64)
+    if not np.isfinite(y).any() or np.nanmax(y) == np.nanmin(y):
+        return float("nan")
+    t_lo, t_hi = _hysteresis_thresholds(y)
+    n_low = int(np.sum(y < t_lo))
+    n_high = int(np.sum(y > t_hi))
+    if n_low + n_high == 0:
+        return float("nan")
+    return n_high / (n_low + n_high)
+
+
+def frequency_estimate(x, sample_rate: float = 1.0) -> float:
+    """Naive edge-counting frequency estimate (≈ getFrequencyEstimate,
+    DataSetEstimators.hpp:319): hysteresis state machine over the 45/55%
+    thresholds; the mean period between successive rising and successive
+    falling edges gives 1/f."""
+    y = np.asarray(x, np.float64)
+    if not np.isfinite(y).any() or np.nanmax(y) == np.nanmin(y):
+        return float("nan")
+    t_lo, t_hi = _hysteresis_thresholds(y)
+    state = y[0] > t_hi
+    last_rise = last_fall = None
+    periods: list[float] = []
+    for i, v in enumerate(y):
+        if not np.isfinite(v):
+            continue
+        if not state and v > t_hi:
+            state = True
+            if last_rise is not None:
+                periods.append(i - last_rise)
+            last_rise = i
+        elif state and v < t_lo:
+            state = False
+            if last_fall is not None:
+                periods.append(i - last_fall)
+            last_fall = i
+    if not periods:
+        return float("nan")
+    return float(sample_rate / np.mean(periods))
+
+
+def gauss_interpolated_peak(x, x_values=None) -> float:
+    """Sub-bin peak location via Gaussian (log-parabolic) interpolation
+    (≈ interpolateGaussian + getLocationMaximumGaussInterpolated,
+    DataSetEstimators.hpp:381,407) — exact for Gaussian-shaped peaks, the
+    right interpolator for windowed spectra. Falls back to the integer bin
+    when a neighbor is non-positive/non-finite."""
+    y = np.asarray(x, np.float64)
+    i = int(np.argmax(y))
+    pos = float(i)
+    if 0 < i < len(y) - 1:
+        left, centre, right = y[i - 1], y[i], y[i + 1]
+        if (np.isfinite([left, centre, right]).all()
+                and min(left, centre, right) > 0.0):
+            den = np.log(centre * centre / (left * right))
+            if den != 0.0:
+                pos = i + 0.5 * np.log(right / left) / den
+    if x_values is None:
+        return pos
+    xs = np.asarray(x_values, np.float64)
+    if i + 1 >= len(xs):
+        return float("nan")
+    return float(xs[i] + (pos - i) * (xs[i + 1] - xs[i]))
+
+
+def zero_crossing(x, threshold: float, x_values=None) -> float:
+    """First threshold crossing, linear-interpolated on the x-axis
+    (≈ getZeroCrossing, DataSetEstimators.hpp:431): rising when the signal
+    starts below the threshold, falling otherwise; NaN when none found."""
+    y = np.asarray(x, np.float64)
+    xs = np.arange(len(y), dtype=np.float64) if x_values is None \
+        else np.asarray(x_values, np.float64)
+    rising = y[0] < threshold
+    for i in range(1, len(y)):
+        y0, y1 = y[i - 1], y[i]
+        if not (np.isfinite(y0) and np.isfinite(y1)):
+            continue
+        if (rising and y1 >= threshold) or (not rising and y1 <= threshold):
+            if y1 == y0:
+                return float(xs[i])
+            frac = (threshold - y0) / (y1 - y0)
+            return float(xs[i - 1] + frac * (xs[i] - xs[i - 1]))
+    return float("nan")
+
+
+def settling_time(x, *, step_value: float = 1.0, threshold: float = 1e-3,
+                  offset: int = 0) -> int:
+    """Index (relative to ``offset``) from which the response stays inside
+    step_value ± threshold — the index of the last excursion, or of the first
+    in-bounds sample (≈ estimate_settling_time, qa_filter.cpp:15-44)."""
+    y = np.asarray(x, np.float64)[offset:]
+    inb = (y >= step_value - threshold) & (y <= step_value + threshold)
+    if not inb.any():
+        raise ValueError("no settling within the threshold")
+    first = int(np.argmax(inb))
+    bad = np.nonzero(~inb[first:])[0]
+    return first + int(bad[-1]) if bad.size else first
+
+
 def fwhm(x, *, baseline: float | None = None) -> float:
     """Full width at half maximum (linear-interpolated crossings), in samples."""
     x = np.asarray(x, dtype=np.float64)

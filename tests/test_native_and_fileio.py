@@ -290,3 +290,31 @@ class TestMultiProducerRing:
         ring = HostRing(1024, producers="multi")
         with pytest.raises(RuntimeError, match="single-producer-only"):
             ring.reserve(8)
+
+
+class TestRingTsanDiscipline:
+    """Race-detection discipline for the native ring (≈ reference
+    -DTHREAD_SANITIZER CI builds + qa_buffer concurrency stress): the C++
+    stress harness (SPSC + MP ticket publish + racing reader registration +
+    futex waits) must run clean under ThreadSanitizer."""
+
+    def test_ring_stress_under_tsan(self, tmp_path):
+        import shutil
+        import subprocess
+        from pathlib import Path
+        import gnuradio4_tpu as gr
+        native = Path(gr.__file__).parent / "native"
+        if shutil.which("g++") is None:
+            pytest.skip("no g++")
+        exe = tmp_path / "ring_stress_tsan"
+        build = subprocess.run(
+            ["g++", "-O1", "-g", "-fsanitize=thread", "-std=c++20",
+             str(native / "ring_stress.cpp"), str(native / "ringbuf.cpp"),
+             "-o", str(exe)], capture_output=True, text=True, timeout=120)
+        if build.returncode != 0:
+            pytest.skip(f"TSAN build unavailable: {build.stderr[:200]}")
+        run = subprocess.run([str(exe)], capture_output=True, text=True,
+                             timeout=180)
+        assert run.returncode == 0, run.stderr[-3000:]
+        assert "ring_stress OK" in run.stdout
+        assert "WARNING: ThreadSanitizer" not in run.stderr

@@ -293,3 +293,70 @@ class TestParallelIir:
         f, h1 = fd.freq_response(res.b, res.a, sample_rate=1000.0, n=256)
         _, h2 = fd.sos_freq_response(sos2, sample_rate=1000.0, n=256)
         np.testing.assert_allclose(np.abs(h2), np.abs(h1), rtol=1e-4, atol=1e-6)
+
+
+class TestDataSetEstimatorTail:
+    """Estimators matching reference DataSetEstimators.hpp semantics
+    (median/integral/centre-of-mass/duty-cycle/frequency/zero-crossing/
+    Gauss peak/settling)."""
+
+    def test_median_even_odd(self):
+        from gnuradio4_tpu.ops import estimators as est
+        assert est.median([3.0, 1.0, 2.0]) == 2.0
+        assert est.median([4.0, 1.0, 3.0, 2.0]) == 2.5
+
+    def test_integral_trapezoid(self):
+        from gnuradio4_tpu.ops import estimators as est
+        x = np.linspace(0, 1, 101)
+        y = x ** 2
+        assert abs(est.integral(y, x) - 1 / 3) < 1e-3
+        assert est.integral([1.0, 1.0, 1.0]) == 2.0  # unit index axis
+
+    def test_centre_of_mass(self):
+        from gnuradio4_tpu.ops import estimators as est
+        y = np.zeros(11)
+        y[7] = 2.0
+        assert est.centre_of_mass(y) == 7.0
+        assert np.isnan(est.centre_of_mass(np.zeros(5)))
+
+    def test_duty_cycle_square(self):
+        from gnuradio4_tpu.ops import estimators as est
+        y = np.tile(np.r_[np.ones(30), np.zeros(10)], 16)
+        assert abs(est.duty_cycle(y) - 0.75) < 0.01
+
+    def test_frequency_estimate_square_and_sine(self):
+        from gnuradio4_tpu.ops import estimators as est
+        fs = 1000.0
+        t = np.arange(4000) / fs
+        sq = (np.sin(2 * np.pi * 50.0 * t) > 0).astype(float)
+        assert abs(est.frequency_estimate(sq, fs) - 50.0) < 1.0
+        sine = np.sin(2 * np.pi * 25.0 * t)
+        assert abs(est.frequency_estimate(sine, fs) - 25.0) < 1.0
+
+    def test_gauss_interpolated_peak_exact_for_gaussian(self):
+        from gnuradio4_tpu.ops import estimators as est
+        idx = np.arange(64, dtype=float)
+        true_pos = 31.37
+        y = np.exp(-0.5 * ((idx - true_pos) / 2.5) ** 2)
+        assert abs(est.gauss_interpolated_peak(y) - true_pos) < 1e-6
+        # with a physical axis
+        xs = idx * 0.5 + 10.0
+        assert abs(est.gauss_interpolated_peak(y, xs)
+                   - (10.0 + true_pos * 0.5)) < 1e-5
+
+    def test_zero_crossing_interpolated(self):
+        from gnuradio4_tpu.ops import estimators as est
+        y = np.array([0.0, 0.2, 0.4, 0.6, 0.8, 1.0])
+        assert abs(est.zero_crossing(y, 0.5) - 2.5) < 1e-9
+        y_fall = y[::-1].copy()
+        assert abs(est.zero_crossing(y_fall, 0.5) - 2.5) < 1e-9
+        assert np.isnan(est.zero_crossing(np.zeros(4), 0.5))
+
+    def test_settling_time_with_excursion(self):
+        from gnuradio4_tpu.ops import estimators as est
+        y = np.ones(20)
+        y[:5] = 0.5        # settles at 5
+        assert est.settling_time(y) == 5
+        y2 = y.copy()
+        y2[12] = 1.5       # later excursion moves the settling index
+        assert est.settling_time(y2) == 12

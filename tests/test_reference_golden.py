@@ -144,7 +144,7 @@ class TestQaFourierGolden:
     def test_fft_tone_peak_gauss_interpolated(self):
         """N=256, fs=1, f=0.1·fs unit sine → the interpolated magnitude peak
         lies within 1/N of the test frequency (qa_fourier.cpp:49-100)."""
-        from gnuradio4_tpu.ops.estimators import interpolated_peak
+        from gnuradio4_tpu.ops.estimators import gauss_interpolated_peak
         n = 256
         fs = 1.0
         f = 0.1 * fs
@@ -162,7 +162,7 @@ class TestQaFourierGolden:
         # real-signal spectrum: search the positive-frequency half like the
         # reference's real-input magnitude spectrum
         half = mag[: n // 2]
-        pos, _ = interpolated_peak(half)
+        pos = gauss_interpolated_peak(half)   # the reference's interpolator
         freq_est = pos * fs / n
         assert abs(freq_est - f) <= 1.0 / n, freq_est
 
