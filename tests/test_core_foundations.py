@@ -267,3 +267,61 @@ def test_string_dynamic_setting_fails_with_guidance():
     g.connect(bad, snk)
     with pytest.raises(SettingsError, match="kind='static'"):
         gr.Scheduler(g, block_len=512, sample_rate=1e6).run_and_wait()
+
+
+class TestImGraphRouting:
+    """Layered renderer draws non-linear topologies faithfully."""
+
+    def _rx(self):
+        import gnuradio4_tpu as gr
+        g = gr.Graph()
+        src = g.emplace("SignalGenerator", frequency=1.0, n_samples=128)
+        src.name = "src"
+        fir = g.emplace("BasicFilter", f_low=0.1)
+        fir.name = "fir"
+        fft = g.emplace("FFT", fft_size=16)
+        fft.name = "fft"
+        add = g.emplace("Add", n_inputs=3)
+        add.name = "add"
+        s1 = gr.global_registry.create("NullSink")
+        s1.name = "audio"
+        s2 = gr.global_registry.create("NullSink")
+        s2.name = "spec"
+        g.connect(src, fir)
+        g.connect(fir["out"], add["in0"])
+        g.connect(src, fft)
+        g.connect(fft, s2)
+        g.connect(fir["out"], add["in1"])
+        g.connect(src["out"], add["in2"])   # skip-level edge
+        g.connect(add, s1)
+        return g
+
+    def test_fan_out_fan_in_and_skip_edges_drawn(self):
+        from gnuradio4_tpu.utils.imgraph import render_graph
+        art = render_graph(self._rx())
+        # every block boxed
+        for name in ("src", "fir", "fft", "add", "audio", "spec"):
+            assert f"│ {name}" in art, name
+        # routed wires: junctions and arrows exist beyond a straight chain
+        assert art.count("▶") >= 7            # one arrowhead per edge
+        assert any(ch in art for ch in "┬┴├┤┼")   # real junctions
+        assert "edges:" in art
+        assert "src.out ─▶ add.in2" in art    # skip edge in the appendix
+
+    def test_feedback_edges_annotated(self):
+        import gnuradio4_tpu as gr
+        from gnuradio4_tpu.utils.imgraph import render_graph, to_dot
+        g = gr.Graph()
+        s = g.emplace("ConstantSource", n_samples=64)
+        mul = g.emplace("Multiply", n_inputs=2)
+        upd = g.emplace("ExpressionDISO", expression="y")
+        snk = gr.global_registry.create("NullSink")
+        g.connect(s, mul["in0"])
+        g.connect(mul, upd["x"])
+        g.connect(upd["out"], mul["in1"], feedback=True)
+        g.connect(upd["out"], upd["y"], feedback=True)
+        g.connect(mul, snk)
+        art = render_graph(g)
+        assert art.count("(feedback)") == 2
+        dot = to_dot(g)
+        assert dot.count("constraint=false") == 2
