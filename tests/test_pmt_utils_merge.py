@@ -227,3 +227,57 @@ class TestBenchmarkHarness:
         assert mm.total_s() >= 0.009
         mm.clear()
         assert mm.intervals() == [] and mm.total_s() == 0.0
+
+
+class TestPmtViewsAndSI:
+    """Round-2 pmt depth: zero-copy MapView, element scanning, SI annotations."""
+
+    def test_mapview_lazy_zero_copy(self):
+        from gnuradio4_tpu.core import pmt
+        vec = np.arange(1024, dtype=np.float32)
+        blob = pmt.pack({"rate": 48000.0, "data": vec,
+                         "meta": {"name": "ch0", "idx": 7}})
+        view = pmt.MapView(blob)
+        assert set(view.keys()) == {"rate", "data", "meta"}
+        assert view["rate"] == 48000.0
+        arr = view["data"]
+        np.testing.assert_array_equal(arr, vec)
+        # zero copy: the array aliases the packed buffer
+        assert not arr.flags.owndata
+        sub = view["meta"]
+        assert isinstance(sub, pmt.MapView)
+        assert sub["name"] == "ch0" and sub["idx"] == 7
+        assert view.get("missing", 42) == 42
+        assert "rate" in view and "missing" not in view
+        assert view.to_dict()["meta"]["idx"] == 7
+
+    def test_scan_elements(self):
+        from gnuradio4_tpu.core import pmt
+        blob = pmt.pack("hello") + pmt.pack(3.5) + pmt.pack({"k": 1})
+        kinds = [(vt, ct) for _, _, vt, ct in pmt.scan(blob)]
+        assert kinds == [
+            (pmt.ValueType.STRING, pmt.ContainerType.STRING),
+            (pmt.ValueType.FLOAT64, pmt.ContainerType.SCALAR),
+            (pmt.ValueType.MAP, pmt.ContainerType.MAP),
+        ]
+
+    def test_si_annotation_roundtrip(self):
+        from gnuradio4_tpu.core import pmt
+        blob = pmt.pack({"f": pmt.SIValue(100e6, "Hz"),
+                         "taps": pmt.SIValue(np.ones(4, np.float32), "V"),
+                         "name": pmt.SIValue("probe", "")})
+        out = pmt.unpack(blob)
+        assert out["f"] == pmt.SIValue(100e6, "Hz")
+        assert out["f"].unit == "Hz"
+        assert out["taps"].unit == "V"
+        np.testing.assert_array_equal(out["taps"].value, np.ones(4))
+        # SI + CRC together
+        blob2 = pmt.pack(pmt.SIValue(3.3, "V"), crc=True)
+        v2 = pmt.unpack(blob2)
+        assert v2 == pmt.SIValue(3.3, "V")
+
+    def test_si_on_map_rejected(self):
+        import pytest as _pytest
+        from gnuradio4_tpu.core import pmt
+        with _pytest.raises(gr.GrError):
+            pmt.pack(pmt.SIValue({"a": 1}, "Hz"))
