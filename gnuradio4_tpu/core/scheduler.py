@@ -179,6 +179,30 @@ class Scheduler:
             # thread would otherwise look like a clean finish)
             raise GrError(f"{self.name} failed: {self.error.message}")
 
+    def step_once(self) -> bool:
+        """Advance the graph by exactly one scheduler step under EXTERNAL
+        control (≈ ExecutionPolicy::externalStep, Scheduler.hpp:79 — MCU/
+        freestanding-style operation where the caller owns the cadence).
+
+        Returns True while the graph can make further progress, False once the
+        stream completed (pending deliveries are then drained). The scheduler
+        must be INITIALISED or RUNNING; lifecycle hooks fire on first use.
+        """
+        if self.fsm.state is State.IDLE:
+            self.init()
+        if self.fsm.state is State.INITIALISED:
+            self.fsm.transition_to(State.RUNNING)
+            self._call_hooks("start")
+        if self.fsm.state is not State.RUNNING:
+            raise GrError(f"step_once in state {self.fsm.state.name}")
+        more = self._pump_once()
+        if not more:
+            self._drain()
+            self.fsm.transition_to(State.REQUESTED_STOP)
+            self.fsm.transition_to(State.STOPPED)
+            self._call_hooks("stop")
+        return more
+
     def request_pause(self) -> None:
         self.fsm.transition_to(State.REQUESTED_PAUSE)
 

@@ -182,12 +182,11 @@ def render_graph(graph: Graph, *, max_width: int = 120) -> str:
             cv.put(yd, x0[c + 1] - 1,
                    "▶" if not isinstance(d, _VNode) else "─", force=True)
 
+    from .formatting import edge as fmt_edge
     lines = [cv.render(max_width), "", "edges:"]
     for e in flat.edges:
-        extra = f" [{e.samples_per_step} samp/step]" if e.samples_per_step else ""
         fb = " (feedback)" if getattr(e, "feedback", False) else ""
-        lines.append(f"  {_label(e.src)}.{e.src_port} ─▶ "
-                     f"{_label(e.dst)}.{e.dst_port}{extra}{fb}")
+        lines.append("  " + fmt_edge(e) + fb)
     for src, dst in flat.message_edges:
         lines.append(f"  {_label(src)} ╌▶ {_label(dst)} (message)")
     return "\n".join(lines)

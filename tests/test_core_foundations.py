@@ -325,3 +325,51 @@ class TestImGraphRouting:
         assert art.count("(feedback)") == 2
         dot = to_dot(g)
         assert dot.count("constraint=false") == 2
+
+
+class TestFormatting:
+    """Systematic formatting layer (≈ reference std::formatter specializations)."""
+
+    def test_si_and_samples_and_duration(self):
+        from gnuradio4_tpu.utils import formatting as fmt
+        assert fmt.si(48000.0, "Hz") == "48 kHz"
+        assert fmt.si(6.87367e9, "sps", digits=3) == "6.87 Gsps"
+        assert fmt.si(-2.5e-6, "s") == "-2.5 µs"
+        assert fmt.si(0.0, "V") == "0 V"
+        assert fmt.samples(1 << 16) == "64 ki"
+        assert fmt.samples(3 << 20) == "3 Mi"
+        assert fmt.samples(100) == "100"
+        assert fmt.duration(3.1e-6) == "3.1 µs"
+
+    def test_tag_edge_block_graph(self):
+        import gnuradio4_tpu as gr
+        from gnuradio4_tpu.core.tags import Keys, Tag
+        from gnuradio4_tpu.utils import formatting as fmt
+        t = Tag(1024, {Keys.SAMPLE_RATE: 48000.0, Keys.TRIGGER_NAME: "T0"})
+        s = fmt.tag(t)
+        assert s.startswith("@1024") and "48 kHz" in s and "T0" in s
+
+        g = gr.Graph(name="rx")
+        src = g.emplace("SignalGenerator", n_samples=128)
+        src.name = "src"
+        fir = g.emplace("FirFilter", taps=(1.0, 0.5), decim=4)
+        fir.name = "fir"
+        snk = gr.global_registry.create("NullSink")
+        snk.name = "out"
+        g.connect_chain(src, fir, snk)
+        g.resolve_rates(1 << 16, 48000.0)
+        e = g.edges[0]
+        es = fmt.edge(e)
+        assert "src.out ─▶ fir.in" in es and "samp/step" in es and "kHz" in es
+        bs = fmt.block(fir)
+        assert "fir <FirFilter>" in bs and "ratio 1/4" in bs
+        gs = fmt.graph_summary(g)
+        assert gs.startswith("rx:") and "3 blocks" in gs
+
+    def test_value_rendering(self):
+        import numpy as np
+        from gnuradio4_tpu.utils import formatting as fmt
+        assert fmt.value(3.0) == "3"
+        assert "array(float32[2×1000]" in fmt.value(
+            np.zeros((2, 1000), np.float32))
+        assert fmt.value({"a": 1.5, "b": "x"}) == "{a=1.5, b='x'}"
