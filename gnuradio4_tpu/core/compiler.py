@@ -109,6 +109,39 @@ def _shape(channels: int, n: int) -> tuple[int, ...]:
     return (n,) if channels == 0 else (channels, n)
 
 
+def _run_loop_group_replicated(group: dict, states, params, values, new_states,
+                               run_loop_group, in_edges, axis_name: str
+                               ) -> None:
+    """Run a feedback-loop group inside a manual shard_map as a replicated
+    island: all_gather its external inputs to global length, execute the scan
+    (identical on every shard — carry is replicated), re-slice the group's
+    outputs to local shards."""
+    member_names = group["members"]
+    ext: dict[tuple[str, str], Any] = {}
+    for b in group["order"]:
+        for e in in_edges[b.unique_name]:
+            if e.feedback or e.src.unique_name in member_names:
+                continue
+            key = (e.src.unique_name, e.src_port)
+            if key not in ext:
+                ext[key] = values[key]
+                values[key] = jax.lax.all_gather(values[key], axis_name,
+                                                 axis=-1, tiled=True)
+    run_loop_group(group, states, params, values, new_states)
+    idx = jax.lax.axis_index(axis_name)
+    size = jax.lax.axis_size(axis_name)
+    for key, v in ext.items():
+        values[key] = v   # restore locals for non-loop consumers
+    for b in group["order"]:
+        for p in b.out_ports:
+            key = (b.unique_name, p.name)
+            if key in values:
+                full = values[key]
+                n_l = full.shape[-1] // size
+                values[key] = jax.lax.dynamic_slice_in_dim(
+                    full, idx * n_l, n_l, axis=-1)
+
+
 def _fb_init_values(group: dict, out_channels: dict, out_dtypes: dict
                     ) -> dict[str, jnp.ndarray]:
     """Initial back-edge values: fb_init broadcast over [channels?, delay]."""
@@ -366,9 +399,6 @@ def compile_graph(graph: Graph, *, block_len: int = 1 << 16,
     loop_groups: list[dict] = []
     exec_plan: list[Any] = list(order)
     if fb_edges:
-        if sp > 1:
-            raise GrError("feedback loops are not yet supported together with "
-                          "time-axis (sp) mesh sharding")
         exec_plan, loop_groups = _plan_feedback(
             flat, order, fb_edges, in_len, in_edges, sink_names, fed_names)
 
@@ -441,7 +471,17 @@ def compile_graph(graph: Graph, *, block_len: int = 1 << 16,
         for item in exec_plan:
             if isinstance(item, dict):   # contracted feedback-loop group
                 try:
-                    run_loop_group(item, states, params, values, new_states)
+                    if sp > 1:
+                        # under time sharding the sequential loop runs as a
+                        # replicated island: gather its external inputs to
+                        # full length, scan identically on every shard (the
+                        # carry is replicated state), slice outputs local
+                        _run_loop_group_replicated(
+                            item, states, params, values, new_states,
+                            run_loop_group, in_edges, "sp")
+                    else:
+                        run_loop_group(item, states, params, values,
+                                       new_states)
                 except Exception as e:
                     if isinstance(e, GrError):
                         raise
@@ -495,6 +535,8 @@ def compile_graph(graph: Graph, *, block_len: int = 1 << 16,
             return P("sp") if channels == 0 else P(None, "sp")
 
         state_specs = {b.unique_name: P() for b in order}   # replicated
+        for g_ in loop_groups:
+            state_specs[g_["state_key"]] = P()   # back-edge carries: replicated
         feed_specs = {}
         for b in fed_blocks:
             ctx = block_ctx[b.unique_name]

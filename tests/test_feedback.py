@@ -93,17 +93,24 @@ class TestFeedbackLoops:
         with pytest.raises(gr.GrError, match="rate-1"):
             gr.compile_graph(g, block_len=256)
 
-    def test_feedback_with_sp_mesh_rejected(self):
+    def test_feedback_under_sp_mesh_matches_unsharded(self):
+        """Under time sharding the loop group runs as a replicated island
+        (all_gather inputs, identical scan per shard, re-slice outputs) —
+        bit-exact vs the unsharded run."""
         import jax
         from jax.sharding import Mesh
         devs = jax.devices()
-        if len(devs) < 2:
-            pytest.skip("needs 2 devices")
-        mesh = Mesh(np.asarray(devs[:2]), ("sp",))
-        x = np.ones(256, np.float32)
-        g, _ = _agc_loop_graph(x, 0.1, delay=1)
-        with pytest.raises(gr.GrError, match="sp"):
-            gr.compile_graph(g, block_len=256, mesh=mesh)
+        if len(devs) < 8:
+            pytest.skip("needs 8 devices")
+        rng = np.random.default_rng(3)
+        x = (0.25 * rng.standard_normal(4096)).astype(np.float32)
+        g1, s1 = _agc_loop_graph(x, 0.01, delay=1)
+        gr.Scheduler(g1, block_len=1024, pipeline_depth=1).run_and_wait()
+        mesh = Mesh(np.asarray(devs[:8]), ("sp",))
+        g2, s2 = _agc_loop_graph(x, 0.01, delay=1)
+        gr.Scheduler(g2, block_len=1024, mesh=mesh,
+                     pipeline_depth=1).run_and_wait()
+        np.testing.assert_array_equal(s2.data(), s1.data())
 
     def test_checkpoint_preserves_backedge(self, tmp_path):
         """The __fb__ state round-trips through save/load_checkpoint

@@ -172,3 +172,44 @@ class TestUnifiedSpSharding:
         txt = lowered.as_text()
         assert "permute" in txt       # ppermute halo exchange (StableHLO)
         assert "all_reduce" in txt    # psum tail broadcast
+
+
+class TestIndexedNcoSharding:
+    """Position-deterministic NCO blocks generate per shard without gather
+    islands (exact uint32 phase offsets)."""
+
+    def test_sources_and_rotator_bit_exact(self, sp_mesh):
+        def build():
+            g = gr.Graph()
+            src = g.emplace("SignalGenerator", frequency=1234.5,
+                            n_samples=32768)
+            snk1 = gr.global_registry.create("VectorSink")
+            g.connect(src, snk1)
+            tone = g.emplace("ComplexToneSource", frequency=777.0,
+                             n_samples=32768)
+            rot = g.emplace("Rotator", frequency_shift=0.01,
+                            sample_rate=48000.0)
+            snk2 = gr.global_registry.create("VectorSink")
+            g.connect_chain(tone, rot, snk2)
+            return g, snk1, snk2
+
+        g1, a1, b1 = build()
+        gr.Scheduler(g1, block_len=8192, sample_rate=48000.0,
+                     pipeline_depth=1).run_and_wait()
+        g2, a2, b2 = build()
+        gr.Scheduler(g2, block_len=8192, sample_rate=48000.0, mesh=sp_mesh,
+                     pipeline_depth=1).run_and_wait()
+        np.testing.assert_array_equal(a2.data(), a1.data())
+        np.testing.assert_array_equal(b2.data(), b1.data())
+
+    def test_no_gather_island_in_program(self, sp_mesh):
+        g = gr.Graph()
+        src = g.emplace("ComplexToneSource", frequency=777.0, n_samples=0)
+        rot = g.emplace("Rotator", frequency_shift=0.01, sample_rate=48000.0)
+        snk = gr.global_registry.create("NullSink")
+        g.connect_chain(src, rot, snk)
+        c = gr.compile_graph(g, block_len=8192, sample_rate=48000.0,
+                             mesh=sp_mesh, jit=False)
+        txt = jax.jit(c.step_fn).lower(
+            c.init_states(), c.gather_params(), {}).as_text()
+        assert txt.count("all_gather") == 0
