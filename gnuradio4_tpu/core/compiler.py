@@ -515,9 +515,12 @@ def compile_graph(graph: Graph, *, block_len: int = 1 << 16,
                               block=b.name) from e
             new_states[uname] = st
             for pname, arr in outs.items():
-                if mesh is not None and sp == 1:
+                if mesh is not None and \
+                        (sp == 1 or "chan" in getattr(mesh, "axis_names", ())):
                     # GSPMD: constrain multi-channel streams onto the mesh —
-                    # XLA partitions the fused program + inserts collectives
+                    # XLA partitions the fused program + inserts collectives.
+                    # Composes with manual sp sharding: shard_map is manual
+                    # over 'sp' only, so 'chan' constraints stay GSPMD-auto.
                     spec = b.out_sharding(pname, mesh,
                                           out_channels.get((uname, pname), 0))
                     if spec is not None:

@@ -213,3 +213,37 @@ class TestIndexedNcoSharding:
         txt = jax.jit(c.step_fn).lower(
             c.init_states(), c.gather_params(), {}).as_text()
         assert txt.count("all_gather") == 0
+
+
+class TestCombinedSpChanMesh:
+    """Manual-sp shard_map composed with GSPMD 'chan' constraints: a 2-D
+    (sp×chan) mesh runs the receiver chain bit-exact vs unsharded."""
+
+    def test_receiver_on_2d_mesh(self):
+        devs = jax.devices()
+        if len(devs) < 8:
+            pytest.skip("needs 8 devices")
+        mesh = Mesh(np.asarray(devs[:8]).reshape(4, 2), ("sp", "chan"))
+        rng = np.random.default_rng(5)
+        n = 64 * 1024
+        iq = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+              ).astype(np.complex64)
+        taps = fd.design_fir("lowpass", 33, sample_rate=1.0, f_low=0.1,
+                             window="Hamming").astype(np.float32)
+
+        def build():
+            g = gr.Graph()
+            src = VectorSource(iq)
+            chan = PFBChannelizer(n_channels=64, taps_per_phase=4)
+            dem = QuadratureDemod(gain=1.0)
+            fir = FirFilter(taps=taps, decim=4)
+            snk = VectorSink()
+            g.connect_chain(src, chan, dem, fir, snk)
+            return g, snk
+
+        g1, s1 = build()
+        gr.Scheduler(g1, block_len=n // 2, pipeline_depth=1).run_and_wait()
+        g2, s2 = build()
+        gr.Scheduler(g2, block_len=n // 2, mesh=mesh,
+                     pipeline_depth=1).run_and_wait()
+        np.testing.assert_array_equal(s2.data(), s1.data())
