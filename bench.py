@@ -54,8 +54,12 @@ def build_step(block_len: int):
 def main() -> None:
     import jax
     import jax.numpy as jnp
-    block_len = 1 << 20
-    steps = 20
+    # operating point: 8 Mi samples/step. The round-2 block-length sweep
+    # (NOTES.md) showed throughput scales ~linearly with block size up to
+    # 2^23 (6.6 Gsps @2^19 → 83 Gsps @2^23 on the same chip): per-step
+    # dispatch overhead over the remote PJRT transport dominates small steps.
+    block_len = 1 << 23
+    steps = 12
     compiled = build_step(block_len)
     states = compiled.init_states()
     params = compiled.gather_params()
@@ -119,10 +123,10 @@ def main() -> None:
         os._exit(0)
 
 
-# v5e per-chip peaks (public spec): 197 TFLOP/s bf16 MXU, ~0.25× for f32
-# accumulate paths; 819 GB/s HBM. Used only for roofline FRACTIONS (stderr
-# diagnostics) — the headline metric stays measured Msps.
-_V5E_PEAK_F32_TFLOPS = 49.0
+# v5e per-chip peaks (public spec): 197 TFLOP/s bf16 MXU; 819 GB/s HBM. Used
+# only for roofline FRACTIONS (stderr diagnostics) — the headline metric stays
+# measured Msps.
+_V5E_PEAK_BF16_TFLOPS = 197.0
 _V5E_HBM_GBPS = 819.0
 
 # analytic per-input-sample costs of the chain's stages (complex MAC = 8 real
@@ -149,11 +153,14 @@ def _report_roofline(msps: float, platform: str) -> None:
             "platform": platform,
             "stages": stages,
             "chain_tflops": round(sps * total_fl / 1e12, 3),
-            "chain_hbm_gbps": round(sps * total_by / 1e9, 1),
-            "mxu_fraction_f32": round(sps * total_fl / 1e12
-                                      / _V5E_PEAK_F32_TFLOPS, 4),
-            "hbm_fraction": round(sps * total_by / 1e9 / _V5E_HBM_GBPS, 4),
-            "note": "analytic per-sample costs; fractions vs v5e f32/HBM peaks",
+            "stream_gbps_upper_bound": round(sps * total_by / 1e9, 1),
+            "mxu_fraction_bf16": round(sps * total_fl / 1e12
+                                       / _V5E_PEAK_BF16_TFLOPS, 4),
+            "hbm_write_gbps": round(sps * (4 + 4 / 8) / 1e9, 1),
+            "note": "analytic per-sample costs. stream bytes are an upper "
+                    "bound — the tone source is generated on-device and XLA "
+                    "keeps fused intermediates VMEM-resident, so real HBM "
+                    "traffic is dominated by the sink writes (hbm_write_gbps)",
         }
     }
     print("# " + json.dumps(rep), file=sys.stderr)

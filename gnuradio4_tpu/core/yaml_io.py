@@ -124,13 +124,44 @@ def save_grc(graph: Graph, *, sample_rate: float | None = None,
     return yaml.safe_dump(doc, sort_keys=False, default_flow_style=None)
 
 
+def _strip_reference_id(bid: str) -> str:
+    """Map a reference-style block id to a registry name: drop the template
+    argument list and C++ namespace qualifiers —
+    'gr::testing::ArraySource<float64>' → 'ArraySource'
+    (reference ids per qa_grc.cpp:130-137)."""
+    base = bid.split("<", 1)[0]
+    return base.rsplit("::", 1)[-1].strip()
+
+
+def _resolve_port_name(block: Block, entry: Any, *, output: bool) -> str:
+    """Port refs may be names (this framework) or index forms (the reference:
+    plain index, or [collection, sub] pairs, qa_grc.cpp:143-147)."""
+    ports = block.out_ports if output else block.in_ports
+    if isinstance(entry, int):
+        idx = entry
+    elif isinstance(entry, (list, tuple)):
+        a, b = (int(entry[0]), int(entry[1])) if len(entry) == 2 else (0, 0)
+        idx = a + b if (a == 0 or b == 0) else a   # flat best-effort mapping
+    else:
+        return str(entry)
+    if not 0 <= idx < len(ports):
+        raise GrError(f"{block.name}: port index {entry} out of range "
+                      f"({len(ports)} {'out' if output else 'in'} ports)")
+    return ports[idx].name
+
+
 def _build_graph(body: dict[str, Any], registry: BlockRegistry,
                  name: str = "graph") -> Graph:
     g = Graph(name=body.get("name", name), registry=registry)
     by_name: dict[str, Block] = {}
     for bm in body.get("blocks", []) or []:
         bid = bm.get("id")
-        bname = bm.get("name")
+        if bid and not registry.contains(bid) and \
+                registry.contains(_strip_reference_id(bid)):
+            bid = _strip_reference_id(bid)
+        # the reference carries the instance name ONLY inside parameters
+        # (Graph_yaml_importer.hpp:101); accept either location
+        bname = bm.get("name") or (bm.get("parameters") or {}).get("name")
         if bid == "Graph" or ("blocks" in bm and not registry.contains(bid)):
             sub = _build_graph(bm, registry, name=bname or "subgraph")
             sub.name = bname or sub.name
@@ -172,6 +203,8 @@ def _build_graph(body: dict[str, Any], registry: BlockRegistry,
             src, dst = by_name[sname], by_name[dname]
         except KeyError as e:
             raise GrError(f"connection references unknown block {e}") from e
+        sport = _resolve_port_name(src, sport, output=True)
+        dport = _resolve_port_name(dst, dport, output=False)
         g.connect(src, dst, src_port=sport, dst_port=dport,
                   feedback=bool(extra.get("feedback", False)),
                   delay=int(extra.get("delay", 1)),

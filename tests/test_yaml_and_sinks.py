@@ -260,3 +260,49 @@ class TestCli:
                            timeout=120)
         assert r.returncode == 0
         assert "FFT" in r.stdout and "DataSink" in r.stdout
+
+
+class TestReferenceGrcCompat:
+    """Loading flowgraphs written in the REFERENCE's GRC dialect
+    (qa_grc.cpp:128-147): templated C++ ids, instance names only inside
+    parameters, and index-pair port references."""
+
+    def test_reference_style_document_loads_and_runs(self):
+        import numpy as np
+        from gnuradio4_tpu.core.yaml_io import load_grc
+        doc = """
+blocks:
+  - id: gr::testing::CountingSource<float32>
+    parameters:
+      name: src0
+      n_samples: 256
+  - id: gr::basic::MultiplyConst<float32>
+    parameters:
+      name: scale
+      value: 3.0
+  - id: gr::testing::TagSink<float32>
+    parameters:
+      name: sink0
+connections:
+  - [src0, [0, 0], scale, [0, 0]]
+  - [scale, 0, sink0, 0]
+"""
+        g = load_grc(doc)
+        assert {b.name for b in g.blocks} == {"src0", "scale", "sink0"}
+        import gnuradio4_tpu as gr
+        gr.Scheduler(g, block_len=128, pipeline_depth=1).run_and_wait()
+        sink = next(b for b in g.blocks if b.name == "sink0")
+        np.testing.assert_allclose(sink.data(), 3.0 * np.arange(256))
+
+    def test_unknown_reference_id_still_errors(self):
+        import pytest as _pytest
+        from gnuradio4_tpu.core.yaml_io import load_grc
+        doc = """
+blocks:
+  - id: gr::x::NoSuchBlock<float32>
+    parameters:
+      name: a
+connections: []
+"""
+        with _pytest.raises(Exception, match="NoSuchBlock|unknown|registry"):
+            load_grc(doc)
