@@ -51,15 +51,47 @@ def build_step(block_len: int):
     return compiled
 
 
-def main() -> None:
+def _force_complete(sink_ins, deadline_s: float) -> dict:
+    """Scalar-checksum readback of the sink outputs — the ONLY trustworthy
+    completion signal on this transport (see the timing-honesty note in main).
+    Runs on a daemon thread with a deadline because D2H over the axon tunnel
+    can wedge for minutes."""
+    import threading
     import jax
     import jax.numpy as jnp
-    # operating point: 8 Mi samples/step. The round-2 block-length sweep
-    # (NOTES.md) showed throughput scales ~linearly with block size up to
-    # 2^23 (6.6 Gsps @2^19 → 83 Gsps @2^23 on the same chip): per-step
-    # dispatch overhead over the remote PJRT transport dominates small steps.
-    block_len = 1 << 23
-    steps = 12
+    result: dict = {}
+
+    def rb():
+        try:
+            result["check"] = float(jax.jit(
+                lambda t: sum(jnp.sum(jnp.abs(v)) for ins in t.values()
+                              for v in ins.values()))(sink_ins))
+        except Exception as e:  # pragma: no cover
+            result["error"] = f"{type(e).__name__}: {e}"
+    th = threading.Thread(target=rb, daemon=True)
+    th.start()
+    th.join(timeout=deadline_s)
+    if th.is_alive():
+        result.setdefault("error", "timeout")
+        result["wedged"] = True
+    return result
+
+
+def main() -> None:
+    import jax
+    # TIMING HONESTY (round-2 finding, NOTES.md): the axon relay DEFERS
+    # execution — jax.block_until_ready returns without waiting for device
+    # completion, so plain wall-clock over dispatched steps measures the HOST
+    # DISPATCH RATE, not compute (proven by an 8x-FLOPs chain timing
+    # identically). The only honest protocol is readback-terminated
+    # DIFFERENTIAL timing: time (N steps + scalar checksum readback) at two
+    # step counts — the readback latency cancels in the slope. When D2H is in
+    # an outage window (it is, for hours at a time), the bench falls back to
+    # the dispatch-rate number and SAYS SO in the metric + 'verified' field.
+    platform = jax.devices()[0].platform
+    # 8 Mi samples/step on accelerators; CPU smoke runs use small windows
+    block_len = (1 << 23) if platform != "cpu" else (1 << 18)
+    win_small, win_big = (64, 512) if platform != "cpu" else (4, 16)
     compiled = build_step(block_len)
     states = compiled.init_states()
     params = compiled.gather_params()
@@ -69,54 +101,59 @@ def main() -> None:
         states, sink_ins = compiled.step(states, params, {})
     jax.block_until_ready((states, sink_ins))
 
-    # three timing windows, best wins: the shared remote pool adds transient
-    # stalls — max-of-windows estimates the machine rate, not the noise
-    best_dt = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            states, sink_ins = compiled.step(states, params, {})
-        jax.block_until_ready((states, sink_ins))
-        best_dt = min(best_dt, time.perf_counter() - t0)
-    dt = best_dt
+    probe = _force_complete(sink_ins, deadline_s=90.0)
+    verified = "check" in probe
+    wedged = bool(probe.get("wedged"))
 
-    # compute-proof: reduce one sink input to a scalar and read it back.
-    # D2H over the axon tunnel is flaky (can hang) — do it on a daemon thread
-    # with a deadline so the bench never stalls on the readback.
-    import threading
-    result: dict = {}
+    if verified:
+        # readback-terminated differential timing: slope between two window
+        # sizes cancels the (large, variable) D2H latency
+        walls: dict[int, float] = {}
+        for steps in (win_small, win_big):
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                states, sink_ins = compiled.step(states, params, {})
+            r = _force_complete(sink_ins, deadline_s=300.0)
+            wedged = wedged or bool(r.get("wedged"))
+            if "check" not in r:
+                verified = False
+                break
+            walls[steps] = time.perf_counter() - t0
+        if verified:
+            dt_per_step = (walls[win_big] - walls[win_small]) \
+                / (win_big - win_small)
+            msps = block_len / dt_per_step / 1e6
+            print(f"# verified: readback-terminated differential timing, "
+                  f"walls {walls}", file=sys.stderr)
 
-    def readback():
-        try:
-            result["check"] = float(jax.jit(
-                lambda t: sum(jnp.sum(jnp.abs(v)) for ins in t.values()
-                              for v in ins.values()))(sink_ins))
-        except Exception as e:  # pragma: no cover
-            result["error"] = f"{type(e).__name__}: {e}"
-
-    th = threading.Thread(target=readback, daemon=True)
-    th.start()
-    th.join(timeout=60.0)
-    if "check" in result:
-        assert np.isfinite(result["check"]) and result["check"] > 0
-        print(f"# checksum {result['check']:.6g} over {steps} steps, {dt:.3f} s",
+    if not verified:
+        # dispatch-rate fallback (upper bound on sustainable host-side rate;
+        # NOT a device-compute measurement)
+        steps = win_small
+        best_dt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                states, sink_ins = compiled.step(states, params, {})
+            jax.block_until_ready((states, sink_ins))
+            best_dt = min(best_dt, time.perf_counter() - t0)
+        msps = steps * block_len / best_dt / 1e6
+        print(f"# UNVERIFIED: D2H outage ({probe.get('error', '?')}) — this is "
+              f"the host dispatch rate, not measured device compute",
               file=sys.stderr)
-    else:
-        print(f"# checksum readback unavailable ({result.get('error', 'timeout')}); "
-              f"compute validated via block_until_ready", file=sys.stderr)
 
-    msps = steps * block_len / dt / 1e6
-    platform = jax.devices()[0].platform
     _report_roofline(msps, platform)
-    _regression_gate(msps)
+    _regression_gate(msps, platform)
     print(json.dumps({
-        "metric": f"complex Msamples/s/chip, FIR127+FFT4096+demod chain ({platform})",
+        "metric": f"complex Msamples/s/chip, FIR127+FFT4096+demod chain "
+                  f"({platform}{'' if verified else ', dispatch-rate UNVERIFIED'})",
         "value": round(msps, 2),
         "unit": "Msps",
         "vs_baseline": round(msps / NORTH_STAR_PER_CHIP_MSPS, 4),
+        "verified": verified,
     }), flush=True)
-    if th.is_alive():
-        # the readback thread is stuck inside the PJRT client; interpreter
+    if wedged:
+        # a readback thread is stuck inside the PJRT client; interpreter
         # teardown would abort the process (SIGABRT) while cancelling it —
         # hard-exit cleanly instead, the result is already on stdout
         import os
@@ -166,9 +203,10 @@ def _report_roofline(msps: float, platform: str) -> None:
     print("# " + json.dumps(rep), file=sys.stderr)
 
 
-def _regression_gate(msps: float) -> None:
+def _regression_gate(msps: float, platform: str) -> None:
     """Compare against the newest driver-captured BENCH_r*.json; warn (or fail
-    with GR4_BENCH_GATE=1) below 0.8x of the record."""
+    with GR4_BENCH_GATE=1) below 0.8x of the record. Cross-platform runs
+    (CPU smoke vs a TPU record) are skipped."""
     import glob
     import os
     recs = sorted(glob.glob(os.path.join(os.path.dirname(
@@ -176,7 +214,12 @@ def _regression_gate(msps: float) -> None:
     if not recs:
         return
     try:
-        last = json.load(open(recs[-1]))["parsed"]["value"]
+        parsed = json.load(open(recs[-1]))["parsed"]
+        last = parsed["value"]
+        if f"({platform}" not in parsed.get("metric", ""):
+            print(f"# regression-gate skipped: record is not a {platform} run",
+                  file=sys.stderr)
+            return
     except Exception:
         return
     ratio = msps / last if last else float("inf")

@@ -10,6 +10,11 @@ measures the other BASELINE.md configs on whatever platform is active:
   5. sharded 64-channel channelizer + demod (all local devices)
 
 Usage: python bench_suite.py [--block-len N] [--steps N]
+
+TIMING CAVEAT (see docs/PERFORMANCE.md "timing-honesty"): on the axon remote
+transport, block_until_ready does not flush device work, so these wall-clock
+rates are host dispatch rates unless the platform provides a working D2H path
+(bench.py carries the readback-verified protocol; this suite is comparative).
 """
 
 from __future__ import annotations
