@@ -739,6 +739,34 @@ class Scheduler:
             self.graph.remove(b)
             self._dirty = True
             self.bus.reply(msg, {})
+        elif ep == Property.REPLACE_BLOCK:
+            # ≈ kReplaceBlock (Scheduler.hpp:227-238): a new block takes over
+            # the old one's name and connections; re-jit at the boundary
+            old = self._find_block(data["name"])
+            if old is None:
+                raise GrError(f"replace: no block {data['name']!r}")
+            new = self.graph.registry.create(data["type"],
+                                             **data.get("properties", {}))
+            new.name = old.name
+            # validate EVERY rewired port before mutating anything — a
+            # mismatch must leave the running graph untouched
+            for e in self.graph.edges:
+                if e.src is old:
+                    new.port(e.src_port, output=True)
+                if e.dst is old:
+                    new.port(e.dst_port, output=False)
+            for e in self.graph.edges:
+                if e.src is old:
+                    e.src = new
+                if e.dst is old:
+                    e.dst = new
+            self.graph.blocks[self.graph.blocks.index(old)] = new
+            self.graph.message_edges = [
+                (new if s is old else s, new if d is old else d)
+                for s, d in self.graph.message_edges]
+            self._dirty = True
+            self.bus.reply(msg, {"unique_name": new.unique_name,
+                                 "name": new.name})
         elif ep == Property.EMPLACE_EDGE:
             src = self._find_block(data["src"]); dst = self._find_block(data["dst"])
             if src is None or dst is None:

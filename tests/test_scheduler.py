@@ -253,3 +253,50 @@ def test_settings_change_recorder_message_and_tag_paths():
     changes = [c for _, c in rec.recorded]
     assert {"scaling_factor": 5.0} in changes
     assert {"scaling_factor": 3.0} in changes
+
+
+def test_runtime_replace_block_message():
+    """kReplaceBlock analog: a new block takes over the old one's name and
+    connections mid-run; mismatched ports are rejected."""
+    g = gr.Graph()
+    src = CountingSource(n_samples=4096)
+    mul = MultiplyConst(value=2.0, name="gain")
+    snk = VectorSink(name="cap")
+    g.connect_chain(src, mul, snk)
+    sched = gr.Scheduler(g, block_len=512, pipeline_depth=1)
+    sched.init()
+    sched.run_and_wait(n_steps=2)
+    sched.bus.send_command(Command.Set, "", Property.REPLACE_BLOCK,
+                           {"name": "gain", "type": "AddConst",
+                            "properties": {"value": 100.0}})
+    while sched._pump_once():
+        pass
+    sched._drain()
+    out = snk.data()
+    np.testing.assert_allclose(out[:1024], 2.0 * np.arange(1024))
+    np.testing.assert_allclose(out[1024:], np.arange(1024, 4096) + 100.0)
+    names = {type(b).__name__ for b in sched.graph.blocks}
+    assert "AddConst" in names and "MultiplyConst" not in names
+
+
+def test_replace_block_port_mismatch_rejected():
+    g = gr.Graph()
+    src = CountingSource(n_samples=512)
+    mul = MultiplyConst(value=2.0, name="gain")
+    snk = NullSink()
+    g.connect_chain(src, mul, snk)
+    sched = gr.Scheduler(g, block_len=256)
+    sched.init()
+    sched.bus.send_command(Command.Set, "", Property.REPLACE_BLOCK,
+                           {"name": "gain", "type": "NullSink"})
+    sched._process_messages()
+    replies = sched.bus.drain_replies()
+    assert any(r.is_error for r in replies)
+    # graph unharmed: the original block still present AND still wired
+    assert any(b.name == "gain" and type(b).__name__ == "MultiplyConst"
+               for b in sched.graph.blocks)
+    gain = next(b for b in sched.graph.blocks if b.name == "gain")
+    assert all((e.src is gain) == (e.src.name == "gain") for e in g.edges)
+    assert sum(1 for e in g.edges if e.dst is gain) == 1
+    assert sum(1 for e in g.edges if e.src is gain) == 1
+    sched.run_and_wait()   # and it still runs to completion
