@@ -108,3 +108,14 @@ def test_tour_runs_end_to_end(tmp_path):
     assert r.returncode == 0, r.stderr[-800:]
     assert "tour complete" in r.stdout
     assert "post-lock angular error 0.00 deg" in r.stdout
+
+
+def test_agc_loop_example_converges():
+    src = Path("/root/repo/examples/agc_loop.yaml").read_text()
+    from gnuradio4_tpu.core.yaml_io import run_grc
+    sched = run_grc(src)
+    cap = [b for b in sched.graph.blocks if b.name == "audio"][0]
+    y = cap.data()
+    assert y.shape == (16384,)
+    # loop drives |y| toward the reference level 1.0
+    assert 0.7 < float(np.mean(np.abs(y[-4096:]))) < 1.3
