@@ -580,6 +580,12 @@ class Scheduler:
                         b.settings.activate_context(SettingsCtx(
                             time=float(t.map.get(Keys.CTX_TIME, 0.0)),
                             context=str(t.map[Keys.CONTEXT])))
+                    elif Keys.CTX_TIME in t.map:
+                        # bare ctx_time advances the preset clock: pick the
+                        # latest stored context whose time has come (the
+                        # reference's time-multiplexed SettingsCtx semantics)
+                        b.settings.activate_context_for_time(
+                            float(t.map[Keys.CTX_TIME]))
             if events:
                 self._tag_ramps[uname] = sorted(events)
             # device-visible tag path: blocks that gate on tags on-device

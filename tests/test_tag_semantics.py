@@ -143,3 +143,31 @@ def test_stream_filter_window_spans_step_boundary():
     np.testing.assert_allclose(y[200:600], 1.0)
     np.testing.assert_allclose(y[:200], 0.0)
     np.testing.assert_allclose(y[600:], 0.0)
+
+
+def test_ctx_time_tag_activates_timed_preset():
+    """A bare ctx_time tag picks the latest stored context whose time has
+    come (time-multiplexed SettingsCtx presets, Settings.hpp:215)."""
+    import numpy as np
+    import gnuradio4_tpu as gr
+    from gnuradio4_tpu.core.settings import SettingsCtx
+    from gnuradio4_tpu.core.tags import Keys, Tag
+    from gnuradio4_tpu.blocks.testing import VectorSource
+
+    x = np.ones(2048, np.float32)
+    src = VectorSource(x, tags=[Tag(512, {Keys.CTX_TIME: 10.0}),
+                                Tag(1024, {Keys.CTX_TIME: 20.0})])
+    g = gr.Graph()
+    g.add(src)
+    mul = g.emplace("MultiplyConst", value=1.0)
+    snk = gr.global_registry.create("VectorSink")
+    g.connect_chain(src, mul, snk)
+    # store two timed presets
+    mul.settings.set({"value": 5.0}, ctx=SettingsCtx(time=10.0, context="t10"))
+    mul.settings.set({"value": 9.0}, ctx=SettingsCtx(time=20.0, context="t20"))
+    gr.Scheduler(g, block_len=512, pipeline_depth=1).run_and_wait()
+    y = snk.data()
+    # step granularity: preset applies at the step after its tag
+    assert y[0] == 1.0
+    assert 5.0 in y and 9.0 in y
+    assert y[-1] == 9.0
