@@ -69,6 +69,13 @@ class FFT(Block):
         shape = (n - s,) if ch == 0 else (ch, n - s)
         return jnp.zeros(shape, ctx.dtype("in", jnp.float32))
 
+    def sp_halo(self, ctx):
+        # overlap state is the last fft_size−stride inputs → default halo
+        # converters apply (back-to-back windows are stateless/time-local)
+        n = int(self.settings.get("fft_size"))
+        s = self._stride()
+        return 0 if s >= n else n - s
+
     def apply(self, state, ins, ctx):
         x = ins["in"]
         n = int(self.settings.get("fft_size"))

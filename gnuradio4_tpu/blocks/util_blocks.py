@@ -81,6 +81,10 @@ class MovingAverage(Block):
         y = window_sums * jnp.asarray(scale, jnp.real(x).dtype)
         return xc[..., -(n - 1):], {"out": y.astype(x.dtype)}
 
+    def sp_halo(self, ctx):
+        # state is exactly the last length−1 inputs → default halo converters
+        return int(self.settings.get("length")) - 1
+
 
 @register_block("DcBlocker")
 class DcBlocker(Block):

@@ -247,3 +247,29 @@ class TestCombinedSpChanMesh:
         gr.Scheduler(g2, block_len=n // 2, mesh=mesh,
                      pipeline_depth=1).run_and_wait()
         np.testing.assert_array_equal(s2.data(), s1.data())
+
+
+class TestMoreHaloBlocks:
+    """History-pattern blocks declared on the sp protocol: MovingAverage and
+    overlapped FFT shard with ppermute halos, bit-exact vs unsharded."""
+
+    def test_moving_average_and_overlap_fft(self, sp_mesh):
+        def build():
+            g = gr.Graph()
+            src = g.emplace("SignalGenerator", frequency=997.0,
+                            n_samples=65536)
+            ma = g.emplace("MovingAverage", length=33)
+            fft = g.emplace("FFT", fft_size=256, stride=128, window="Hann",
+                            output="magnitude")
+            snk = gr.global_registry.create("VectorSink")
+            g.connect_chain(src, ma, fft, snk)
+            return g, snk
+
+        g1, s1 = build()
+        gr.Scheduler(g1, block_len=16384, sample_rate=48000.0,
+                     pipeline_depth=1).run_and_wait()
+        g2, s2 = build()
+        gr.Scheduler(g2, block_len=16384, sample_rate=48000.0, mesh=sp_mesh,
+                     pipeline_depth=1).run_and_wait()
+        # cumsum/window reduction orders differ at shard seams → float32 ulps
+        np.testing.assert_allclose(s2.data(), s1.data(), atol=1e-6)
