@@ -52,8 +52,11 @@ class Throttle(Block):
 
 @register_block("MovingAverage")
 class MovingAverage(Block):
-    """Length-N moving average via cumulative sums (O(1)/sample, no FIR taps);
-    carried state = last N−1 inputs (exact across steps)."""
+    """Length-N moving average as a uniform-tap FIR on the MXU (matmul
+    framing, bounded error ~N·ε); carried state = last N−1 inputs. Very long
+    windows (> 4096) fall back to prefix sums — note that cumsum error grows
+    with block_len × signal mean (catastrophic cancellation of large prefix
+    sums), so the FIR path is also the accurate one."""
 
     IN = (Port("in"),)
     OUT = (Port("out"),)
@@ -71,13 +74,18 @@ class MovingAverage(Block):
         n = int(self.settings.get("length"))
         if n == 1:
             return state, {"out": x}
+        scale = float(self.settings.get("scale")) or (1.0 / n)
+        if n <= 4096:
+            from ..ops.fir import fir_apply
+            import numpy as np
+            taps = np.full(n, scale, np.float32)
+            y, new_state = fir_apply(x, taps, state.astype(x.dtype))
+            return new_state, {"out": y.astype(x.dtype)}
         xc = jnp.concatenate([state.astype(x.dtype), x], axis=-1)
         c = jnp.cumsum(xc, axis=-1)
         zero = jnp.zeros_like(c[..., :1])
         c = jnp.concatenate([zero, c], axis=-1)          # prefix sums, len+1
-        t = x.shape[-1]
         window_sums = c[..., n:] - c[..., :-n]           # len = t
-        scale = float(self.settings.get("scale")) or (1.0 / n)
         y = window_sums * jnp.asarray(scale, jnp.real(x).dtype)
         return xc[..., -(n - 1):], {"out": y.astype(x.dtype)}
 

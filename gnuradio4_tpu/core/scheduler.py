@@ -587,7 +587,17 @@ class Scheduler:
                         b.settings.activate_context_for_time(
                             float(t.map[Keys.CTX_TIME]))
             if events:
-                self._tag_ramps[uname] = sorted(events)
+                # per-sample ramp arrays are full-step-length params; inside a
+                # manual-sp shard_map they would mismatch the local shards —
+                # under sp meshes tag settings keep step-boundary granularity
+                if self.mesh is not None and \
+                        "sp" in getattr(self.mesh, "axis_names", ()):
+                    self.bus.notify(b.name, "TagSettings",
+                                    {"note": "sample-accurate ramp skipped "
+                                             "under sp sharding; applied at "
+                                             "the next step boundary"})
+                else:
+                    self._tag_ramps[uname] = sorted(events)
             # device-visible tag path: blocks that gate on tags on-device
             # (WANTS_TAG_ARRAYS) receive this step's input tags; their
             # prepare_params packs them into fixed-capacity TagArrays

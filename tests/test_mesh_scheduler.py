@@ -273,3 +273,48 @@ class TestMoreHaloBlocks:
                      pipeline_depth=1).run_and_wait()
         # cumsum/window reduction orders differ at shard seams → float32 ulps
         np.testing.assert_allclose(s2.data(), s1.data(), atol=1e-6)
+
+
+class TestRandomGraphSpEquivalence:
+    """Property test: random chains drawn from the shardable block pool
+    compile under sp and match the unsharded run (seeded, deterministic)."""
+
+    POOL = (
+        lambda g: g.emplace("MultiplyConst", value=1.7),
+        lambda g: g.emplace("AddConst", value=0.3),
+        lambda g: g.emplace("MovingAverage", length=17),
+        lambda g: g.emplace("FirFilter",
+                            taps=tuple((np.hamming(21) / 11).tolist())),
+        lambda g: g.emplace("FmDeemphasis", tau=75e-6,
+                            sample_rate_in=48000.0),   # island member
+        lambda g: g.emplace("Abs"),
+    )
+
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3])
+    def test_random_chain(self, sp_mesh, seed):
+        rng = np.random.default_rng(seed)
+        n_blocks = int(rng.integers(2, 5))
+        picks = [int(rng.integers(0, len(self.POOL)))
+                 for _ in range(n_blocks)]
+
+        def build():
+            g = gr.Graph()
+            src = g.emplace("SignalGenerator", frequency=500.0 + seed,
+                            n_samples=32768)
+            prev = src
+            for p in picks:
+                blk = self.POOL[p](g)
+                g.connect(prev, blk)
+                prev = blk
+            snk = gr.global_registry.create("VectorSink")
+            g.connect(prev, snk)
+            return g, snk
+
+        g1, s1 = build()
+        gr.Scheduler(g1, block_len=8192, sample_rate=48000.0,
+                     pipeline_depth=1).run_and_wait()
+        g2, s2 = build()
+        gr.Scheduler(g2, block_len=8192, sample_rate=48000.0, mesh=sp_mesh,
+                     pipeline_depth=1).run_and_wait()
+        np.testing.assert_allclose(s2.data(), s1.data(), atol=2e-6,
+                                   err_msg=f"picks={picks}")
