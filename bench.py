@@ -235,18 +235,20 @@ def _regression_gate(msps: float, platform: str) -> None:
 
 def _main_with_retry() -> None:
     """The remote-TPU transport has transient outage windows (H2D/D2H raise
-    UNIMPLEMENTED for minutes at a time). Retry the whole bench a few times
-    before giving up, so a blip doesn't void the round's measurement."""
+    UNIMPLEMENTED — observed lasting tens of minutes). Retry patiently so an
+    outage doesn't void the round's measurement."""
     last: Exception | None = None
-    for attempt in range(3):
+    for attempt in range(6):
         try:
             main()
             return
         except Exception as e:  # noqa: BLE001
             last = e
+            wait = 60 * (attempt + 1)
             print(f"# bench attempt {attempt + 1} failed: "
-                  f"{type(e).__name__}: {e}; retrying in 60 s", file=sys.stderr)
-            time.sleep(60)
+                  f"{type(e).__name__}: {e}; retrying in {wait} s",
+                  file=sys.stderr)
+            time.sleep(wait)
     raise last
 
 
