@@ -277,6 +277,14 @@ class RationalResampler(Block):
         y, st = k.apply(ins["in"], state)
         return st, {"out": y}
 
+    def sp_halo(self, ctx):
+        """Time-shardable: the polyphase state is the last ntaps_eff−1 inputs
+        and the decimation/interpolation phase restarts cleanly at shard
+        boundaries (local lengths are alignment·sp-divisible)."""
+        k = self._kernel()
+        ntaps_eff = k.k_per_phase if k.interp > 1 else len(k.taps)
+        return ntaps_eff - 1
+
 
 @register_block("IirFilter")
 class IirFilter(Block):

@@ -318,3 +318,32 @@ class TestRandomGraphSpEquivalence:
                      pipeline_depth=1).run_and_wait()
         np.testing.assert_allclose(s2.data(), s1.data(), atol=2e-6,
                                    err_msg=f"picks={picks}")
+
+
+class TestResamplerSpSharding:
+    """BASELINE config 2 (rational polyphase resampler) time-shards with a
+    ppermute halo; decimation/interpolation phase stays continuous at seams."""
+
+    @pytest.mark.parametrize("interp,decim", [(1, 4), (3, 2), (2, 3)])
+    def test_resampler_matches_unsharded(self, sp_mesh, interp, decim):
+        rng = np.random.default_rng(interp * 10 + decim)
+        x = rng.standard_normal(3 * 2 * 4 * 8 * 512).astype(np.float32)
+
+        def build():
+            g = gr.Graph()
+            src = VectorSource(x)
+            rs = g.emplace("RationalResampler", interp=interp, decim=decim,
+                           ntaps_per_phase=12)
+            snk = VectorSink()
+            g.connect(src, rs)
+            g.connect(rs, snk)
+            return g, snk
+
+        g1, s1 = build()
+        gr.Scheduler(g1, block_len=len(x) // 2,
+                     pipeline_depth=1).run_and_wait()
+        g2, s2 = build()
+        gr.Scheduler(g2, block_len=len(x) // 2, mesh=sp_mesh,
+                     pipeline_depth=1).run_and_wait()
+        assert s2.data().shape == s1.data().shape
+        np.testing.assert_allclose(s2.data(), s1.data(), atol=1e-6)
