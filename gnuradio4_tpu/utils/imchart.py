@@ -43,11 +43,37 @@ class ImCanvas:
         self._cells[row, col] |= _DOT_BITS[3 - yi % 4][xi % 2]
         self._colors[row, col] = color + 1
 
+    def line(self, x0: float, y0: float, x1: float, y1: float,
+             color: int = 0) -> None:
+        """Dot-resolution line segment (interpolated; ≈ ImCanvas drawLine)."""
+        steps = max(1, int(abs(x1 - x0)), int(abs(y1 - y0)))
+        for s in range(steps + 1):
+            t = s / steps
+            self.dot(x0 + t * (x1 - x0), y0 + t * (y1 - y0), color)
+
+    def hline(self, y: float, color: int = 0) -> None:
+        self.line(0, y, 2 * self.width - 1, y, color)
+
+    def vline(self, x: float, color: int = 0) -> None:
+        self.line(x, 0, x, 4 * self.height - 1, color)
+
+    def text(self, row: int, col: int, s: str) -> None:
+        """Character-cell text overlay (≈ ImCanvas drawText); overwrites dots."""
+        if not hasattr(self, "_texts"):
+            self._texts: dict[tuple[int, int], str] = {}
+        for i, ch in enumerate(s):
+            if 0 <= row < self.height and 0 <= col + i < self.width:
+                self._texts[(row, col + i)] = ch
+
     def render(self, *, color: bool = True) -> str:
+        texts = getattr(self, "_texts", {})
         lines = []
         for r in range(self.height):
             chars = []
             for c in range(self.width):
+                if (r, c) in texts:
+                    chars.append(texts[(r, c)])
+                    continue
                 bits = int(self._cells[r, c])
                 ch = chr(_BRAILLE_BASE + bits) if bits else " "
                 if color and bits and self._colors[r, c] > 0:
@@ -74,53 +100,95 @@ class ImChart:
         self.canvas = ImCanvas(width, height)
         self.x_label = x_label
         self.y_label = y_label
-        self.datasets: list[tuple[str, np.ndarray, np.ndarray]] = []
+        self.datasets: list[tuple[str, np.ndarray, np.ndarray, str]] = []
 
     def plot(self, y: Sequence[float], x: Sequence[float] | None = None,
-             label: str = "") -> "ImChart":
+             label: str = "", style: str = "line") -> "ImChart":
+        """Add a dataset. ``style``: 'line' (interpolated), 'points'
+        (scatter — constellations), 'bars' (vertical bars from the baseline —
+        histograms/PSD bins); ≈ the reference's chart styles."""
+        if style not in ("line", "points", "bars"):
+            raise ValueError(f"unknown style {style!r}")
         y = np.asarray(y, dtype=np.float64).ravel()
         x = np.arange(len(y), dtype=np.float64) if x is None \
             else np.asarray(x, dtype=np.float64).ravel()
-        self.datasets.append((label, x, y))
+        self.datasets.append((label, x, y, style))
         return self
 
-    def render(self, *, color: bool = True) -> str:
+    def vmarker(self, x: float, label: str = "") -> "ImChart":
+        """Vertical marker line at data-x (trigger/frequency markers)."""
+        if not hasattr(self, "_vmarkers"):
+            self._vmarkers: list[tuple[float, str]] = []
+        self._vmarkers.append((float(x), label))
+        return self
+
+    def hmarker(self, y: float, label: str = "") -> "ImChart":
+        """Horizontal marker line at data-y (thresholds)."""
+        if not hasattr(self, "_hmarkers"):
+            self._hmarkers: list[tuple[float, str]] = []
+        self._hmarkers.append((float(y), label))
+        return self
+
+    def render(self, *, color: bool = True, y_ticks: int = 3) -> str:
         if not self.datasets:
             return "(empty chart)"
         self.canvas.clear()
-        all_x = np.concatenate([x for _, x, _ in self.datasets])
-        all_y = np.concatenate([y for _, _, y in self.datasets])
+        all_x = np.concatenate([d[1] for d in self.datasets])
+        all_y = np.concatenate([d[2] for d in self.datasets])
         fin = np.isfinite(all_y)
         x0, x1 = float(np.min(all_x)), float(np.max(all_x))
         y0 = float(np.min(all_y[fin])) if fin.any() else 0.0
         y1 = float(np.max(all_y[fin])) if fin.any() else 1.0
+        for ym, _ in getattr(self, "_hmarkers", ()):
+            y0, y1 = min(y0, ym), max(y1, ym)
         if x1 == x0:
             x1 = x0 + 1
         if y1 == y0:
             y1 = y0 + 1
         w_dots = 2 * self.canvas.width
         h_dots = 4 * self.canvas.height
-        for ci, (_, x, y) in enumerate(self.datasets):
-            px = (x - x0) / (x1 - x0) * (w_dots - 1)
-            py = (y - y0) / (y1 - y0) * (h_dots - 1)
-            # draw with linear interpolation between consecutive points
-            for i in range(len(px) - 1):
-                if not (np.isfinite(py[i]) and np.isfinite(py[i + 1])):
-                    continue
-                steps = max(1, int(abs(px[i + 1] - px[i])),
-                            int(abs(py[i + 1] - py[i])))
-                for s in range(steps + 1):
-                    t = s / steps
-                    self.canvas.dot(px[i] + t * (px[i + 1] - px[i]),
-                                    py[i] + t * (py[i + 1] - py[i]), ci)
+
+        def sx(x):
+            return (x - x0) / (x1 - x0) * (w_dots - 1)
+
+        def sy(y):
+            return (y - y0) / (y1 - y0) * (h_dots - 1)
+
+        for ci, (_, x, y, style) in enumerate(self.datasets):
+            px, py = sx(x), sy(y)
+            if style == "points":
+                for i in range(len(px)):
+                    if np.isfinite(py[i]):
+                        self.canvas.dot(px[i], py[i], ci)
+            elif style == "bars":
+                base = sy(max(y0, min(0.0, y1)) if y0 <= 0.0 <= y1 else y0)
+                for i in range(len(px)):
+                    if np.isfinite(py[i]):
+                        self.canvas.line(px[i], base, px[i], py[i], ci)
+            else:
+                for i in range(len(px) - 1):
+                    if not (np.isfinite(py[i]) and np.isfinite(py[i + 1])):
+                        continue
+                    self.canvas.line(px[i], py[i], px[i + 1], py[i + 1], ci)
+        marker_color = len(self.datasets)
+        for xm, _ in getattr(self, "_vmarkers", ()):
+            self.canvas.vline(sx(xm), marker_color)
+        for ym, _ in getattr(self, "_hmarkers", ()):
+            self.canvas.hline(sy(ym), marker_color)
         body = self.canvas.render(color=color)
-        # axes annotation
-        top = f"{_nice_num(y1):>10s} ┤"
-        bot = f"{_nice_num(y0):>10s} ┤"
+        # axes annotation with intermediate ticks (≈ ImChart axis grid)
         lines = body.split("\n")
+        n_rows = len(lines)
+        tick_rows = {0: y1, n_rows - 1: y0}
+        for k in range(1, max(0, y_ticks - 1)):
+            r = round(k * (n_rows - 1) / max(1, y_ticks - 1))
+            tick_rows.setdefault(r, y1 + (y0 - y1) * r / (n_rows - 1))
         out = []
         for i, ln in enumerate(lines):
-            prefix = top if i == 0 else bot if i == len(lines) - 1 else " " * 11 + "│"
+            if i in tick_rows:
+                prefix = f"{_nice_num(tick_rows[i]):>10s} ┤"
+            else:
+                prefix = " " * 11 + "│"
             out.append(prefix + ln)
         x_axis = " " * 11 + "└" + "─" * self.canvas.width
         labels = (f"{_nice_num(x0)}"
@@ -131,8 +199,8 @@ class ImChart:
         legend = "   ".join(
             (_COLORS[i % len(_COLORS)] if color else "") + "⣿ " + (lbl or f"set{i}")
             + (_RESET if color else "")
-            for i, (lbl, _, _) in enumerate(self.datasets) if lbl or True)
-        if any(lbl for lbl, _, _ in self.datasets):
+            for i, (lbl, _, _, _) in enumerate(self.datasets))
+        if any(d[0] for d in self.datasets):
             out.append(" " * 12 + legend)
         if self.x_label:
             out.append(" " * 12 + self.x_label)
