@@ -373,3 +373,24 @@ class TestFormatting:
         assert "array(float32[2×1000]" in fmt.value(
             np.zeros((2, 1000), np.float32))
         assert fmt.value({"a": 1.5, "b": "x"}) == "{a=1.5, b='x'}"
+
+
+class TestImChartStyles:
+    def test_styles_markers_ticks_text(self):
+        import numpy as np
+        from gnuradio4_tpu.utils.imchart import ImCanvas, ImChart
+        t = np.linspace(0, 1, 100)
+        art = (ImChart(40, 8)
+               .plot(np.sin(2 * np.pi * t), t, label="s")
+               .plot(t * 0.5, t, label="p", style="points")
+               .plot(np.abs(t - 0.5), t, label="b", style="bars")
+               .vmarker(0.5).hmarker(0.0)
+               .render(color=False, y_ticks=4))
+        assert art.count("┤") >= 3          # intermediate ticks present
+        assert "⣿ s" in art
+        cv = ImCanvas(10, 3)
+        cv.text(1, 2, "xyz")
+        assert "xyz" in cv.render()
+        import pytest as _p
+        with _p.raises(ValueError):
+            ImChart().plot([1.0], style="nope")
