@@ -58,6 +58,7 @@ class Property:
     REPLACE_BLOCK = "ReplaceBlock"
     EMPLACE_EDGE = "EmplaceEdge"
     REMOVE_EDGE = "RemoveEdge"
+    GRAPH_GRC = "GraphGRC"          # whole-graph YAML get/swap (kGraphGRC)
 
 
 _msg_ids = itertools.count(1)

@@ -300,3 +300,39 @@ def test_replace_block_port_mismatch_rejected():
     assert sum(1 for e in g.edges if e.dst is gain) == 1
     assert sum(1 for e in g.edges if e.src is gain) == 1
     sched.run_and_wait()   # and it still runs to completion
+
+
+def test_graph_grc_roundtrip_and_hotswap():
+    """kGraphGRC: Get returns the running graph as YAML; Set swaps the whole
+    flowgraph (compiled at the next step boundary)."""
+    g = gr.Graph()
+    src = CountingSource(n_samples=2048)
+    src.name = "count"
+    snk = VectorSink(name="old_cap")
+    g.connect(src, snk)
+    sched = gr.Scheduler(g, block_len=512, pipeline_depth=1)
+    sched.init()
+    sched.bus.send_command(Command.Get, "", Property.GRAPH_GRC)
+    sched._process_messages()
+    replies = sched.bus.drain_replies()
+    yam = [r.data["grc"] for r in replies
+           if isinstance(r.data, dict) and "grc" in r.data]
+    assert yam and "count" in yam[0]
+
+    new_yaml = """
+name: swapped
+blocks:
+  - name: gen
+    id: SignalGenerator
+    parameters: {signal: Const, amplitude: 7.0, n_samples: 1024}
+  - name: cap
+    id: VectorSink
+connections:
+  - [gen, out, cap, in]
+"""
+    sched.bus.send_command(Command.Set, "", Property.GRAPH_GRC,
+                           {"grc": new_yaml})
+    sched.run_and_wait()
+    cap = [b for b in sched.graph.blocks if b.name == "cap"][0]
+    np.testing.assert_allclose(cap.data(), np.full(1024, 7.0))
+    assert sched.state is gr.State.STOPPED
