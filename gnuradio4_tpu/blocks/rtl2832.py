@@ -300,10 +300,16 @@ class FakeRtlUsb(FakeUsbDevice):
     and serves u8 IQ with test tones at absolute RF frequencies — the full
     open→tune→stream chain is assertable without hardware."""
 
-    def __init__(self, rf_tones=(), tone_amps=(), eeprom: bytes | None = None):
+    def __init__(self, rf_tones=(), tone_amps=(), eeprom: bytes | None = None,
+                 waveform=None, waveform_freq: float = 0.0):
         super().__init__()
         self.rf_tones = list(rf_tones)
         self.tone_amps = list(tone_amps) or [0.5] * len(self.rf_tones)
+        # optional complex-baseband transmission centered at waveform_freq
+        # (absolute RF), repeated cyclically — a modulated fake station
+        self.waveform = None if waveform is None else np.asarray(
+            waveform, np.complex128)
+        self.waveform_freq = float(waveform_freq)
         self.regs: dict[tuple[int, int], int] = {}
         self.demod: dict[tuple[int, int], int] = {}
         self.tuner: dict[int, int] = {}
@@ -370,6 +376,10 @@ class FakeRtlUsb(FakeUsbDevice):
         x = np.zeros(n, np.complex128)
         for f, a in zip(self.rf_tones, self.tone_amps):
             x += a * np.exp(2j * np.pi * (f - fc) * t)
+        if self.waveform is not None:
+            idx = (self._phase - n + np.arange(n)) % len(self.waveform)
+            mix = np.exp(2j * np.pi * (self.waveform_freq - fc) * t)
+            x += self.waveform[idx] * mix
         iq = np.empty(2 * n, np.uint8)
         iq[0::2] = np.clip(np.round(x.real * 127.5 + 127.5), 0, 255)
         iq[1::2] = np.clip(np.round(x.imag * 127.5 + 127.5), 0, 255)

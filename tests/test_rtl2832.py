@@ -126,3 +126,51 @@ class TestRtlSdrSourceBlock:
         freq = np.fft.fftfreq(len(x), 1 / fs)[int(np.argmax(spec))]
         expected = 100.1e6 - dev.center_frequency
         assert abs(freq - expected) < 2 * fs / len(x)
+
+
+class TestRtlFmAcceptance:
+    def test_fm_station_through_protocol_driver(self):
+        """Full acceptance through the REAL protocol driver path: an FM
+        station modulated onto the fake dongle's 8-bit IQ stream → rtlsdr
+        driver → WBFM receiver → recovered audio tone (quantization included)."""
+        from gnuradio4_tpu.blocks.rtl2832 import _make_rtlsdr_device
+        from gnuradio4_tpu.blocks.sdr import make_wbfm_receiver
+
+        fs = 1.024e6
+        fc = 100.0e6
+        station = 100.1e6
+        f_tone = 2000.0
+        max_dev = 75e3
+        n = 1 << 18
+        t = np.arange(n) / fs
+        message = np.sin(2 * np.pi * f_tone * t)
+        phase = 2 * np.pi * np.cumsum(max_dev * message) / fs
+        tx = 0.8 * np.exp(1j * phase)
+
+        fake = FakeRtlUsb(waveform=tx, waveform_freq=station)
+        dev = _make_rtlsdr_device()(usb=fake)
+        g = gr.Graph()
+        src = g.emplace("SdrSource", driver="rtlsdr", sample_rate=fs,
+                        center_frequency=fc)
+        src._dev = dev
+        head = g.emplace("HeadBlock", n_samples=n)
+        rx = make_wbfm_receiver(quad_rate=fs, audio_decim=16,
+                                center_freq=station - fc, max_dev=max_dev)
+        snk = gr.global_registry.create("VectorSink")
+        g.add(rx)
+        g.connect(src, head)
+        g.connect(head, rx["in"])
+        g.connect(rx["out"], snk)
+        gr.Scheduler(g, block_len=1 << 16, sample_rate=fs,
+                     pipeline_depth=1).run_and_wait()
+        audio = snk.data()
+        assert audio.shape[0] >= n // 16 - 64
+        settled = audio[len(audio) // 4:]
+        fs_a = fs / 16
+        spec = np.abs(np.fft.rfft(settled * np.hanning(len(settled))))
+        freq = np.argmax(spec[1:]) + 1
+        freq_hz = freq * fs_a / len(settled)
+        assert abs(freq_hz - f_tone) < 60.0, freq_hz
+        # tone dominates despite 8-bit IQ quantization
+        tone_power = spec[freq - 2: freq + 3].sum()
+        assert tone_power > 0.25 * spec[1:].sum(), "audio tone not dominant"
