@@ -234,22 +234,26 @@ def _regression_gate(msps: float, platform: str) -> None:
 
 
 def _main_with_retry() -> None:
-    """The remote-TPU transport has transient outage windows (H2D/D2H raise
-    UNIMPLEMENTED — observed lasting tens of minutes). Retry patiently so an
-    outage doesn't void the round's measurement."""
-    last: Exception | None = None
+    """The remote-TPU transport raises transient UNIMPLEMENTED errors AND a
+    failed call poisons the in-process PJRT client (every later call in the
+    same process fails while a fresh process succeeds — observed round 2).
+    Retry in FRESH SUBPROCESSES; the child's JSON line passes through."""
+    import os
+    import subprocess
+    if os.environ.get("GR4_BENCH_CHILD") == "1":
+        main()
+        return
     for attempt in range(6):
-        try:
-            main()
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env={**os.environ, "GR4_BENCH_CHILD": "1"})
+        if r.returncode == 0:
             return
-        except Exception as e:  # noqa: BLE001
-            last = e
-            wait = 60 * (attempt + 1)
-            print(f"# bench attempt {attempt + 1} failed: "
-                  f"{type(e).__name__}: {e}; retrying in {wait} s",
-                  file=sys.stderr)
-            time.sleep(wait)
-    raise last
+        wait = 30 * (attempt + 1)
+        print(f"# bench attempt {attempt + 1} failed (rc={r.returncode}); "
+              f"fresh-process retry in {wait} s", file=sys.stderr)
+        time.sleep(wait)
+    raise SystemExit("bench failed after 6 fresh-process attempts")
 
 
 if __name__ == "__main__":
