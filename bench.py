@@ -96,14 +96,21 @@ def main() -> None:
     states = compiled.init_states()
     params = compiled.gather_params()
 
-    # warmup: compile + tunnel establishment
+    # warmup: compile + tunnel establishment. block_until_ready itself can
+    # wedge on a half-working transport — deadline-guard it and move on (it
+    # is only a warmup synchronization hint; see the honesty note above)
+    import threading as _th
     for _ in range(3):
         states, sink_ins = compiled.step(states, params, {})
-    jax.block_until_ready((states, sink_ins))
+    _w = _th.Thread(target=lambda: jax.block_until_ready((states, sink_ins)),
+                    daemon=True)
+    _w.start()
+    _w.join(timeout=180.0)
+    wedged = _w.is_alive()   # wedged threads → hard-exit at the end
 
     probe = _force_complete(sink_ins, deadline_s=90.0)
     verified = "check" in probe
-    wedged = bool(probe.get("wedged"))
+    wedged = wedged or bool(probe.get("wedged"))
 
     if verified:
         # readback-terminated differential timing: slope between two window
@@ -128,14 +135,20 @@ def main() -> None:
 
     if not verified:
         # dispatch-rate fallback (upper bound on sustainable host-side rate;
-        # NOT a device-compute measurement)
+        # NOT a device-compute measurement); every sync is deadline-guarded —
+        # a wedged transport must never hang the round's bench
         steps = win_small
         best_dt = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
             for _ in range(steps):
                 states, sink_ins = compiled.step(states, params, {})
-            jax.block_until_ready((states, sink_ins))
+            _s = _th.Thread(
+                target=lambda a=(states, sink_ins): jax.block_until_ready(a),
+                daemon=True)
+            _s.start()
+            _s.join(timeout=120.0)
+            wedged = wedged or _s.is_alive()
             best_dt = min(best_dt, time.perf_counter() - t0)
         msps = steps * block_len / best_dt / 1e6
         print(f"# UNVERIFIED: D2H outage ({probe.get('error', '?')}) — this is "
