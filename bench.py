@@ -143,13 +143,17 @@ def main() -> None:
             t0 = time.perf_counter()
             for _ in range(steps):
                 states, sink_ins = compiled.step(states, params, {})
+            dispatch_dt = time.perf_counter() - t0
             _s = _th.Thread(
                 target=lambda a=(states, sink_ins): jax.block_until_ready(a),
                 daemon=True)
             _s.start()
             _s.join(timeout=120.0)
-            wedged = wedged or _s.is_alive()
-            best_dt = min(best_dt, time.perf_counter() - t0)
+            if _s.is_alive():      # sync wedged: use the pure dispatch time
+                wedged = True
+                best_dt = min(best_dt, dispatch_dt)
+            else:
+                best_dt = min(best_dt, time.perf_counter() - t0)
         msps = steps * block_len / best_dt / 1e6
         print(f"# UNVERIFIED: D2H outage ({probe.get('error', '?')}) — this is "
               f"the host dispatch rate, not measured device compute",
