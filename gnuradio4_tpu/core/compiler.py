@@ -457,7 +457,10 @@ def compile_graph(graph: Graph, *, block_len: int = 1 << 16,
                       for skey, fk in group["fb_keys"].items()}
             return (new_fb, new_sts), vals
 
-        (fb_f, sts_f), ys = jax.lax.scan(body, carry0, xs)
+        # xs may be empty (a self-contained oscillator loop with no external
+        # stream inputs) — scan then needs an explicit length
+        (fb_f, sts_f), ys = jax.lax.scan(body, carry0, xs if xs else None,
+                                         length=S)
         new_states[group["state_key"]] = fb_f
         for b in members:
             new_states[b.unique_name] = sts_f[b.unique_name]

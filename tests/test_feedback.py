@@ -164,3 +164,51 @@ class TestFeedbackLoops:
         joined = np.concatenate([first, snk2.data()])
         assert joined.shape == ref.shape
         np.testing.assert_allclose(joined, ref, atol=1e-5)
+
+
+class TestLoopTopologies:
+    def test_sourceless_oscillator_self_loop(self):
+        """A self-contained loop with NO external stream input (feedback
+        oscillator): the scan runs with an explicit length. Each delay-chunk
+        increments by 1 (x+1 around the loop)."""
+        g = gr.Graph()
+        osc = g.emplace("ExpressionSISO", expression="x + 1.0")
+        head = g.emplace("HeadBlock", n_samples=512)
+        snk = gr.global_registry.create("VectorSink")
+        g.connect(osc["out"], osc["in"], feedback=True, delay=64, fb_init=0.0)
+        g.connect(osc, head)
+        g.connect(head, snk)
+        gr.Scheduler(g, block_len=256, pipeline_depth=1).run_and_wait()
+        y = snk.data()
+        assert y.shape == (512,)
+        expect = np.repeat(np.arange(1, 9, dtype=np.float32), 64)
+        np.testing.assert_array_equal(y, expect)
+
+    def test_two_disjoint_loops(self):
+        """Two independent feedback groups in one graph lower separately."""
+        x = np.ones(1024, np.float32)
+
+        def loop(g, src, rate):
+            mul = g.emplace("Multiply", n_inputs=2)
+            upd = g.emplace("ExpressionDISO",
+                            expression=f"clip(y + {rate}*(1.0 - abs(x)), "
+                                       f"1e-6, 1e4)")
+            g.connect(src, mul["in0"])
+            g.connect(mul, upd["x"])
+            g.connect(upd["out"], mul["in1"], feedback=True, fb_init=1.0)
+            g.connect(upd["out"], upd["y"], feedback=True, fb_init=1.0)
+            return mul
+
+        g = gr.Graph()
+        s1 = g.add(gr.global_registry.create("VectorSource", data=0.5 * x))
+        s2 = g.add(gr.global_registry.create("VectorSource", data=0.25 * x))
+        m1, m2 = loop(g, s1, 0.05), loop(g, s2, 0.1)
+        k1 = gr.global_registry.create("VectorSink")
+        k2 = gr.global_registry.create("VectorSink")
+        g.connect(m1, k1)
+        g.connect(m2, k2)
+        sched = gr.Scheduler(g, block_len=512, pipeline_depth=1)
+        sched.run_and_wait()
+        assert len(sched.compiled.loop_groups) == 2
+        assert 0.8 < abs(k1.data()[-1]) < 1.2
+        assert 0.8 < abs(k2.data()[-1]) < 1.2
