@@ -298,9 +298,11 @@ class IirFilter(Block):
     b = Setting(default=(1.0,), kind="static", description="feed-forward coeffs")
     a = Setting(default=(1.0,), kind="static", description="feedback coeffs, a[0]=1")
     engine = Setting(default="auto", kind="static",
-                     choices=("auto", "scan", "parallel"),
+                     choices=("auto", "scan", "parallel", "pallas"),
                      description="'parallel': O(log T) associative-scan partial "
-                                 "fractions (needs complex-conjugate poles)")
+                                 "fractions (needs complex-conjugate poles); "
+                                 "'pallas': VMEM-resident biquad cascade kernel "
+                                 "(one fused time loop, no per-sample HLO)")
 
     def __init__(self, name=None, b: Any = None, a: Any = None, **settings):
         if b is not None:
@@ -319,19 +321,26 @@ class IirFilter(Block):
         if jax.default_backend() != "tpu":
             return "scan"  # scan is fine on CPU; parallel pays rewrite overhead
         try:
+            # On TPU: O(log T) rewrite when the poles allow it; otherwise the
+            # Pallas cascade (one fused VMEM time loop beats per-sample scan HLO)
             return "parallel" if iir_ops.sos_supports_parallel(
                 ba_to_sos(self.settings.get("b"), self.settings.get("a"))) \
-                else "scan"
+                else "pallas"
         except Exception:
             return "scan"
 
     def init_state(self, ctx):
-        from ..ops.iir import iir_init_state, sos_parallel_init_state
+        from ..ops.iir import (iir_init_state, sos_init_state,
+                               sos_parallel_init_state)
         from ..ops.filter_design import ba_to_sos
         ch = ctx.channels.get("in", 0)
-        if self._engine() == "parallel":
+        eng = self._engine()
+        if eng == "parallel":
             sos = ba_to_sos(self.settings.get("b"), self.settings.get("a"))
             return sos_parallel_init_state(ch, sos.shape[0])
+        if eng == "pallas":
+            sos = ba_to_sos(self.settings.get("b"), self.settings.get("a"))
+            return sos_init_state(ch, sos.shape[0])
         nb = len(self.settings.get("b"))
         na = len(self.settings.get("a"))
         return iir_init_state(ch, nb, na)
@@ -341,8 +350,15 @@ class IirFilter(Block):
         from ..ops.filter_design import ba_to_sos
         b = np.asarray(self.settings.get("b"), dtype=np.float64)
         a = np.asarray(self.settings.get("a"), dtype=np.float64)
-        if self._engine() == "parallel":
+        eng = self._engine()
+        if eng == "parallel":
             y, new_state = sos_parallel_apply(ins["in"], ba_to_sos(b, a), state)
+        elif eng == "pallas":
+            import jax
+            from ..ops.pallas_kernels import iir_sos_pallas
+            y, new_state = iir_sos_pallas(
+                ins["in"], ba_to_sos(b, a), state,
+                interpret=jax.default_backend() == "cpu")
         else:
             y, new_state = iir_apply(ins["in"], b, a, state)
         return new_state, {"out": y}
