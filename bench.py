@@ -78,7 +78,13 @@ def _force_complete(sink_ins, deadline_s: float) -> dict:
 
 
 def main() -> None:
+    import os
     import jax
+    if os.environ.get("GR4_BENCH_FORCE_CPU") == "1":
+        # last-resort mode: the TPU transport failed every attempt — measure on
+        # CPU instead and SAY SO in the metric (platform tag) rather than
+        # returning nothing for the round
+        jax.config.update("jax_platforms", "cpu")
     # TIMING HONESTY (round-2 finding, NOTES.md): the axon relay DEFERS
     # execution — jax.block_until_ready returns without waiting for device
     # completion, so plain wall-clock over dispatched steps measures the HOST
@@ -270,7 +276,17 @@ def _main_with_retry() -> None:
         print(f"# bench attempt {attempt + 1} failed (rc={r.returncode}); "
               f"fresh-process retry in {wait} s", file=sys.stderr)
         time.sleep(wait)
-    raise SystemExit("bench failed after 6 fresh-process attempts")
+    # total transport outage: every attempt failed before producing a number.
+    # Measure on CPU instead — the metric line carries a '(cpu' platform tag
+    # so the record can never be mistaken for a TPU result.
+    print("# all TPU attempts failed — last-resort CPU measurement",
+          file=sys.stderr)
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env={**os.environ, "GR4_BENCH_CHILD": "1", "GR4_BENCH_FORCE_CPU": "1"})
+    if r.returncode == 0:
+        return
+    raise SystemExit("bench failed after 6 fresh-process attempts + CPU fallback")
 
 
 if __name__ == "__main__":
