@@ -114,8 +114,14 @@ def main() -> None:
     _w.join(timeout=180.0)
     wedged = _w.is_alive()   # wedged threads → hard-exit at the end
 
+    def _good_check(r: dict) -> bool:
+        # the chain sums |FFT magnitude| + |demod audio| of a pure tone — the
+        # checksum must be finite and strictly positive or the "compute" it
+        # certifies is garbage (NaN-poisoned or never-ran)
+        return "check" in r and np.isfinite(r["check"]) and r["check"] > 0
+
     probe = _force_complete(sink_ins, deadline_s=90.0)
-    verified = "check" in probe
+    verified = _good_check(probe)
     wedged = wedged or bool(probe.get("wedged"))
 
     if verified:
@@ -128,16 +134,24 @@ def main() -> None:
                 states, sink_ins = compiled.step(states, params, {})
             r = _force_complete(sink_ins, deadline_s=300.0)
             wedged = wedged or bool(r.get("wedged"))
-            if "check" not in r:
+            if not _good_check(r):
                 verified = False
                 break
             walls[steps] = time.perf_counter() - t0
         if verified:
             dt_per_step = (walls[win_big] - walls[win_small]) \
                 / (win_big - win_small)
-            msps = block_len / dt_per_step / 1e6
-            print(f"# verified: readback-terminated differential timing, "
-                  f"walls {walls}", file=sys.stderr)
+            if dt_per_step <= 0:
+                # a transport stall inside the SMALL window made it slower
+                # than the big one — the slope is meaningless; fall back to
+                # the labeled dispatch-rate path rather than print nonsense
+                print(f"# differential slope non-positive (walls {walls}) — "
+                      f"stall during a window; falling back", file=sys.stderr)
+                verified = False
+            else:
+                msps = block_len / dt_per_step / 1e6
+                print(f"# verified: readback-terminated differential timing, "
+                      f"walls {walls}", file=sys.stderr)
 
     if not verified:
         # dispatch-rate fallback (upper bound on sustainable host-side rate;
@@ -166,7 +180,8 @@ def main() -> None:
               file=sys.stderr)
 
     _report_roofline(msps, platform)
-    _regression_gate(msps, platform)
+    # metric line goes out BEFORE the regression gate can raise — a gated
+    # regression must still record its number for the round
     print(json.dumps({
         "metric": f"complex Msamples/s/chip, FIR127+FFT4096+demod chain "
                   f"({platform}{'' if verified else ', dispatch-rate UNVERIFIED'})",
@@ -175,6 +190,7 @@ def main() -> None:
         "vs_baseline": round(msps / NORTH_STAR_PER_CHIP_MSPS, 4),
         "verified": verified,
     }), flush=True)
+    _regression_gate(msps, platform, verified)
     if wedged:
         # a readback thread is stuck inside the PJRT client; interpreter
         # teardown would abort the process (SIGABRT) while cancelling it —
@@ -226,10 +242,12 @@ def _report_roofline(msps: float, platform: str) -> None:
     print("# " + json.dumps(rep), file=sys.stderr)
 
 
-def _regression_gate(msps: float, platform: str) -> None:
+def _regression_gate(msps: float, platform: str, verified: bool) -> None:
     """Compare against the newest driver-captured BENCH_r*.json; warn (or fail
-    with GR4_BENCH_GATE=1) below 0.8x of the record. Cross-platform runs
-    (CPU smoke vs a TPU record) are skipped."""
+    with GR4_BENCH_GATE=1, exit code 3 = no-retry) below 0.8x of the record.
+    Cross-platform runs and verified-vs-dispatch-rate comparisons are skipped
+    (a dispatch-rate record is an upper bound, not a measurement — gating an
+    honest readback-verified run against it would fail spuriously)."""
     import glob
     import os
     recs = sorted(glob.glob(os.path.join(os.path.dirname(
@@ -243,6 +261,11 @@ def _regression_gate(msps: float, platform: str) -> None:
             print(f"# regression-gate skipped: record is not a {platform} run",
                   file=sys.stderr)
             return
+        if bool(parsed.get("verified", True)) != verified:
+            print("# regression-gate skipped: record and this run differ in "
+                  "'verified' (dispatch rate vs measured compute are not "
+                  "comparable)", file=sys.stderr)
+            return
     except Exception:
         return
     ratio = msps / last if last else float("inf")
@@ -253,7 +276,9 @@ def _regression_gate(msps: float, platform: str) -> None:
         msg = f"PERF REGRESSION: {ratio:.2f}x of last recorded rate"
         print("# " + msg, file=sys.stderr)
         if os.environ.get("GR4_BENCH_GATE") == "1":
-            raise SystemExit(msg)
+            # rc 3: the metric line already printed; the parent must NOT
+            # burn retries or fall back to CPU for a genuine regression
+            raise SystemExit(3)
 
 
 def _main_with_retry() -> None:
@@ -272,6 +297,8 @@ def _main_with_retry() -> None:
             env={**os.environ, "GR4_BENCH_CHILD": "1"})
         if r.returncode == 0:
             return
+        if r.returncode == 3:   # regression gate: number already printed —
+            raise SystemExit(3)  # propagate without retries / CPU fallback
         wait = 30 * (attempt + 1)
         print(f"# bench attempt {attempt + 1} failed (rc={r.returncode}); "
               f"fresh-process retry in {wait} s", file=sys.stderr)

@@ -83,17 +83,14 @@ class SignalGenerator(SourceBlock):
         a position-offset start phase — no halo, no gather island (exact:
         uint32 phase arithmetic wraps identically). Per-sample param ramps
         (arrays) fall back to the generic replicated island."""
-        import jax
         if any(jnp.ndim(ctx.params.get(k, 0.0))
                for k in ("_dphi", "amplitude", "offset")):
             return super().apply_sp(state, ins, ctx, local_ctx, axis_name)
+        from ..parallel.halo import nco_shard_apply
         dphi = jnp.asarray(ctx.params.get("_dphi", np.uint32(0)), jnp.uint32)
-        idx = jax.lax.axis_index(axis_name)
-        size = jax.lax.axis_size(axis_name)
         n_local = next(iter(local_ctx.out_len.values()))
-        shard_state = state + dphi * (idx * n_local).astype(jnp.uint32)
-        _, outs = self.apply(shard_state, ins, local_ctx)
-        return state + dphi * jnp.uint32(size * n_local), outs
+        return nco_shard_apply(self, state, ins, local_ctx, axis_name,
+                               dphi, n_local)
 
 
 @register_block("ComplexToneSource")

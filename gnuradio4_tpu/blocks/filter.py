@@ -122,7 +122,7 @@ class FreqXlatingFir(FirFilter):
         import jax
         from ..ops.signal import (complex_exp, nco_phases, phase_increment,
                                   phase_to_frac)
-        from ..parallel.halo import halo_left
+        from ..parallel.halo import halo_left, last_shard_tail
         x = ins["in"].astype(jnp.complex64)
         h = len(self._taps_array()) - 1
         fs = self._fs(ctx.sample_rate)
@@ -138,12 +138,7 @@ class FreqXlatingFir(FirFilter):
         phase0 = state["phase"] + dphi * (idx * n_out).astype(jnp.uint32)
         ph = nco_phases(phase0, dphi, n_out)
         y = (y * complex_exp(phase_to_frac(ph))).astype(jnp.complex64)
-        if h > 0:
-            tail = jnp.where(idx == size - 1, x[..., -h:],
-                             jnp.zeros((), x.dtype))
-            tail = jax.lax.psum(tail, axis_name)
-        else:
-            tail = x[..., :0]
+        tail = last_shard_tail(x, h, axis_name)
         new_phase = state["phase"] + dphi * jnp.uint32(size * n_out)
         return ({"hist": tail.astype(state["hist"].dtype),
                  "phase": new_phase}, {"out": y})

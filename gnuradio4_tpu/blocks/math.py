@@ -168,17 +168,13 @@ class Rotator(Block):
     def apply_sp(self, state, ins, ctx, local_ctx, axis_name):
         """Time-sharded lowering: per-shard integer phase offset (exact, no
         collective); per-sample dphi ramps use the generic island."""
-        import jax
         dphi = ctx.params.get("_dphi", np.uint32(0))
         if jnp.ndim(dphi):
             return super().apply_sp(state, ins, ctx, local_ctx, axis_name)
-        dphi = jnp.asarray(dphi, jnp.uint32)
-        idx = jax.lax.axis_index(axis_name)
-        size = jax.lax.axis_size(axis_name)
-        n_local = ins["in"].shape[-1]
-        shard_state = state + dphi * (idx * n_local).astype(jnp.uint32)
-        _, outs = self.apply(shard_state, ins, local_ctx)
-        return state + dphi * jnp.uint32(size * n_local), outs
+        from ..parallel.halo import nco_shard_apply
+        return nco_shard_apply(self, state, ins, local_ctx, axis_name,
+                               jnp.asarray(dphi, jnp.uint32),
+                               ins["in"].shape[-1])
 
 
 @register_block("Abs")

@@ -52,8 +52,6 @@ VCO_MAX = 2 * VCO_MIN
 KNOWN_IDS = ((0x0BDA, 0x2832), (0x0BDA, 0x2838), (0x0413, 0x6680),
              (0x1D19, 0x1101), (0x1F4D, 0xB803))
 
-_BITREV = bytes(int(f"{i:08b}"[::-1], 2) for i in range(256))
-
 # R820T register-file defaults for registers 0x05..0x1F (datasheet power-on
 # recommended values — the writable shadow window)
 R820T_INIT = bytes((

@@ -47,8 +47,7 @@ class SoapyBinding:
     def __init__(self, lib_path: str | None = None):
         path = lib_path or ctypes.util.find_library("SoapySDR")
         if path is None:
-            for cand in ("libSoapySDR.so.0.8", "libSoapySDR.so.0.7",
-                         "libSoapySDR.so"):
+            for cand in ("libSoapySDR.so.0.8", "libSoapySDR.so"):
                 try:
                     self.lib = ctypes.CDLL(cand)
                     break
@@ -64,6 +63,23 @@ class SoapyBinding:
                 raise GrError(f"cannot load libSoapySDR from {path!r}: "
                               f"{e}") from e
         lib = self.lib
+        # this binding declares the 0.8-era stream ABI (setupStream RETURNS
+        # the stream pointer; pre-0.8 took a SoapySDRStream** out-param and
+        # returned int) — calling a 0.7 library through it would corrupt
+        # memory, so reject old ABIs up front
+        try:
+            lib.SoapySDR_getABIVersion.restype = ctypes.c_char_p
+            abi = lib.SoapySDR_getABIVersion().decode()
+        except AttributeError:
+            abi = "unknown"
+        if abi != "unknown":
+            try:
+                major, minor = (int(x) for x in abi.split("-")[0].split(".")[:2])
+                if (major, minor) < (0, 8):
+                    raise GrError(f"SoapySDR ABI {abi} is too old — this "
+                                  f"binding requires the 0.8+ stream API")
+            except ValueError:
+                pass   # unparseable ABI string: proceed, the fake lib does this
         lib.SoapySDRDevice_enumerate.restype = ctypes.POINTER(_Kwargs)
         lib.SoapySDRDevice_enumerate.argtypes = [ctypes.POINTER(_Kwargs),
                                                  ctypes.POINTER(ctypes.c_size_t)]

@@ -267,11 +267,8 @@ class Block:
         local_state = self.sp_tail_to_state(halo, state, ctx)
         _, outs = self.apply(local_state, ins, local_ctx)
         # new global state: the LAST shard's input tail, made replicated
-        idx = jax.lax.axis_index(axis_name)
-        size = jax.lax.axis_size(axis_name)
-        tail = jnp.where(idx == size - 1, x[..., -h:],
-                         jnp.zeros((), x.dtype))
-        tail = jax.lax.psum(tail, axis_name)
+        from ..parallel.halo import last_shard_tail
+        tail = last_shard_tail(x, h, axis_name)
         return self.sp_tail_to_state(tail, state, ctx), outs
 
     # -- host path -------------------------------------------------------------

@@ -465,15 +465,25 @@ class Scheduler:
         # 4. dispatch device step (async); tag-driven settings at index k
         # become per-sample param arrays for this step (exact application)
         with self.profiler.duration("scheduler.dispatch", step=self._step):
-            params = c.gather_params()
-            if self._tag_ramps:
+            ramp_events = self._tag_ramps
+            self._tag_ramps = {}
+
+            def _params_with_ramps(c):
+                params = c.gather_params()
+                if not ramp_events:
+                    return params
                 params = dict(params)
-                for uname, events in self._tag_ramps.items():
-                    blk = next(b for b in c.order if b.unique_name == uname)
+                for uname, events in ramp_events.items():
+                    blk = next((b for b in c.order
+                                if b.unique_name == uname), None)
+                    if blk is None:      # ramped block was zombie-pruned
+                        continue
                     over = blk.tag_param_ramps(events, c.in_len[uname])
                     if over:
                         params[uname] = {**params.get(uname, {}), **over}
-                self._tag_ramps = {}
+                return params
+
+            params = _params_with_ramps(c)
             while True:
                 try:
                     new_states, sink_ins = c.step(self._states, params, feeds)
@@ -487,7 +497,17 @@ class Scheduler:
                     self._zombify(e.block, str(e))
                     self._recompile(reset_state=False)
                     c = self.compiled
-                    params = c.gather_params()
+                    # the feeds dict was built for the pre-prune graph: drop
+                    # entries for pruned blocks and re-fit surviving arrays to
+                    # the (possibly re-solved) rate solution so the retried
+                    # dispatch sees exactly the compiled feed signature
+                    zf = c.zero_feeds()
+                    feeds = {
+                        uname: {p: _pad_to(np.asarray(a)[..., :zf[uname][p].shape[-1]],
+                                           zf[uname][p].shape, zf[uname][p].dtype)
+                                for p, a in fd.items() if p in zf.get(uname, {})}
+                        for uname, fd in feeds.items() if uname in zf}
+                    params = _params_with_ramps(c)
             self._states = new_states
 
         # 5. book-keeping + pipelined sink delivery
@@ -597,7 +617,10 @@ class Scheduler:
                                              "under sp sharding; applied at "
                                              "the next step boundary"})
                 else:
-                    self._tag_ramps[uname] = sorted(events)
+                    # sort by index only — two tags at the same index would
+                    # otherwise fall through to comparing dict payloads
+                    # (TypeError); stable sort keeps arrival order for ties
+                    self._tag_ramps[uname] = sorted(events, key=lambda e: e[0])
             # device-visible tag path: blocks that gate on tags on-device
             # (WANTS_TAG_ARRAYS) receive this step's input tags; their
             # prepare_params packs them into fixed-capacity TagArrays

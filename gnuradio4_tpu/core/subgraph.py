@@ -217,28 +217,35 @@ class ScheduledSubgraph(Block):
         # one common take (in frames) across ports keeps outputs aligned;
         # multi-channel ports carry ch items per frame (column-major, matching
         # _BridgeSink's layout)
-        nv = n
-        all_eos = bool(self._out_rings)
+        avail_f: dict[str, int] = {}
         for pub, ring in self._out_rings.items():
             k = max(1, self._out_channels.get(pub, 0))
-            avail = ring.readable(self._out_readers[pub]) // k
-            nv = min(nv, avail)
-            if not (avail == 0 and ring.eos):
-                all_eos = False
-        if all_eos:
+            avail_f[pub] = ring.readable(self._out_readers[pub]) // k
+        eos_all = bool(self._out_rings) and \
+            all(ring.eos for ring in self._out_rings.values())
+        if eos_all and max(avail_f.values(), default=0) == 0:
             return None   # inner graph finished and fully drained
+        if eos_all:
+            # wind-down: the inner graph is done but ports may hold unequal
+            # tails (rate-changing inner paths). Serve the longest tail;
+            # already-drained ports zero-pad inside the valid window rather
+            # than starving the bridge and losing the other ports' data.
+            nv = min(n, max(avail_f.values()))
+        else:
+            nv = min([n, *avail_f.values()])
         for pub, ring in self._out_rings.items():
             reader = self._out_readers[pub]
             ch = self._out_channels.get(pub, 0)
             k = max(1, ch)
             buf = np.zeros((ch, n) if ch else n, ring.dtype)
-            if nv:
-                got = np.array(ring.read(reader, nv * k), copy=True)
-                ring.release(reader, nv * k)
+            take = min(nv, avail_f[pub])
+            if take:
+                got = np.array(ring.read(reader, take * k), copy=True)
+                ring.release(reader, take * k)
                 if ch:
-                    buf[:, :nv] = got.reshape(ch, nv, order="F")
+                    buf[:, :take] = got.reshape(ch, take, order="F")
                 else:
-                    buf[:nv] = got
+                    buf[:take] = got
             out[pub] = buf
         from .lifecycle import State
         if self._inner_sched.state is State.ERROR:

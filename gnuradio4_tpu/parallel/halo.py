@@ -33,6 +33,38 @@ def halo_left(x_local: jnp.ndarray, n: int, axis_name: str,
     return jnp.where(is_first, edge_state.astype(tail.dtype), from_left)
 
 
+def last_shard_tail(x_local: jnp.ndarray, n: int, axis_name: str
+                    ) -> jnp.ndarray:
+    """The global stream's trailing ``n`` samples, replicated to every shard.
+
+    Only the LAST shard holds them; a masked psum broadcasts its contribution
+    (everyone else contributes zeros). This is the canonical way a halo block's
+    carried history leaves shard_map replicated."""
+    if n <= 0:
+        return x_local[..., :0]
+    size = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    tail = jnp.where(idx == size - 1, x_local[..., -n:],
+                     jnp.zeros((), x_local.dtype))
+    return jax.lax.psum(tail, axis_name)
+
+
+def nco_shard_apply(block, state, ins, local_ctx, axis_name,
+                    dphi: jnp.ndarray, n_local: int):
+    """apply() an integer-NCO block on its local time shard.
+
+    The NCO phase is a pure function of global sample position, so each shard
+    offsets its start phase by ``idx·n_local·dphi`` (uint32 wrap-around is
+    exact — bit-identical to the unsharded stream). Returns the advanced
+    *global* phase and the local outputs. Shared by SignalGenerator/Rotator
+    and friends; call inside shard_map."""
+    idx = jax.lax.axis_index(axis_name)
+    size = jax.lax.axis_size(axis_name)
+    shard_state = state + dphi * (idx * n_local).astype(jnp.uint32)
+    _, outs = block.apply(shard_state, ins, local_ctx)
+    return state + dphi * jnp.uint32(size * n_local), outs
+
+
 def fir_timeshard(x_local: jnp.ndarray, taps: jnp.ndarray, axis_name: str,
                   edge_state: jnp.ndarray | None = None, *, decim: int = 1
                   ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -47,13 +79,7 @@ def fir_timeshard(x_local: jnp.ndarray, taps: jnp.ndarray, axis_name: str,
     hist = halo_left(x_local, k - 1, axis_name, edge_state) if k > 1 \
         else x_local[..., :0]
     y, _ = fir_apply(x_local, taps, hist, decim=decim)
-    # global tail: last shard's trailing samples, broadcast via ppermute ring sum
-    size = jax.lax.axis_size(axis_name)
-    idx = jax.lax.axis_index(axis_name)
-    tail = jnp.where(idx == size - 1, x_local[..., -(k - 1):] if k > 1
-                     else x_local[..., :0], 0)
-    tail = jax.lax.psum(tail, axis_name)  # only last shard contributes
-    return y, tail
+    return y, last_shard_tail(x_local, k - 1, axis_name)
 
 
 def quadrature_demod_timeshard(x_local: jnp.ndarray, axis_name: str,
@@ -63,7 +89,4 @@ def quadrature_demod_timeshard(x_local: jnp.ndarray, axis_name: str,
     from ..ops.demod import quadrature_demod
     prev = halo_left(x_local, 1, axis_name, edge_last[..., None])[..., 0]
     y, _ = quadrature_demod(x_local, prev, gain=gain)
-    size = jax.lax.axis_size(axis_name)
-    idx = jax.lax.axis_index(axis_name)
-    last = jnp.where(idx == size - 1, x_local[..., -1], 0)
-    return y, jax.lax.psum(last, axis_name)
+    return y, last_shard_tail(x_local, 1, axis_name)[..., 0]

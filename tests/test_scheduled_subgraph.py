@@ -45,3 +45,30 @@ def test_scheduled_subgraph_processes_stream():
 def test_subgraph_requires_exports():
     with pytest.raises(gr.GrError):
         ScheduledSubgraph(gr.Graph())
+
+
+def test_bridge_drains_unequal_tails_at_eos():
+    """EOS wind-down with UNEQUAL leftovers across output rings (one port
+    holds trailing frames, the other is already drained): the bridge must
+    serve the longest tail (shorter ports zero-pad inside the valid window)
+    and then report EOS — not starve until timeout and lose the data."""
+    import types
+    from gnuradio4_tpu.native.ring import HostRing
+    from gnuradio4_tpu.core.lifecycle import State
+
+    sub = ScheduledSubgraph(_inner_chain(), name="sub")
+    ra, rb = HostRing(64, np.float32), HostRing(64, np.float32)
+    sub._out_rings = {"a": ra, "b": rb}
+    sub._out_readers = {"a": ra.add_reader(), "b": rb.add_reader()}
+    sub._inner_sched = types.SimpleNamespace(state=State.RUNNING, error=None)
+    ra.write(np.arange(4, dtype=np.float32))
+    ra.set_eos()
+    rb.set_eos()            # drained + EOS while `a` still holds 4 samples
+
+    got = sub.host_feed(8, 0)
+    assert got is not None, "bridge starved instead of serving the tail"
+    out, nv = got
+    assert nv == 4
+    np.testing.assert_array_equal(out["a"][:4], np.arange(4, dtype=np.float32))
+    np.testing.assert_array_equal(out["b"], np.zeros(8, np.float32))
+    assert sub.host_feed(8, 4) is None   # fully drained → clean EOS

@@ -39,6 +39,22 @@ class TestTagAccurateSettings:
         expect[200:] = 7.0
         np.testing.assert_array_equal(y, expect)
 
+    def test_two_tags_same_index_no_crash(self):
+        """Two tags at the SAME sample index: the event sort must key on the
+        index only (dict payloads are unorderable); the later tag wins."""
+        g = gr.Graph()
+        src = g.emplace("TagSource", value=1.0, n_samples=1024,
+                        tags=[Tag(300, {"value": 5.0}),
+                              Tag(300, {"value": 9.0})])
+        mul = g.emplace("MultiplyConst", value=2.0)
+        snk = gr.global_registry.create("VectorSink")
+        g.connect_chain(src, mul, snk)
+        gr.Scheduler(g, block_len=1024, pipeline_depth=1).run_and_wait()
+        y = snk.data()
+        expect = np.full(1024, 2.0, np.float32)
+        expect[300:] = 9.0
+        np.testing.assert_array_equal(y, expect)
+
     def test_rotator_frequency_switch_exact_and_phase_continuous(self):
         """frequency_shift tag at index 1000: instantaneous frequency is old
         for increments up to sample 1000 and new from 1000→1001 on; the
