@@ -6,4 +6,5 @@ from . import (acquisition, alsa, audio, basic, channelizer,  # noqa: F401
                filter, fourier, http, math,
                misc, monitor, network, python_block, rtl2832, sdr, soapy,
                testing, timing, usb, util_blocks)
+from . import ref_aliases  # noqa: F401  (after all targets are registered)
 from ..core import datasink as _datasink  # noqa: F401  (registers DataSink)

@@ -237,6 +237,19 @@ class ComplexToImag(Block):
         return state, {"out": jnp.imag(ins["in"]).astype(jnp.float32)}
 
 
+@register_block("ToRealImag")
+class ToRealImag(Block):
+    """Complex → (real, imag) component streams (≈ ConverterBlocks ToRealImag)."""
+
+    IN = (Port("in", dtype="complex64"),)
+    OUT = (Port("real", dtype="float32"), Port("imag", dtype="float32"))
+
+    def apply(self, state, ins, ctx):
+        x = ins["in"]
+        return state, {"real": jnp.real(x).astype(jnp.float32),
+                       "imag": jnp.imag(x).astype(jnp.float32)}
+
+
 @register_block("ComplexToMagPhase")
 class ComplexToMagPhase(Block):
     IN = (Port("in", dtype="complex64"),)

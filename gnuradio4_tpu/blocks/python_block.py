@@ -87,6 +87,66 @@ class HostBlock(Block):
         return state, {"out": y}
 
 
+@register_block("PythonBlock")
+class PythonBlock(Block):
+    """Reference-parity user-source-code block (≈ blocks/basic PythonBlock.hpp:22,
+    which embeds CPython+NumPy to run a user script per work() call).
+
+    The ``code`` setting is Python source that must define
+    ``process(x)`` (single in/out) or ``process(ins, ctx)`` (dict of arrays →
+    dict of arrays). It executes with ``np``/``jnp``/``jax`` in scope. Like the
+    reference, this runs *arbitrary user code* — it is a programming surface,
+    not a sandbox.
+
+    ``mode='jax'`` (default): ``process`` is traced into the fused device
+    program (arrays are jnp tracers — the fast path). ``mode='host'``: runs as
+    host NumPy via ``pure_callback``, shape/dtype-preserving (the slow path,
+    same caveat as the reference's embedded interpreter; unsupported on TPU
+    transports without host callbacks).
+    """
+
+    IN = (Port("in"),)
+    OUT = (Port("out"),)
+    code = Setting(default="def process(x):\n    return x", kind="static")
+    mode = Setting(default="jax", kind="static", choices=("jax", "host"))
+
+    def __init__(self, name=None, **settings):
+        super().__init__(name=name, **settings)
+        ns: dict[str, Any] = {"np": np, "jnp": jnp, "jax": jax}
+        exec(str(self.settings.get("code")), ns)          # noqa: S102 — the point
+        fn = ns.get("process")
+        if not callable(fn):
+            from ..core.errors import GrError
+            raise GrError(f"{self.name}: code must define a callable "
+                          f"'process(x)' or 'process(ins, ctx)'")
+        import inspect
+        self._fn = fn
+        self._two_arg = len(inspect.signature(fn).parameters) >= 2
+
+    def _call(self, ins, ctx):
+        if self._two_arg:
+            out = self._fn(dict(ins), ctx)
+            return out if isinstance(out, dict) else {"out": out}
+        return {"out": self._fn(ins["in"])}
+
+    def apply(self, state, ins, ctx):
+        if str(self.settings.get("mode")) == "jax":
+            return state, self._call(ins, ctx)
+        from ..core.errors import GrError
+        if jax.default_backend() == "tpu":
+            raise GrError(f"{self.name}: mode='host' (pure_callback) is not "
+                          f"supported on this TPU transport; use mode='jax'")
+        if self._two_arg:
+            raise GrError(f"{self.name}: mode='host' supports the single-arg "
+                          f"'process(x)' form only")
+        x = ins["in"]
+        y = jax.pure_callback(
+            lambda a: np.asarray(self._fn(a)).astype(x.dtype),
+            jax.ShapeDtypeStruct(x.shape, x.dtype), x,
+            vmap_method="sequential")
+        return state, {"out": y}
+
+
 @register_block("StreamSource")
 class StreamSource(Block):
     """Generic host-push streaming source: any thread calls :meth:`push` with
