@@ -94,6 +94,54 @@ def bench_queue(chunk: int, total_items: int) -> float:
     return total_items * 4 / dt / 1e9
 
 
+def bench_wakeup(strategy: str, iters: int = 2000) -> dict:
+    """One-way producer→consumer wakeup latency per wait strategy.
+
+    'block' parks in the kernel on the ring's futex epoch
+    (gr4_ring_wait_readable, ≈ reference BlockingWaitStrategy
+    WaitStrategy.hpp:54); 'sleep' is the 50 µs sleep-poll loop the feeder
+    used before the futex path existed; 'spin' busy-polls readable().
+
+    Each iteration: the consumer arms, waits for 1 item; the producer stamps
+    t0 and publishes; the consumer stamps on wake. Reports p50/p90/max µs.
+    """
+    ring = HostRing(1024, np.float32)
+    rid = ring.add_reader()
+    armed = threading.Event()
+    done = threading.Event()
+    deltas = np.zeros(iters, np.int64)
+    t0_ns = np.zeros(1, np.int64)
+
+    def consumer():
+        for i in range(iters):
+            armed.set()
+            if strategy == "block":
+                ring.wait_readable(rid, 1, timeout=10.0)
+            else:
+                while ring.readable(rid) < 1:
+                    if strategy == "sleep":
+                        time.sleep(50e-6)
+            deltas[i] = time.perf_counter_ns() - t0_ns[0]
+            ring.release(rid, len(ring.read(rid, 1)))
+            done.set()
+
+    th = threading.Thread(target=consumer, daemon=True)
+    th.start()
+    one = np.ones(1, np.float32)
+    for _ in range(iters):
+        armed.wait(); armed.clear()
+        time.sleep(200e-6)       # let the consumer actually park
+        t0_ns[0] = time.perf_counter_ns()
+        ring.write(one)
+        done.wait(); done.clear()
+    th.join(timeout=10)
+    us = deltas / 1e3
+    return {"strategy": strategy,
+            "p50_us": round(float(np.percentile(us, 50)), 1),
+            "p90_us": round(float(np.percentile(us, 90)), 1),
+            "max_us": round(float(us.max()), 1)}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--chunk", type=int, default=65536)
@@ -116,6 +164,12 @@ def main() -> None:
                  bench_queue(args.chunk, total_items)))
     for name, gbps in rows:
         print(f"{name:34s} {gbps:8.2f} GB/s")
+
+    print("\nwakeup latency (producer publish → parked consumer wake):")
+    for strat in ("block", "sleep", "spin"):
+        r = bench_wakeup(strat)
+        print(f"  {r['strategy']:6s} p50={r['p50_us']:7.1f} µs  "
+              f"p90={r['p90_us']:7.1f} µs  max={r['max_us']:9.1f} µs")
 
 
 if __name__ == "__main__":
