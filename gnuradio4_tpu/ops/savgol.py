@@ -40,3 +40,26 @@ def savgol_smooth(x: np.ndarray, window: int, poly_order: int) -> np.ndarray:
     h = design_savgol(window, poly_order)
     y = np.convolve(x, h[::-1], mode="same")
     return y
+
+
+def savgol_dataset(ds, window: int, poly_order: int, *, deriv: int = 0,
+                   delta: float = 1.0):
+    """DataSet-domain Savitzky-Golay (≈ reference SavitzkyGolayDataSetFilter,
+    blocks/filter/SavitzkyGolay registered GR_REGISTER_BLOCK site): smooth (or
+    differentiate) EVERY signal of a captured DataSet, preserving axes, signal
+    metadata, and timing events.
+
+    DataSets live on the host here (captured trigger/poller windows — see
+    StreamToDataSet / DataSink), so this is a host transform over the window,
+    applied same-length (edge-truncated convolution like the reference's
+    in-place DataSet processing)."""
+    import dataclasses as _dc
+    h = design_savgol(window, poly_order, deriv=deriv, delta=delta)
+    vals = np.stack([np.convolve(sig, h[::-1], mode="same")
+                     for sig in np.atleast_2d(ds.values)])
+    out = _dc.replace(ds, values=vals.astype(ds.values.dtype)
+                      if deriv == 0 else vals,
+                      signals=[_dc.replace(s) for s in ds.signals])
+    for i in range(out.n_signals):
+        out.updated_range(i)
+    return out

@@ -158,6 +158,32 @@ class TestSavgolAndSvd:
         err_in = np.std(noisy[100:1900] - clean[100:1900])
         assert err_out < 0.4 * err_in
 
+    def test_savgol_dataset_smooths_all_signals(self, rng):
+        """DataSet-domain S-G (≈ SavitzkyGolayDataSetFilter): every signal of
+        a captured DataSet smooths; metadata/axes survive; the input DataSet
+        (incl. its SignalMeta) is left untouched."""
+        from gnuradio4_tpu.core.dataset import DataSet
+        from gnuradio4_tpu.ops.savgol import savgol_dataset
+        t = np.arange(1024)
+        clean = np.stack([np.sin(2 * np.pi * t / 256.0),
+                          np.cos(2 * np.pi * t / 128.0)])
+        noisy = (clean + 0.3 * rng.standard_normal(clean.shape)
+                 ).astype(np.float32)
+        ds = DataSet(values=noisy)
+        ds.signals[0].name = "sine"
+        ds.updated_range(0)
+        before_min = ds.signals[0].range_min
+        out = savgol_dataset(ds, window=31, poly_order=3)
+        assert out.n_signals == 2
+        assert out.signals[0].name == "sine"
+        assert out.values.shape == noisy.shape
+        for i in range(2):
+            err_out = np.std(out.values[i][100:900] - clean[i][100:900])
+            err_in = np.std(noisy[i][100:900] - clean[i][100:900])
+            assert err_out < 0.4 * err_in
+        np.testing.assert_array_equal(ds.values, noisy)   # input untouched
+        assert ds.signals[0].range_min == before_min
+
     def test_svd_denoiser_reduces_noise(self, rng):
         clean = np.sin(2 * np.pi * 4 * np.arange(1024) / 256.0)
         noisy = (clean + 0.2 * rng.standard_normal(1024)).astype(np.float32)
