@@ -256,6 +256,10 @@ class SvdDenoiser(Block):
     chunk = Setting(default=256, kind="static", limits=(16, 1 << 16))
     window = Setting(default=16, kind="static", limits=(2, 4096))
     rank = Setting(default=2, kind="static", limits=(1, 4096))
+    engine = Setting(default="xla", kind="static", choices=("xla", "jacobi"),
+                     description="SVD kernel: XLA QR-iteration or the "
+                                 "one-sided Jacobi sweep (static control "
+                                 "flow, ≈ reference SVD.hpp)")
 
     @property
     def alignment(self):
@@ -268,7 +272,8 @@ class SvdDenoiser(Block):
         xw = x.reshape(-1, n)
         den = jax.vmap(lambda c: svd_denoise(
             c, window=int(self.settings.get("window")),
-            rank=int(self.settings.get("rank"))))(xw)
+            rank=int(self.settings.get("rank")),
+            method=str(self.settings.get("engine"))))(xw)
         return state, {"out": den.reshape(x.shape)}
 
 

@@ -22,16 +22,18 @@ def hankel(x: jnp.ndarray, window: int) -> jnp.ndarray:
     return x[idx]
 
 
-def svd_denoise(x: jnp.ndarray, *, window: int = 32, rank: int = 4
-                ) -> jnp.ndarray:
+def svd_denoise(x: jnp.ndarray, *, window: int = 32, rank: int = 4,
+                method: str = "xla") -> jnp.ndarray:
     """Truncated-SVD denoise of a 1-D signal via Hankel embedding.
 
     Keeps the ``rank`` largest singular components and reconstructs by averaging
-    anti-diagonals (the unbiased Hankel inverse).
+    anti-diagonals (the unbiased Hankel inverse). ``method='jacobi'`` uses the
+    one-sided Jacobi kernel (:func:`jacobi_svd`) instead of XLA's QR-iteration
+    SVD — static control flow end to end.
     """
     t = x.shape[-1]
     h = hankel(x, window)                                   # [N, W]
-    u, s, vt = jnp.linalg.svd(h, full_matrices=False)
+    u, s, vt = svd(h, method=method)
     s_trunc = s.at[rank:].set(0.0) if rank < s.shape[0] else s
     h_hat = (u * s_trunc[None, :]) @ vt
     # anti-diagonal averaging: y[k] = mean over {(i,j): i+j=k} of h_hat[i, j]
@@ -43,9 +45,104 @@ def svd_denoise(x: jnp.ndarray, *, window: int = 32, rank: int = 4
     return (sums / counts).astype(x.dtype)
 
 
-def svd(a: jnp.ndarray, *, full_matrices: bool = False):
-    """Thin wrapper (parity point for reference core SVD.hpp)."""
+def svd(a: jnp.ndarray, *, full_matrices: bool = False, method: str = "xla"):
+    """SVD with selectable engine.
+
+    ``method='xla'`` → ``jnp.linalg.svd`` (LAPACK-style QR iteration lowered by
+    XLA — heavy data-dependent control flow on TPU). ``method='jacobi'`` →
+    :func:`jacobi_svd`, the same algorithm family as the reference's own
+    implementation (core SVD.hpp:1-10 one-sided Jacobi) in TPU-idiomatic form.
+    """
+    if method == "jacobi":
+        return jacobi_svd(a)
     return jnp.linalg.svd(a, full_matrices=full_matrices)
+
+
+def _tournament_schedule(n: int) -> np.ndarray:
+    """Round-robin pairings: [n-1 rounds, n/2 pairs, 2] column indices.
+
+    Classic circle method: player 0 fixed, the rest rotate. Over n-1 rounds
+    every unordered column pair meets exactly once — one full Jacobi sweep.
+    Host-side numpy; the schedule is a compile-time constant in the kernel.
+    """
+    players = list(range(n))
+    rounds = []
+    for _ in range(n - 1):
+        rounds.append([[players[i], players[n - 1 - i]]
+                       for i in range(n // 2)])
+        players = [players[0]] + [players[-1]] + players[1:-1]
+    return np.asarray(rounds, np.int32)          # [n-1, n/2, 2]
+
+
+def jacobi_svd(a: jnp.ndarray, *, sweeps: int = 12, eps: float = 1e-12):
+    """One-sided Jacobi SVD (≈ reference core SVD.hpp one-sided Jacobi, built
+    TPU-first instead of ported).
+
+    The reference iterates column pairs serially with convergence checks; on
+    TPU that is all the things XLA hates (data-dependent trip counts, scalar
+    column walks). Idiomatic inversion: a FIXED number of sweeps under
+    ``lax.fori_loop``; within each round of a sweep, the round-robin
+    tournament schedule gives n/2 DISJOINT column pairs, so all rotations of
+    the round apply as one batched [m, n/2, 2] einsum (static gathers from a
+    host-precomputed schedule, no control flow). Converged pairs rotate by
+    identity via ``jnp.where`` instead of branching.
+
+    Returns ``(u [m,n], s [n], vt [n,n])`` with s descending, for m ≥ n
+    (leading batch dims allowed; 12 sweeps ≈ float32 machine precision for
+    n ≤ 256 — Jacobi converges quadratically).
+    """
+    orig_n = a.shape[-1]
+    if a.shape[-2] < orig_n:
+        raise ValueError("jacobi_svd needs m >= n; transpose the input")
+    if jnp.issubdtype(a.dtype, jnp.complexfloating):
+        raise ValueError("jacobi_svd is real-valued; use method='xla' "
+                         "for complex matrices")
+    if orig_n % 2:                       # schedule needs an even player count
+        pad = jnp.zeros((*a.shape[:-1], 1), a.dtype)
+        a = jnp.concatenate([a, pad], axis=-1)
+    n = a.shape[-1]
+    sched = jnp.asarray(_tournament_schedule(n))        # [R, n/2, 2]
+    v0 = jnp.broadcast_to(jnp.eye(n, dtype=a.dtype),
+                          (*a.shape[:-2], n, n))
+
+    def round_step(r, carry):
+        aa, vv = carry
+        pq = sched[r]                                   # [n/2, 2] static round
+        p, q = pq[:, 0], pq[:, 1]
+        ap, aq = aa[..., :, p], aa[..., :, q]           # [..., m, n/2]
+        alpha = jnp.sum(ap * ap, axis=-2)
+        beta = jnp.sum(aq * aq, axis=-2)
+        gamma = jnp.sum(ap * aq, axis=-2)               # [..., n/2]
+        # Rutishauser rotation solving  [[alpha,gamma],[gamma,beta]]
+        zeta = (beta - alpha) / (2.0 * jnp.where(gamma == 0.0, 1.0, gamma))
+        t = jnp.sign(zeta) / (jnp.abs(zeta) + jnp.sqrt(1.0 + zeta * zeta))
+        live = jnp.abs(gamma) > eps * jnp.sqrt(alpha * beta)
+        t = jnp.where(live, t, 0.0)                     # identity when converged
+        c = 1.0 / jnp.sqrt(1.0 + t * t)
+        s = c * t
+        c_ = c[..., None, :]
+        s_ = s[..., None, :]
+        new_p, new_q = c_ * ap - s_ * aq, s_ * ap + c_ * aq
+        aa = aa.at[..., :, p].set(new_p).at[..., :, q].set(new_q)
+        vp, vq = vv[..., :, p], vv[..., :, q]
+        vv = vv.at[..., :, p].set(c_ * vp - s_ * vq) \
+               .at[..., :, q].set(s_ * vp + c_ * vq)
+        return aa, vv
+
+    def sweep(_, carry):
+        return jax.lax.fori_loop(0, n - 1, round_step, carry)
+
+    aa, vv = jax.lax.fori_loop(0, sweeps, sweep, (a, v0))
+    s = jnp.sqrt(jnp.sum(aa * aa, axis=-2))             # column norms
+    order = jnp.argsort(-s, axis=-1)
+    s = jnp.take_along_axis(s, order, axis=-1)
+    aa = jnp.take_along_axis(aa, order[..., None, :], axis=-1)
+    vv = jnp.take_along_axis(vv, order[..., None, :], axis=-1)
+    u = aa / jnp.where(s[..., None, :] == 0.0, 1.0, s[..., None, :])
+    if orig_n != n:                                     # drop the pad column
+        u, s = u[..., :, :orig_n], s[..., :orig_n]
+        vv = vv[..., :orig_n, :orig_n]
+    return u, s, jnp.swapaxes(vv, -1, -2)
 
 
 def low_rank_approx(a: jnp.ndarray, rank: int) -> jnp.ndarray:
