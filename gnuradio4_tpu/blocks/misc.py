@@ -251,8 +251,8 @@ class SavitzkyGolayFilter(Block):
 class SvdDenoiser(Block):
     """Truncated-SVD (Hankel) denoiser per chunk (≈ SvdDenoiser)."""
 
-    IN = (Port("in", dtype="float32"),)
-    OUT = (Port("out", dtype="float32"),)
+    IN = (Port("in"),)                    # polymorphic: real or complex IQ
+    OUT = (Port("out"),)
     chunk = Setting(default=256, kind="static", limits=(16, 1 << 16))
     window = Setting(default=16, kind="static", limits=(2, 4096))
     rank = Setting(default=2, kind="static", limits=(1, 4096))

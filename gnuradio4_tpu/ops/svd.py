@@ -89,14 +89,15 @@ def jacobi_svd(a: jnp.ndarray, *, sweeps: int = 12, eps: float = 1e-12):
 
     Returns ``(u [m,n], s [n], vt [n,n])`` with s descending, for m ≥ n
     (leading batch dims allowed; 12 sweeps ≈ float32 machine precision for
-    n ≤ 256 — Jacobi converges quadratically).
+    n ≤ 256 — Jacobi converges quadratically). Complex input is supported:
+    the column pair rotation becomes the unitary Givens
+    ``[[c, s·φ], [-s·conj(φ), c]]`` with ``φ = γ/|γ|`` the phase of the
+    complex column inner product, and ``vt`` is the conjugate transpose.
     """
     orig_n = a.shape[-1]
     if a.shape[-2] < orig_n:
         raise ValueError("jacobi_svd needs m >= n; transpose the input")
-    if jnp.issubdtype(a.dtype, jnp.complexfloating):
-        raise ValueError("jacobi_svd is real-valued; use method='xla' "
-                         "for complex matrices")
+    cplx = jnp.issubdtype(a.dtype, jnp.complexfloating)
     if orig_n % 2:                       # schedule needs an even player count
         pad = jnp.zeros((*a.shape[:-1], 1), a.dtype)
         a = jnp.concatenate([a, pad], axis=-1)
@@ -110,39 +111,58 @@ def jacobi_svd(a: jnp.ndarray, *, sweeps: int = 12, eps: float = 1e-12):
         pq = sched[r]                                   # [n/2, 2] static round
         p, q = pq[:, 0], pq[:, 1]
         ap, aq = aa[..., :, p], aa[..., :, q]           # [..., m, n/2]
-        alpha = jnp.sum(ap * ap, axis=-2)
-        beta = jnp.sum(aq * aq, axis=-2)
-        gamma = jnp.sum(ap * aq, axis=-2)               # [..., n/2]
-        # Rutishauser rotation solving  [[alpha,gamma],[gamma,beta]]
-        zeta = (beta - alpha) / (2.0 * jnp.where(gamma == 0.0, 1.0, gamma))
-        t = jnp.sign(zeta) / (jnp.abs(zeta) + jnp.sqrt(1.0 + zeta * zeta))
-        live = jnp.abs(gamma) > eps * jnp.sqrt(alpha * beta)
+        alpha = jnp.sum(jnp.abs(ap) ** 2, axis=-2) if cplx \
+            else jnp.sum(ap * ap, axis=-2)
+        beta = jnp.sum(jnp.abs(aq) ** 2, axis=-2) if cplx \
+            else jnp.sum(aq * aq, axis=-2)
+        gamma = jnp.sum(jnp.conj(ap) * aq, axis=-2)     # [..., n/2]
+        g = jnp.abs(gamma)
+        # Rutishauser rotation solving  [[alpha,|γ|],[|γ|,beta]]; a complex
+        # γ first rotates column q by conj(φ) to make the pair product real.
+        if cplx:
+            phi = gamma / jnp.where(g == 0.0, 1.0, g)   # unit phase of γ
+            gr = g
+        else:
+            phi = None
+            gr = gamma
+        zeta = (beta - alpha) / (2.0 * jnp.where(gr == 0.0, 1.0, gr))
+        # sign(0)=0 would freeze equal-norm pairs (α=β ⇒ 45° rotation, t=1)
+        sgn = jnp.where(zeta == 0.0, 1.0, jnp.sign(zeta))
+        t = sgn / (jnp.abs(zeta) + jnp.sqrt(1.0 + zeta * zeta))
+        live = g > eps * jnp.sqrt(alpha * beta)
         t = jnp.where(live, t, 0.0)                     # identity when converged
         c = 1.0 / jnp.sqrt(1.0 + t * t)
         s = c * t
-        c_ = c[..., None, :]
-        s_ = s[..., None, :]
-        new_p, new_q = c_ * ap - s_ * aq, s_ * ap + c_ * aq
+        c_ = c[..., None, :].astype(aa.dtype)
+        if cplx:
+            s_p = (s * jnp.conj(phi))[..., None, :]     # applies to column q
+            s_q = (s * phi)[..., None, :]               # applies to column p
+        else:
+            s_p = s_q = s[..., None, :]
+        new_p, new_q = c_ * ap - s_p * aq, s_q * ap + c_ * aq
         aa = aa.at[..., :, p].set(new_p).at[..., :, q].set(new_q)
         vp, vq = vv[..., :, p], vv[..., :, q]
-        vv = vv.at[..., :, p].set(c_ * vp - s_ * vq) \
-               .at[..., :, q].set(s_ * vp + c_ * vq)
+        vv = vv.at[..., :, p].set(c_ * vp - s_p * vq) \
+               .at[..., :, q].set(s_q * vp + c_ * vq)
         return aa, vv
 
     def sweep(_, carry):
         return jax.lax.fori_loop(0, n - 1, round_step, carry)
 
     aa, vv = jax.lax.fori_loop(0, sweeps, sweep, (a, v0))
-    s = jnp.sqrt(jnp.sum(aa * aa, axis=-2))             # column norms
+    s = jnp.sqrt(jnp.sum(jnp.abs(aa) ** 2, axis=-2)) if cplx \
+        else jnp.sqrt(jnp.sum(aa * aa, axis=-2))        # column norms
     order = jnp.argsort(-s, axis=-1)
     s = jnp.take_along_axis(s, order, axis=-1)
     aa = jnp.take_along_axis(aa, order[..., None, :], axis=-1)
     vv = jnp.take_along_axis(vv, order[..., None, :], axis=-1)
-    u = aa / jnp.where(s[..., None, :] == 0.0, 1.0, s[..., None, :])
+    u = aa / jnp.where(s[..., None, :] == 0.0, 1.0,
+                       s[..., None, :]).astype(aa.dtype)
     if orig_n != n:                                     # drop the pad column
         u, s = u[..., :, :orig_n], s[..., :orig_n]
         vv = vv[..., :orig_n, :orig_n]
-    return u, s, jnp.swapaxes(vv, -1, -2)
+    vt = jnp.swapaxes(jnp.conj(vv) if cplx else vv, -1, -2)
+    return u, s, vt
 
 
 def low_rank_approx(a: jnp.ndarray, rank: int) -> jnp.ndarray:

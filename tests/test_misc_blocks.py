@@ -194,6 +194,20 @@ class TestSavgolAndSvd:
         y = snk.data()
         assert np.std(y - clean) < 0.5 * np.std(noisy - clean)
 
+    def test_svd_denoiser_complex_iq_jacobi(self, rng):
+        t = np.arange(2048)
+        clean = np.exp(2j * np.pi * 0.02 * t).astype(np.complex64)
+        noise = (rng.standard_normal(2048)
+                 + 1j * rng.standard_normal(2048)).astype(np.complex64)
+        noisy = clean + 0.25 * noise
+        src = VectorSource(noisy)
+        dn = SvdDenoiser(chunk=256, window=24, rank=2, engine="jacobi")
+        snk = VectorSink()
+        run_chain(src, dn, snk, block_len=512)
+        y = snk.data()
+        assert y.dtype == np.complex64
+        assert np.std(y - clean) < 0.5 * np.std(noisy - clean)
+
 
 class TestExpression:
     def test_siso(self):

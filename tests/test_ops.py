@@ -402,8 +402,32 @@ class TestJacobiSvd:
         np.testing.assert_allclose(np.asarray(rec), np.asarray(a), atol=1e-4)
         with pytest.raises(ValueError):
             jacobi_svd(jnp.zeros((4, 8), jnp.float32))      # m < n
-        with pytest.raises(ValueError):
-            jacobi_svd(jnp.zeros((8, 4), jnp.complex64))    # complex
+
+    def test_complex(self):
+        from gnuradio4_tpu.ops.svd import jacobi_svd
+        rng = np.random.default_rng(11)
+        for m, n in [(24, 12), (33, 15)]:
+            a = jnp.asarray(rng.standard_normal((m, n))
+                            + 1j * rng.standard_normal((m, n)), jnp.complex64)
+            u, s, vt = jacobi_svd(a)
+            rec = (u * s[None, :].astype(a.dtype)) @ vt
+            np.testing.assert_allclose(np.asarray(rec), np.asarray(a),
+                                       atol=5e-4)
+            ref = np.linalg.svd(np.asarray(a), compute_uv=False)
+            np.testing.assert_allclose(np.asarray(s), ref, atol=5e-3)
+            eye = np.asarray(vt @ jnp.conj(vt).T)
+            np.testing.assert_allclose(eye, np.eye(n), atol=1e-4)
+
+    def test_equal_norm_columns_rotate(self):
+        # α == β exactly ⇒ zeta == 0; sign(0)=0 would freeze the pair
+        from gnuradio4_tpu.ops.svd import jacobi_svd
+        a = jnp.asarray([[1.0, 1.0], [1.0, -1.0], [1.0, 1.0], [1.0, 1.0]],
+                        jnp.float32) * jnp.asarray([[2.0, 2.0]], jnp.float32)
+        u, s, vt = jacobi_svd(a)
+        rec = (u * s[None, :]) @ vt
+        np.testing.assert_allclose(np.asarray(rec), np.asarray(a), atol=1e-5)
+        ref = np.linalg.svd(np.asarray(a), compute_uv=False)
+        np.testing.assert_allclose(np.asarray(s), ref, atol=1e-5)
 
     def test_denoise_engines_agree(self):
         from gnuradio4_tpu.ops.svd import svd_denoise
