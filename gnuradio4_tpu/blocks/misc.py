@@ -256,6 +256,11 @@ class SvdDenoiser(Block):
     chunk = Setting(default=256, kind="static", limits=(16, 1 << 16))
     window = Setting(default=16, kind="static", limits=(2, 4096))
     rank = Setting(default=2, kind="static", limits=(1, 4096))
+    energy_fraction = Setting(default=1.0, kind="static", limits=(0.0, 1.0),
+                              description="keep components until this "
+                                          "fraction of total σ² energy is "
+                                          "covered (≈ SvdFilter.hpp:33 "
+                                          "energyFraction)")
     engine = Setting(default="xla", kind="static", choices=("xla", "jacobi"),
                      description="SVD kernel: XLA QR-iteration or the "
                                  "one-sided Jacobi sweep (static control "
@@ -273,6 +278,7 @@ class SvdDenoiser(Block):
         den = jax.vmap(lambda c: svd_denoise(
             c, window=int(self.settings.get("window")),
             rank=int(self.settings.get("rank")),
+            energy_fraction=float(self.settings.get("energy_fraction")),
             method=str(self.settings.get("engine"))))(xw)
         return state, {"out": den.reshape(x.shape)}
 

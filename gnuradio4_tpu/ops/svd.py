@@ -22,11 +22,42 @@ def hankel(x: jnp.ndarray, window: int) -> jnp.ndarray:
     return x[idx]
 
 
+def rank_mask(s: jnp.ndarray, *, max_rank: int | None = None,
+              energy_fraction: float = 1.0, rel_threshold: float = 0.0,
+              abs_threshold: float = 0.0) -> jnp.ndarray:
+    """Effective-rank selection mask over descending singular values.
+
+    Mirrors the reference's ``computeEffectiveRank`` rule
+    (algorithm SvdFilter.hpp:42-64): keep σ_i while i < max_rank,
+    σ_i/σ_0 ≥ rel_threshold, σ_i ≥ abs_threshold, and the cumulative energy
+    *before* σ_i is below ``energy_fraction``·total (the crossing component is
+    kept). Because σ descends, every break condition is a prefix property, so
+    the sequential loop collapses to one elementwise mask — no control flow.
+    Always keeps σ_0.
+    """
+    e = s * s
+    cum_before = jnp.cumsum(e, axis=-1) - e
+    cutoff = energy_fraction * jnp.sum(e, axis=-1, keepdims=True)
+    idx = jnp.arange(s.shape[-1])
+    keep = cum_before < cutoff
+    if max_rank is not None:
+        keep &= idx < max_rank
+    if rel_threshold > 0.0:
+        keep &= s >= rel_threshold * s[..., :1]
+    if abs_threshold > 0.0:
+        keep &= s >= abs_threshold
+    return keep.at[..., 0].set(True)
+
+
 def svd_denoise(x: jnp.ndarray, *, window: int = 32, rank: int = 4,
-                method: str = "xla") -> jnp.ndarray:
+                method: str = "xla", energy_fraction: float = 1.0,
+                rel_threshold: float = 0.0, abs_threshold: float = 0.0
+                ) -> jnp.ndarray:
     """Truncated-SVD denoise of a 1-D signal via Hankel embedding.
 
-    Keeps the ``rank`` largest singular components and reconstructs by averaging
+    Keeps the largest singular components selected by :func:`rank_mask`
+    (``rank`` cap ∧ ``energy_fraction`` ∧ σ thresholds — the reference's
+    adaptive-rank rule, SvdFilter.hpp:42-64) and reconstructs by averaging
     anti-diagonals (the unbiased Hankel inverse). ``method='jacobi'`` uses the
     one-sided Jacobi kernel (:func:`jacobi_svd`) instead of XLA's QR-iteration
     SVD — static control flow end to end.
@@ -34,8 +65,10 @@ def svd_denoise(x: jnp.ndarray, *, window: int = 32, rank: int = 4,
     t = x.shape[-1]
     h = hankel(x, window)                                   # [N, W]
     u, s, vt = svd(h, method=method)
-    s_trunc = s.at[rank:].set(0.0) if rank < s.shape[0] else s
-    h_hat = (u * s_trunc[None, :]) @ vt
+    keep = rank_mask(s, max_rank=rank, energy_fraction=energy_fraction,
+                     rel_threshold=rel_threshold, abs_threshold=abs_threshold)
+    s_trunc = jnp.where(keep, s, 0.0)
+    h_hat = (u * s_trunc[None, :].astype(u.dtype)) @ vt
     # anti-diagonal averaging: y[k] = mean over {(i,j): i+j=k} of h_hat[i, j]
     n, w = h_hat.shape
     ii = jnp.arange(n)[:, None] + jnp.arange(w)[None, :]    # output index per cell

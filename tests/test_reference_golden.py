@@ -16,6 +16,7 @@ parameters; no code is copied.
 
 import numpy as np
 import pytest
+import jax.numpy as jnp
 
 import gnuradio4_tpu as gr
 from gnuradio4_tpu.blocks.testing import VectorSink, VectorSource
@@ -177,3 +178,60 @@ class TestQaFourierGolden:
         assert ax_c[-1] == pytest.approx((n / 2 - 1) * fs / n, abs=1e-4)
         ax_r = freq_axis(n, fs, one_sided=True)
         assert ax_r[0] == pytest.approx(0.0, abs=1e-9)
+
+
+class TestQaSvdDenoiserGolden:
+    """Mirrors the reference's qa_SvdDenoiser.cpp 'denoising quality' stimulus
+    (blocks/filter/test/qa_SvdDenoiser.cpp:48-89): 512-sample 50 Hz sine at
+    fs=1000 with sigma=0.3 Gaussian noise, window 64, max_rank 3,
+    energy_fraction 0.95 — denoised RMS error must beat the noisy RMS error."""
+
+    def test_denoising_quality_stimulus(self):
+        rng = np.random.default_rng(42)
+        fs, n = 1000.0, 512
+        t = np.arange(n) / fs
+        clean = np.sin(2 * np.pi * 50.0 * t).astype(np.float32)
+        noisy = clean + 0.3 * rng.standard_normal(n).astype(np.float32)
+        for engine in ("xla", "jacobi"):
+            g = gr.Graph()
+            src = g.emplace("VectorSource", data=noisy)
+            dn = g.emplace("SvdDenoiser", chunk=256, window=64, rank=3,
+                           energy_fraction=0.95, engine=engine)
+            snk = g.emplace("VectorSink")
+            g.connect_chain(src, dn, snk)
+            gr.Scheduler(g, block_len=256, sample_rate=fs).run_and_wait()
+            den = snk.data()
+            rms_noisy = np.sqrt(np.mean((noisy - clean) ** 2))
+            rms_den = np.sqrt(np.mean((den - clean) ** 2))
+            assert rms_den < rms_noisy, (engine, rms_den, rms_noisy)
+
+    def test_energy_fraction_rank_rule(self):
+        # rank_mask == the reference's computeEffectiveRank sequential loop
+        from gnuradio4_tpu.ops.svd import rank_mask
+
+        def ref_rank(s, max_rank, frac, rel=0.0, absth=0.0):
+            total = float(np.sum(np.square(s)))
+            cutoff, cum, rank = frac * total, 0.0, 0
+            for sigma in s:
+                if rank >= max_rank or sigma / s[0] < rel or sigma < absth:
+                    break
+                cum += sigma * sigma
+                rank += 1
+                if cum >= cutoff:
+                    break
+            return max(rank, 1)
+
+        rng = np.random.default_rng(5)
+        for _ in range(50):
+            s = np.sort(rng.random(8).astype(np.float32))[::-1]
+            max_rank = int(rng.integers(1, 9))
+            frac = float(rng.random())
+            rel = float(rng.random() * 0.5)
+            absth = float(rng.random() * 0.3)
+            m = np.asarray(rank_mask(jnp.asarray(s), max_rank=max_rank,
+                                     energy_fraction=frac, rel_threshold=rel,
+                                     abs_threshold=absth))
+            got = int(np.sum(m))
+            want = ref_rank(s, max_rank, frac, rel, absth)
+            assert got == want, (s, max_rank, frac, rel, absth, got, want)
+            assert np.all(m[:got]) and not np.any(m[got:])   # prefix mask
