@@ -261,10 +261,14 @@ class SvdDenoiser(Block):
                                           "fraction of total σ² energy is "
                                           "covered (≈ SvdFilter.hpp:33 "
                                           "energyFraction)")
-    engine = Setting(default="xla", kind="static", choices=("xla", "jacobi"),
+    engine = Setting(default="auto", kind="static",
+                     choices=("auto", "xla", "jacobi"),
                      description="SVD kernel: XLA QR-iteration or the "
                                  "one-sided Jacobi sweep (static control "
-                                 "flow, ≈ reference SVD.hpp)")
+                                 "flow, ≈ reference SVD.hpp); auto = jacobi "
+                                 "on TPU (QR iteration is data-dependent "
+                                 "control flow XLA lowers poorly there), "
+                                 "xla elsewhere")
 
     @property
     def alignment(self):
@@ -275,11 +279,14 @@ class SvdDenoiser(Block):
         n = int(self.settings.get("chunk"))
         x = ins["in"]
         xw = x.reshape(-1, n)
+        eng = str(self.settings.get("engine"))
+        if eng == "auto":
+            eng = "jacobi" if jax.default_backend() == "tpu" else "xla"
         den = jax.vmap(lambda c: svd_denoise(
             c, window=int(self.settings.get("window")),
             rank=int(self.settings.get("rank")),
             energy_fraction=float(self.settings.get("energy_fraction")),
-            method=str(self.settings.get("engine"))))(xw)
+            method=eng))(xw)
         return state, {"out": den.reshape(x.shape)}
 
 
