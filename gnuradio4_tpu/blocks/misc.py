@@ -302,6 +302,15 @@ class BurstTaper(Block):
     IN = (Port("in"),)
     OUT = (Port("out"),)
     ramp_len = Setting(default=64, kind="static", limits=(1, 1 << 16))
+    shape = Setting(default="raised_cosine", kind="static",
+                    choices=("none", "linear", "raised_cosine", "tukey",
+                             "gaussian", "mushroom", "mushroom_sine"),
+                    description="edge shape family "
+                                "(≈ BurstTaper.hpp TaperType)")
+    shape_param = Setting(default=0.0, kind="static",
+                          description="shape parameter: raised_cosine power, "
+                                      "tukey alpha, gaussian sigma (0 → the "
+                                      "reference's default per shape)")
     max_bursts_per_step = Setting(default=8, kind="static", limits=(1, 64))
 
     def __init__(self, name=None, **settings):
@@ -332,7 +341,11 @@ class BurstTaper(Block):
         x = ins["in"]
         n = x.shape[-1]
         ramp_l = int(self.settings.get("ramp_len"))
-        ramp = jnp.asarray(np.hanning(2 * ramp_l)[:ramp_l], jnp.float32)
+        from ..ops.estimators import taper_edge
+        ramp = jnp.asarray(taper_edge(str(self.settings.get("shape")), ramp_l,
+                                      rising=True,
+                                      param=float(self.settings.get(
+                                          "shape_param"))), jnp.float32)
         idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
         env = jnp.ones(n, jnp.float32)
         starts = jnp.asarray(ctx.params.get("_starts",

@@ -286,6 +286,66 @@ def schmitt_device(x: jnp.ndarray, last_above: jnp.ndarray, *, low: float,
 
 # -- misc stream helpers -------------------------------------------------------
 
+TAPER_SHAPES = ("none", "linear", "raised_cosine", "tukey", "gaussian",
+                "mushroom", "mushroom_sine")
+
+
+def taper_edge(kind: str, n: int, *, rising: bool = True,
+               param: float = 0.0) -> np.ndarray:
+    """Taper edge coefficients (≈ reference BurstTaper.hpp:174-283
+    generateEdge/computeRise — same shape family and formulas).
+
+    Host-side numpy: edges are compile-time constants baked into the traced
+    step, exactly as the reference precomputes them in buildCoefficients().
+    ``rising`` edges go 0→1 over ``n`` samples; falling edges are the exact
+    reverse (fall[i] = rise[n-1-i], the reference's symmetry property).
+    Shapes: none (all-ones gate), linear, raised_cosine (optional power
+    ``param``), tukey (``param``=alpha, default 0.5), gaussian (``param``=sigma,
+    default 0.4, renormalised to hit 0 and 1 exactly), mushroom (quartic with
+    negative undershoot), mushroom_sine.
+    """
+    if kind not in TAPER_SHAPES:
+        raise ValueError(f"unknown taper shape {kind!r}; one of {TAPER_SHAPES}")
+    if n <= 0:
+        return np.zeros(0, np.float64)
+    u = np.arange(n, dtype=np.float64) / (n - 1) if n > 1 \
+        else np.zeros(1, np.float64)
+    if not rising:
+        u = 1.0 - u
+    if kind == "none":
+        e = np.ones_like(u)
+    elif kind == "linear":
+        e = u
+    elif kind == "raised_cosine":
+        e = (1.0 - np.cos(np.pi * u)) / 2.0
+        if param > 0.0 and param != 1.0:
+            e = e ** param
+    elif kind == "tukey":
+        alpha = param if param > 0.0 else 0.5
+        e = np.where(u < alpha / 2.0,
+                     (1.0 - np.cos(2.0 * np.pi * u / alpha)) / 2.0, 1.0)
+    elif kind == "gaussian":
+        sigma = param if param > 0.0 else 0.4
+        raw = np.exp(-0.5 * ((u - 1.0) / sigma) ** 2)
+        raw0 = np.exp(-0.5 / (sigma * sigma))
+        e = (raw - raw0) / (1.0 - raw0)
+    elif kind == "mushroom":
+        e = u * u * (-12.0 + u * (28.0 - 15.0 * u))
+    else:                                   # mushroom_sine
+        sin_pu = np.sin(np.pi * u)
+        e = (1.0 - np.cos(np.pi * u)) / 2.0 \
+            - (3.0 * np.pi / 8.0) * sin_pu ** 3
+    return e
+
+
+def taper(kind: str, n_rise: int, n_flat: int, n_fall: int,
+          *, param: float = 0.0) -> np.ndarray:
+    """Full rise/flat/fall burst envelope (≈ BurstTaper.hpp:194 generateTaper)."""
+    return np.concatenate([taper_edge(kind, n_rise, rising=True, param=param),
+                           np.ones(n_flat, np.float64),
+                           taper_edge(kind, n_fall, rising=False, param=param)])
+
+
 def burst_taper(x: jnp.ndarray, *, ramp: np.ndarray, up: bool) -> jnp.ndarray:
     """Apply a ramp envelope at the start (up) or end (down) of a burst
     (≈ algorithm/BurstTaper.hpp)."""

@@ -235,3 +235,73 @@ class TestQaSvdDenoiserGolden:
             want = ref_rank(s, max_rank, frac, rel, absth)
             assert got == want, (s, max_rank, frac, rel, absth, got, want)
             assert np.all(m[:got]) and not np.any(m[got:])   # prefix mask
+
+
+class TestQaBurstTaperGolden:
+    """Mirrors qa_BurstTaper.cpp coefficient-generation properties
+    (algorithm/test/qa_BurstTaper.cpp:25-65) against ops.estimators.taper_edge
+    (same formula family as BurstTaper.hpp:256-283 computeRise)."""
+
+    SHAPES = ("linear", "raised_cosine", "gaussian", "mushroom",
+              "mushroom_sine")
+
+    def test_lengths_and_empty(self):
+        from gnuradio4_tpu.ops.estimators import taper_edge, TAPER_SHAPES
+        for kind in TAPER_SHAPES:
+            assert taper_edge(kind, 64).shape == (64,)
+            assert taper_edge(kind, 0).shape == (0,)
+            assert taper_edge(kind, 1).shape == (1,)
+
+    def test_rising_edge_endpoints(self):
+        from gnuradio4_tpu.ops.estimators import taper_edge
+        for kind in self.SHAPES:
+            e = taper_edge(kind, 128, rising=True)
+            assert abs(e[0]) < 1e-6, kind
+            assert abs(e[-1] - 1.0) < 1e-6, kind
+
+    def test_falling_edge_endpoints_and_symmetry(self):
+        from gnuradio4_tpu.ops.estimators import taper_edge
+        for kind in self.SHAPES:
+            rise = taper_edge(kind, 128, rising=True)
+            fall = taper_edge(kind, 128, rising=False)
+            assert abs(fall[0] - 1.0) < 1e-6 and abs(fall[-1]) < 1e-6, kind
+            np.testing.assert_allclose(fall[::-1], rise, atol=1e-12)
+
+    def test_tukey_flat_region_and_param(self):
+        from gnuradio4_tpu.ops.estimators import taper_edge
+        e = taper_edge("tukey", 100, param=0.5)
+        u = np.arange(100) / 99.0
+        assert np.all(e[u >= 0.25] == 1.0)          # flat above alpha/2
+        assert np.all(e[u < 0.25] <= 1.0)
+
+    def test_full_taper_layout(self):
+        from gnuradio4_tpu.ops.estimators import taper
+        env = taper("raised_cosine", 16, 32, 16)
+        assert env.shape == (64,)
+        assert np.all(env[16:48] == 1.0)
+        assert abs(env[0]) < 1e-9 and abs(env[-1]) < 1e-9
+
+    def test_mushroom_bounded_below(self):
+        # the reference's block test only demands samples >= -1
+        from gnuradio4_tpu.ops.estimators import taper_edge
+        for kind in ("mushroom", "mushroom_sine"):
+            e = taper_edge(kind, 256)
+            assert np.all(e >= -1.0), kind
+
+    def test_block_uses_shape(self):
+        from gnuradio4_tpu.ops.estimators import taper_edge
+        from gnuradio4_tpu.core.tags import Tag, Keys
+        n, ramp_l = 512, 32
+        for kind in ("linear", "gaussian"):
+            g = gr.Graph()
+            src = g.emplace("TagSource", value=1.0, n_samples=n,
+                            tags=[Tag(64, {Keys.TRIGGER_NAME:
+                                           "burst_start"})])
+            bt = g.emplace("BurstTaper", ramp_len=ramp_l, shape=kind)
+            snk = g.emplace("VectorSink")
+            g.connect_chain(src, bt, snk)
+            gr.Scheduler(g, block_len=n).run_and_wait()
+            y = snk.data()
+            ramp = taper_edge(kind, ramp_l).astype(np.float32)
+            np.testing.assert_allclose(y[64:64 + ramp_l], ramp, atol=1e-6)
+            np.testing.assert_allclose(y[64 + ramp_l:], 1.0, atol=1e-6)
