@@ -305,3 +305,58 @@ class TestQaBurstTaperGolden:
             ramp = taper_edge(kind, ramp_l).astype(np.float32)
             np.testing.assert_allclose(y[64:64 + ramp_l], ramp, atol=1e-6)
             np.testing.assert_allclose(y[64 + ramp_l:], 1.0, atol=1e-6)
+
+
+class TestQaDataSetEstimatorsGolden:
+    """Mirrors qa_DataSetEstimators.cpp 'basic estimators' (algorithm/test/
+    qa_DataSetEstimators.cpp:186-260): the 11-sample triangular dataset
+    [0, 0.2, …, 1, …, 0.2, 0] and the reference's exact expectations.
+    Name map: reference getRms = deviation from mean (our ``std``);
+    computeInterpolatedFWHM = our ``fwhm``."""
+
+    TRI = np.array([0, .2, .4, .6, .8, 1., .8, .6, .4, .2, 0])
+
+    def test_triangular_table(self):
+        from gnuradio4_tpu.ops import estimators as est
+        y = self.TRI
+        assert est.peak_index(y) == 5                      # getMaximum index
+        assert est.maximum(y) == 1.0 and est.minimum(y) == 0.0
+        assert abs(est.mean(y) - 0.454545) < 1e-3          # getMean
+        assert abs(est.median(y) - 0.4) < 1e-3             # getMedian
+        assert abs(est.peak_to_peak(y) - 1.0) < 1e-9       # getRange
+        assert abs(est.std(y) - 0.320124) < 1e-3           # getRms (≡ stddev)
+        assert abs(est.integral(y) - 5.0) < 1e-3           # getIntegral
+        assert abs(est.centre_of_mass(y) - 5.0) < 1e-3     # computeCentreOfMass
+        edges = est.edge_detect(y, threshold=0.5)
+        assert edges and abs(edges[0] - 3.0) <= 0.5        # getEdgeDetect ≈ 3
+
+    def test_fwhm_table(self):
+        from gnuradio4_tpu.ops import estimators as est
+        data = np.array([1.0, 2.0, 3.0, 2.0, 1.0])
+        # computeInterpolatedFWHM(data, 2) == 3 (baseline 0, half-height 1.5)
+        assert abs(est.fwhm(data, baseline=0.0) - 3.0) < 1e-5
+
+    def test_duty_cycle_table(self):
+        from gnuradio4_tpu.ops import estimators as est
+        y = np.array([0, 0, 0, 1, 1, 1], np.float64)       # 3-high/3-low
+        assert abs(est.duty_cycle(y) - 0.5) < 1e-9
+
+    def test_frequency_estimate_table(self):
+        from gnuradio4_tpu.ops import estimators as est
+        y = np.array([0, 1, 0, 1, 0, 1], np.float64)       # period-2 square
+        assert abs(est.frequency_estimate(y, 1.0) - 0.5) < 1e-6
+
+    def test_gauss_interpolated_location(self):
+        from gnuradio4_tpu.ops import estimators as est
+        # 7-sample gaussian peaked exactly at index 3 (their ds1)
+        idx = np.arange(7, dtype=np.float64)
+        y = np.exp(-0.5 * ((idx - 3.0) / 1.2) ** 2)
+        assert abs(est.gauss_interpolated_peak(y) - 3.0) < 1e-3
+
+    def test_decibel_helpers(self):
+        # tenLog10 / decibel / inverseDecibel (qa:150-177) — jnp-side helpers
+        assert abs(float(10 * np.log10(10.0)) - 10.0) < 1e-9
+        from gnuradio4_tpu.ops.fft import magnitude_db
+        x = jnp.asarray([10.0 + 0j, 1.0 + 0j, 0.1 + 0j])
+        np.testing.assert_allclose(np.asarray(magnitude_db(x)),
+                                   [20.0, 0.0, -20.0], atol=1e-3)
