@@ -228,38 +228,90 @@ def step_start(x, *, fraction: float = 0.5) -> float:
 @dataclasses.dataclass
 class SchmittState:
     above: bool = False
+    zone: tuple = ()          # samples accumulated inside the hysteresis band
+    zone_start: int = 0       # position of zone[0] relative to chunk start
+                              # (negative ⇒ carried over from a previous chunk)
+
+
+def _regression_crossing(ys: np.ndarray, offset: float) -> float | None:
+    """Least-squares line fit over ``ys`` (x = 0..n−1); returns x where the fit
+    crosses ``offset`` (≈ SchmittTrigger.hpp:294 findCrossingIndexLinearRegression)."""
+    n = len(ys)
+    if n < 2:
+        return None
+    xs = np.arange(n, dtype=np.float64)
+    mean_x, mean_y = xs.mean(), ys.mean()
+    den = np.sum((xs - mean_x) ** 2)
+    num = np.sum((xs - mean_x) * (ys - mean_y))
+    if den == 0.0 or num == 0.0:
+        return None
+    slope = num / den
+    intercept = mean_y - slope * mean_x
+    return float((offset - intercept) / slope)
 
 
 def schmitt_edges(x: np.ndarray, *, low: float, high: float,
-                  state: SchmittState | None = None
+                  state: SchmittState | None = None,
+                  method: str = "basic_linear"
                   ) -> tuple[list[tuple[float, int]], SchmittState]:
-    """Hysteresis edge detector with sub-sample interpolation.
+    """Hysteresis edge detector with sub-sample interpolation
+    (≈ algorithm/SchmittTrigger.hpp).
 
     Returns ([(position, +1|-1), …], state). +1 = rising (crossed high),
-    −1 = falling (crossed low). ≈ algorithm/SchmittTrigger.hpp.
+    −1 = falling (crossed low). ``method``:
+
+    - ``'none'`` — integer crossing index (NO_INTERPOLATION);
+    - ``'basic_linear'`` — linear interpolation between the two samples
+      bracketing the threshold (BASIC_LINEAR_INTERPOLATION);
+    - ``'regression'`` — least-squares line over the samples accumulated while
+      traversing the hysteresis band, crossing solved at the band midpoint
+      (LINEAR_INTERPOLATION, SchmittTrigger.hpp:168-222 — noise-robust).
+
+    Streaming: pass the returned state back in for the next chunk; the
+    regression band accumulation carries across chunk boundaries (positions of
+    carried edges may come out negative relative to the current chunk).
     """
+    if method not in ("none", "basic_linear", "regression"):
+        raise ValueError(f"unknown schmitt method {method!r}")
     st = state or SchmittState()
     x = np.asarray(x, dtype=np.float64)
+    mid = (low + high) / 2.0
     edges: list[tuple[float, int]] = []
     above = st.above
+    zone = list(st.zone)
+    zone_start = st.zone_start
     for i in range(len(x)):
-        if not above and x[i] >= high:
-            j = i - 1
-            if j >= 0 and x[j] < high and x[i] != x[j]:
-                pos = j + (high - x[j]) / (x[i] - x[j])
-            else:
-                pos = float(i)
-            edges.append((pos, +1))
-            above = True
-        elif above and x[i] <= low:
-            j = i - 1
-            if j >= 0 and x[j] > low and x[i] != x[j]:
-                pos = j + (low - x[j]) / (x[i] - x[j])
-            else:
-                pos = float(i)
-            edges.append((pos, -1))
-            above = False
-    return edges, SchmittState(above=above)
+        in_band_entry = (not above and x[i] > low) or (above and x[i] < high)
+        if method == "regression":
+            if zone:
+                zone.append(x[i])
+            elif in_band_entry:
+                zone = [x[i - 1], x[i]] if i > 0 else [x[i]]
+                zone_start = i - 1 if i > 0 else i
+        if (not above and x[i] >= high) or (above and x[i] <= low):
+            rising = not above
+            pos = float(i)
+            if method == "basic_linear":
+                # interpolate the *band-midpoint* crossing between the last two
+                # samples (≈ SchmittTrigger.hpp:133-142 computeEdgePosition
+                # solving for _offset)
+                j = i - 1
+                if j >= 0 and x[i] != x[j]:
+                    pos = j + (mid - x[j]) / (x[i] - x[j])
+            elif method == "regression" and zone:
+                c = _regression_crossing(np.asarray(zone), mid)
+                if c is not None:
+                    pos = zone_start + c
+            edges.append((pos, +1 if rising else -1))
+            above = not above
+            zone, zone_start = [], 0
+        elif method == "regression" and zone:
+            # left the band back toward the resting side without switching
+            if (not above and x[i] <= low) or (above and x[i] >= high):
+                zone, zone_start = [], 0
+    n = len(x)
+    return edges, SchmittState(above=above, zone=tuple(zone),
+                               zone_start=zone_start - n)
 
 
 def schmitt_device(x: jnp.ndarray, last_above: jnp.ndarray, *, low: float,

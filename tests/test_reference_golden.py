@@ -360,3 +360,94 @@ class TestQaDataSetEstimatorsGolden:
         x = jnp.asarray([10.0 + 0j, 1.0 + 0j, 0.1 + 0j])
         np.testing.assert_allclose(np.asarray(magnitude_db(x)),
                                    [20.0, 0.0, -20.0], atol=1e-3)
+
+
+class TestQaSchmittTriggerGolden:
+    """Mirrors qa_SchmittTrigger.cpp stimulus tables (algorithm/test/
+    qa_SchmittTrigger.cpp:74-145): threshold 0.1, offset 0.5 → our
+    low=0.4, high=0.6, midpoint 0.5. Expected sub-sample positions are the
+    reference's own expected_edges values (tolerance 0.1 like theirs)."""
+
+    LOW, HIGH = 0.4, 0.6
+
+    def _edges(self, sig, method):
+        from gnuradio4_tpu.ops import estimators as est
+        e, _ = est.schmitt_edges(np.asarray(sig, np.float64),
+                                 low=self.LOW, high=self.HIGH, method=method)
+        return e
+
+    def test_no_interpolation(self):
+        sig = [0.3, 0.4, 0.45, 0.5, 0.55, 0.6, 1.0, 1.0, 0.0]
+        assert self._edges(sig, "none") == [(5.0, 1), (8.0, -1)]
+        sig = [0.0, 0.8, 1.2, 0.9, 0.4, -0.2, -1.1, -0.5, 0.0, 1.1, 1.1,
+               1.0, 0.0, 0.0]
+        assert self._edges(sig, "none") == [(1.0, 1), (4.0, -1),
+                                            (9.0, 1), (12.0, -1)]
+        sig = [0.0, 1.0, 0.0]                       # Dirac delta
+        assert self._edges(sig, "none") == [(1.0, 1), (2.0, -1)]
+
+    @pytest.mark.parametrize("method", ["basic_linear", "regression"])
+    def test_interpolated_positions(self, method):
+        # reference expects identical values for BASIC_LINEAR and
+        # LINEAR_INTERPOLATION (regression) on these tables
+        cases = [
+            ([0.3, 0.4, 0.45, 0.5, 0.55, 0.6, 1.0, 1.0, 0.0],
+             [(3.0, 1), (7.5, -1)]),                 # slow rising edge
+            ([0.0, 0.8, 1.2, 0.9, 0.4, -0.2, -1.1, -0.5, 0.0, 1.1, 1.1,
+              1.0, 0.0, 0.0],
+             [(0.625, 1), (3.8, -1), (8.45455, 1), (11.5, -1)]),
+            ([0.0, 1.0, 0.0], [(0.5, 1), (1.5, -1)]),   # Dirac delta
+        ]
+        for sig, want in cases:
+            got = self._edges(sig, method)
+            assert len(got) == len(want), (method, sig, got)
+            for (gp, gk), (wp, wk) in zip(got, want):
+                assert gk == wk and abs(gp - wp) <= 0.1, (method, sig, got)
+
+    @pytest.mark.parametrize("method", ["basic_linear", "regression"])
+    def test_slow_falling_edge(self, method):
+        sig = [1.0, 0.9, 0.85, 0.8, 0.75, 0.7, 0.65, 0.6, 0.55, 0.5,
+               0.45, 0.4, 0.35, 0.3]
+        got = self._edges(sig, method)
+        # initial RISING at stream start (position differs from the
+        # reference's history-warm-up extrapolation of -0.5), then the
+        # FALLING edge the reference pins at 9.0
+        assert [k for _, k in got] == [1, -1]
+        assert abs(got[1][0] - 9.0) <= 0.1, (method, got)
+
+    def test_regression_noise_robust(self):
+        # regression over the band beats two-point interpolation on a noisy
+        # slow ramp (the point of LINEAR_INTERPOLATION per SchmittTrigger.hpp)
+        rng = np.random.default_rng(0)
+        true_pos = 50.0                              # midpoint crossing
+        n = 101
+        sig = 0.5 + (np.arange(n) - true_pos) * 0.01   # slope 0.01/sample
+        err_basic, err_reg = [], []
+        for _ in range(50):
+            noisy = sig + 0.01 * rng.standard_normal(n)
+            for method, acc in (("basic_linear", err_basic),
+                                ("regression", err_reg)):
+                e = self._edges(noisy, method)
+                rising = [p for p, k in e if k == 1]
+                if rising:
+                    acc.append(abs(rising[0] - true_pos))
+        assert np.mean(err_reg) < np.mean(err_basic), (np.mean(err_reg),
+                                                       np.mean(err_basic))
+
+    def test_streaming_matches_oneshot(self):
+        from gnuradio4_tpu.ops import estimators as est
+        rng = np.random.default_rng(1)
+        x = np.sin(2 * np.pi * 3 * np.arange(900) / 300.0) * 0.8 + 0.5 \
+            + 0.02 * rng.standard_normal(900)
+        one, _ = est.schmitt_edges(x, low=self.LOW, high=self.HIGH,
+                                   method="regression")
+        st = None
+        acc = []
+        for k in range(0, 900, 128):
+            e, st = est.schmitt_edges(x[k:k + 128], low=self.LOW,
+                                      high=self.HIGH, state=st,
+                                      method="regression")
+            acc.extend((p + k, s) for p, s in e)
+        assert len(acc) == len(one)
+        for (ap, ak), (op_, ok) in zip(acc, one):
+            assert ak == ok and abs(ap - op_) < 1e-9
