@@ -37,3 +37,82 @@ def complex_gaussian(key: jax.Array, shape: tuple[int, ...], *, std=1.0
     key, sub = jax.random.split(key)
     ri = jax.random.normal(sub, (2, *shape), dtype=jnp.float32) * (std / np.sqrt(2.0))
     return (ri[0] + 1j * ri[1]).astype(jnp.complex64), key
+
+
+# -- host-side Xoshiro256++ (≈ reference algorithm/rng/Xoshiro256pp.hpp) -------
+#
+# The device-side noise above is threefry (jax.random) — the TPU-native
+# counterless PRNG. This host engine exists for bit-exact stimulus parity with
+# the reference: xoshiro256++ is the public Blackman/Vigna algorithm
+# (prng.di.unimi.it), seeded via SplitMix64 exactly like the reference, so a
+# test vector generated there reproduces here to the bit.
+
+_U64 = np.uint64
+
+
+def _splitmix64(state: int) -> tuple[int, int]:
+    state = (state + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    z = state
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return state, z ^ (z >> 31)
+
+
+def _rotl(x: int, k: int) -> int:
+    return ((x << k) | (x >> (64 - k))) & 0xFFFFFFFFFFFFFFFF
+
+
+class Xoshiro256pp:
+    """xoshiro256++ PRNG, SplitMix64-seeded (host-side; bit-compatible with the
+    reference's gr::rng::Xoshiro256pp — known-answer vectors pinned in tests).
+
+    Draws are python-int uint64; ``uniform01``/``uniformM11`` follow the
+    reference's mantissa-shift conversions (>>11 · 2^-53 for float64,
+    >>40 · 2^-24 for float32); ``triangularM11`` is the Irwin-Hall(2)
+    semi-Gaussian on [-1, 1).
+    """
+
+    def __init__(self, seed: int = 0):
+        self.seed(seed)
+
+    def seed(self, seed: int) -> None:
+        sm = seed & 0xFFFFFFFFFFFFFFFF
+        s = []
+        for _ in range(4):
+            sm, v = _splitmix64(sm)
+            s.append(v)
+        self._s = s
+
+    def __call__(self) -> int:
+        s0, s1, s2, s3 = self._s
+        result = (_rotl((s0 + s3) & 0xFFFFFFFFFFFFFFFF, 23) + s0) \
+            & 0xFFFFFFFFFFFFFFFF
+        t = (s1 << 17) & 0xFFFFFFFFFFFFFFFF
+        s2 ^= s0
+        s3 ^= s1
+        s1 ^= s2
+        s0 ^= s3
+        s2 ^= t
+        s3 = _rotl(s3, 45)
+        self._s = [s0, s1, s2, s3]
+        return result
+
+    def uniform01(self, dtype=np.float64) -> float:
+        raw = self()
+        if np.dtype(dtype) == np.float32:
+            return float((raw >> 40) * 2.0 ** -24)
+        return float((raw >> 11) * 2.0 ** -53)
+
+    def uniformM11(self, dtype=np.float64) -> float:
+        return 2.0 * self.uniform01(dtype) - 1.0
+
+    def triangularM11(self, dtype=np.float64) -> float:
+        return self.uniform01(dtype) + self.uniform01(dtype) - 1.0
+
+    def array(self, n: int, *, kind: str = "uniform01",
+              dtype=np.float64) -> np.ndarray:
+        fn = {"raw": self.__call__, "uniform01": lambda: self.uniform01(dtype),
+              "uniformM11": lambda: self.uniformM11(dtype),
+              "triangularM11": lambda: self.triangularM11(dtype)}[kind]
+        out = [fn() for _ in range(n)]
+        return np.asarray(out, _U64 if kind == "raw" else dtype)

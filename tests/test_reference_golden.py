@@ -451,3 +451,48 @@ class TestQaSchmittTriggerGolden:
         assert len(acc) == len(one)
         for (ap, ak), (op_, ok) in zip(acc, one):
             assert ak == ok and abs(ap - op_) < 1e-9
+
+
+class TestQaXoshiroGolden:
+    """Mirrors qa_Xoshiro256pp.cpp (algorithm/test/qa_Xoshiro256pp.cpp):
+    known-answer vectors for seed=0, determinism, re-seeding, and the
+    uniform/triangular conversion statistics."""
+
+    def test_known_answer_seed0(self):
+        from gnuradio4_tpu.ops.noise import Xoshiro256pp
+        r = Xoshiro256pp(0)
+        expected = [0x53175D61490B23DF, 0x61DA6F3DC380D507,
+                    0x5C0FDF91EC9A7BFC, 0x02EEBF8C3BBE5E1A,
+                    0x7ECA04EBAF4A5EEA]
+        assert [r() for _ in range(5)] == expected
+
+    def test_determinism_and_reseed(self):
+        from gnuradio4_tpu.ops.noise import Xoshiro256pp
+        a, b = Xoshiro256pp(42), Xoshiro256pp(42)
+        first = [a() for _ in range(100)]
+        assert first == [b() for _ in range(100)]
+        a.seed(123)
+        ref = [a() for _ in range(10)]
+        a.seed(123)
+        assert [a() for _ in range(10)] == ref
+        assert [Xoshiro256pp(1)() ] != [Xoshiro256pp(2)()]
+
+    def test_uniform01_range_and_mean(self):
+        from gnuradio4_tpu.ops.noise import Xoshiro256pp
+        r = Xoshiro256pp(7)
+        xs = r.array(50_000, kind="uniform01")
+        assert xs.min() >= 0.0 and xs.max() < 1.0
+        assert abs(xs.mean() - 0.5) < 0.005
+        xf = Xoshiro256pp(7).array(10_000, kind="uniform01", dtype=np.float32)
+        assert xf.min() >= 0.0 and xf.max() < 1.0
+
+    def test_uniform_m11_and_triangular(self):
+        from gnuradio4_tpu.ops.noise import Xoshiro256pp
+        u = Xoshiro256pp(11).array(50_000, kind="uniformM11")
+        assert u.min() >= -1.0 and u.max() < 1.0
+        assert abs(u.mean()) < 0.005
+        t = Xoshiro256pp(13).array(50_000, kind="triangularM11")
+        assert t.min() >= -1.0 and t.max() < 1.0
+        assert abs(t.mean()) < 0.005
+        # Irwin-Hall(2) on [-1,1): var = 1/6 (vs 1/3 uniform)
+        assert abs(t.var() - 1.0 / 6.0) < 0.01
