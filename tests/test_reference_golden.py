@@ -496,3 +496,35 @@ class TestQaXoshiroGolden:
         assert abs(t.mean()) < 0.005
         # Irwin-Hall(2) on [-1,1): var = 1/6 (vs 1/3 uniform)
         assert abs(t.var() - 1.0 / 6.0) < 0.01
+
+
+class TestQaSystemUnbalanceGolden:
+    """Mirrors qa_PowerEstimators.cpp 'SystemUnbalance' (blocks/electrical/
+    test/qa_PowerEstimators.cpp:229-291): ±1% voltage / ±2% current unbalance
+    → 1.0% / 2.0% by the max-deviation/mean rule, total P = Σ U·I·cosφ."""
+
+    def test_unbalance_table(self):
+        v_rms, i_rms = 230.0, 10.0
+        phi = np.array([0.1, 0.2, 0.3])
+        u = np.array([v_rms, v_rms * 1.01, v_rms * 0.99], np.float32)
+        i = np.array([i_rms, i_rms * 1.02, i_rms * 0.98], np.float32)
+        p = (u * i * np.cos(phi)).astype(np.float32)
+        n = 8                                   # constant streams
+        g = gr.Graph()
+        su = g.emplace("SystemUnbalance")
+        s_u = g.emplace("VectorSource", data=np.tile(u[:, None], (1, n)))
+        s_i = g.emplace("VectorSource", data=np.tile(i[:, None], (1, n)))
+        s_p = g.emplace("VectorSource", data=np.tile(p[:, None], (1, n)))
+        k_u = g.emplace("VectorSink")
+        k_i = g.emplace("VectorSink")
+        k_p = g.emplace("VectorSink")
+        g.connect(s_u["out"], su["u_rms"])
+        g.connect(s_i["out"], su["i_rms"])
+        g.connect(s_p["out"], su["p"])
+        g.connect(su["u_unbalance"], k_u["in"])
+        g.connect(su["i_unbalance"], k_i["in"])
+        g.connect(su["p_total"], k_p["in"])
+        gr.Scheduler(g, block_len=n).run_and_wait()
+        np.testing.assert_allclose(k_u.data(), 1.0, atol=0.05)
+        np.testing.assert_allclose(k_i.data(), 2.0, atol=0.05)
+        np.testing.assert_allclose(k_p.data(), float(p.sum()), rtol=0.01)
