@@ -528,3 +528,33 @@ class TestQaSystemUnbalanceGolden:
         np.testing.assert_allclose(k_u.data(), 1.0, atol=0.05)
         np.testing.assert_allclose(k_i.data(), 2.0, atol=0.05)
         np.testing.assert_allclose(k_p.data(), float(p.sum()), rtol=0.01)
+
+
+class TestQaSampleRateEstimatorGolden:
+    """Mirrors qa_SampleRateEstimator.cpp convergence contracts: a clock
+    running +20 ppm off nominal is estimated to within 1 ppm, with and
+    without Gaussian jitter on the update timestamps."""
+
+    def test_converges_to_true_ppm_zero_jitter(self):
+        from gnuradio4_tpu.ops import estimators as est
+        nominal, true_ppm = 2.048e6, 20.0
+        true_rate = nominal * (1.0 + true_ppm * 1e-6)
+        sre = est.SampleRateEstimator(alpha=0.1)
+        n = 0
+        for k in range(1, 200):
+            n = int(round(true_rate * k * 0.01))     # 10 ms updates
+            r = sre.update(n, k * 0.01)
+        ppm = (r / nominal - 1.0) * 1e6
+        assert abs(ppm - true_ppm) < 1.0, ppm
+
+    def test_converges_with_jitter(self):
+        from gnuradio4_tpu.ops import estimators as est
+        rng = np.random.default_rng(3)
+        nominal, true_ppm = 1.0e6, 50.0
+        true_rate = nominal * (1.0 + true_ppm * 1e-6)
+        sre = est.SampleRateEstimator(alpha=0.02)
+        for k in range(1, 2000):
+            t = k * 0.01 + rng.normal(0.0, 50e-6)    # 50 us RMS jitter
+            r = sre.update(int(round(true_rate * k * 0.01)), t)
+        ppm = (r / nominal - 1.0) * 1e6
+        assert abs(ppm - true_ppm) < 10.0, ppm
