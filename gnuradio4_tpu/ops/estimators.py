@@ -429,3 +429,98 @@ class SampleRateEstimator:
                              + self.alpha * inst)
         self._last_t, self._last_n = t, n_samples
         return self.estimate
+
+
+class SampleRateDll:
+    """Timestamped-chunk sample-rate estimator, DLL-style
+    (≈ algorithm/SampleRateEstimator.hpp: Adriaensen "Using a DLL to filter
+    time" — per-update measured period ``dt/n_samples`` smoothed by a designed
+    Butterworth low-pass, queried as rate or ppm-vs-nominal).
+
+    The smoothing filter comes from our own ``ops.filter_design.design_iir``
+    (2nd-order Butterworth by default) applied per update on the host
+    (direct-form II transposed over the SOS cascade). The filter state is
+    pre-charged with the nominal period so the estimate starts unbiased
+    (matching the reference's reset semantics, incl. ``ppm_initial``).
+    """
+
+    def __init__(self, *, filter_cutoff_hz: float = 0.1, filter_order: int = 2,
+                 ppm_initial: float = 0.0):
+        self.filter_cutoff_hz = float(filter_cutoff_hz)
+        self.filter_order = int(filter_order)
+        self.ppm_initial = float(ppm_initial)
+        self._nominal_rate = 0.0
+        self._period_est = 0.0
+        self._t_prev = 0.0
+        self._has_prev = False
+        self._initialised = False
+        self._sos = None
+        self._zi = None
+
+    def reset(self, nominal_rate: float,
+              expected_update_rate_hz: float = 250.0) -> None:
+        self._nominal_rate = float(nominal_rate)
+        self._period_est = 1.0 / nominal_rate if nominal_rate > 0 else 0.0
+        if self.ppm_initial:
+            self._period_est *= 1.0 + self.ppm_initial * 1e-6
+        self._t_prev = 0.0
+        self._has_prev = False
+        self._initialised = False
+        from .filter_design import design_iir
+        fs = max(float(expected_update_rate_hz), 4.0 * self.filter_cutoff_hz)
+        res = design_iir("butterworth", "lowpass", self.filter_order,
+                         sample_rate=fs, f_low=self.filter_cutoff_hz)
+        self._sos = np.asarray(res.sos, np.float64)
+        # pre-charge each section's DF2T state for a constant input equal to
+        # the (ppm-adjusted) nominal period → zero start-up transient
+        self._zi = []
+        v = self._period_est
+        for b0, b1, b2, a0, a1, a2 in self._sos:
+            b0, b1, b2, a1, a2 = b0 / a0, b1 / a0, b2 / a0, a1 / a0, a2 / a0
+            y = v * (b0 + b1 + b2) / (1.0 + a1 + a2)
+            # DF2T steady state: s1 = b1·x − a1·y + s2 ; s2 = b2·x − a2·y
+            s2 = b2 * v - a2 * y
+            s1 = b1 * v - a1 * y + s2
+            self._zi.append([s1, s2])
+            v = y
+        self._zi = np.asarray(self._zi, np.float64)
+
+    def reset_phase(self) -> None:
+        """Forget the previous timestamp (after retune) but keep filter state."""
+        self._t_prev = 0.0
+        self._has_prev = False
+
+    def _filter_one(self, x: float) -> float:
+        v = x
+        for k in range(self._sos.shape[0]):
+            b0, b1, b2, a0, a1, a2 = self._sos[k]
+            b0, b1, b2, a1, a2 = b0 / a0, b1 / a0, b2 / a0, a1 / a0, a2 / a0
+            y = b0 * v + self._zi[k, 0]
+            self._zi[k, 0] = b1 * v - a1 * y + self._zi[k, 1]
+            self._zi[k, 1] = b2 * v - a2 * y
+            v = y
+        return v
+
+    def update(self, t_obs: float, n_samples: int) -> None:
+        if self._nominal_rate <= 0.0 or n_samples <= 0 or self._sos is None:
+            return
+        if not self._has_prev:
+            self._t_prev = t_obs
+            self._has_prev = True
+            return
+        dt = t_obs - self._t_prev
+        self._t_prev = t_obs
+        if dt <= 0.0:
+            return
+        self._period_est = self._filter_one(dt / float(n_samples))
+        self._initialised = True
+
+    def estimated_rate(self) -> float:
+        if not self._initialised or self._period_est <= 0.0:
+            return self._nominal_rate
+        return 1.0 / self._period_est
+
+    def estimated_ppm(self) -> float:
+        if self._nominal_rate <= 0.0:
+            return 0.0
+        return (self.estimated_rate() / self._nominal_rate - 1.0) * 1e6
