@@ -25,10 +25,15 @@ class PowerMetrics(Block):
     outputs: p, q, s, u_rms, i_rms at rate fs/decim.
     """
 
-    IN = (Port("u", dtype="float32"), Port("i", dtype="float32"))
+    IN = (Port("u", dtype="float32"), Port("i", dtype="float32"),
+          Port("u_sigma", dtype="float32", optional=True),
+          Port("i_sigma", dtype="float32", optional=True))
     OUT = (Port("p", dtype="float32"), Port("q", dtype="float32"),
            Port("s", dtype="float32"), Port("u_rms", dtype="float32"),
-           Port("i_rms", dtype="float32"))
+           Port("i_rms", dtype="float32"),
+           Port("p_sigma", dtype="float32"),
+           Port("u_rms_sigma", dtype="float32"),
+           Port("i_rms_sigma", dtype="float32"))
     decim = Setting(default=1000, kind="static", limits=(1, 1 << 24),
                     description="samples per estimate window")
 
@@ -50,7 +55,26 @@ class PowerMetrics(Block):
         i_rms = jnp.sqrt(jnp.mean(iw * iw, axis=-1))
         s = u_rms * i_rms
         q = jnp.sqrt(jnp.maximum(s * s - p * p, 0.0))
-        return state, {"p": p, "q": q, "s": s, "u_rms": u_rms, "i_rms": i_rms}
+        # Measurement-uncertainty propagation (≈ the reference's
+        # PowerMetrics<UncertainValue<T>> instantiation, first-order Gaussian
+        # uncorrelated — same rules as utils/uncertain.UncertainValue):
+        # optional u_sigma/i_sigma streams carry per-sample σ; outputs ride
+        # parallel *_sigma ports (zeros when no σ inputs are connected).
+        su = ins.get("u_sigma")
+        si = ins.get("i_sigma")
+        eps = 1e-20
+        suw = su.reshape(*uw.shape) if su is not None else jnp.zeros_like(uw)
+        siw = si.reshape(*iw.shape) if si is not None else jnp.zeros_like(iw)
+        # var(mean of d uncorrelated terms) = Σ var / d²
+        var_p = jnp.sum(iw * iw * suw * suw + uw * uw * siw * siw,
+                        axis=-1) / (d * d)
+        # u_rms = sqrt(m), m = mean(u²): σ_m = sqrt(Σ(2uσ)²)/d, σ = σ_m/(2√m)
+        sm_u = jnp.sqrt(jnp.sum(4.0 * uw * uw * suw * suw, axis=-1)) / d
+        sm_i = jnp.sqrt(jnp.sum(4.0 * iw * iw * siw * siw, axis=-1)) / d
+        return state, {"p": p, "q": q, "s": s, "u_rms": u_rms, "i_rms": i_rms,
+                       "p_sigma": jnp.sqrt(var_p),
+                       "u_rms_sigma": sm_u / (2.0 * jnp.maximum(u_rms, eps)),
+                       "i_rms_sigma": sm_i / (2.0 * jnp.maximum(i_rms, eps))}
 
 
 @register_block("PowerFactor")

@@ -262,6 +262,39 @@ class TestSyncBlock:
 
 
 class TestElectrical:
+    def test_power_metrics_uncertainty_propagation(self):
+        """PowerMetrics with sigma side-channels (≈ the reference's
+        PowerMetrics<UncertainValue<float>> instantiation,
+        qa_PowerEstimators.cpp:76): first-order Gaussian propagation of
+        per-sample measurement sigma into sigma_P and sigma_rms outputs."""
+        fs, f0, n, d = 10000.0, 50.0, 20000, 2000
+        t = np.arange(n) / fs
+        u = (325.0 * np.sin(2 * np.pi * f0 * t)).astype(np.float32)
+        i = (14.1 * np.sin(2 * np.pi * f0 * t - 0.2)).astype(np.float32)
+        sig_u, sig_i = 3.25, 0.141                     # 1% of peak
+        g = gr.Graph()
+        s_u, s_i = VectorSource(u), VectorSource(i)
+        s_su = VectorSource(np.full(n, sig_u, np.float32))
+        s_si = VectorSource(np.full(n, sig_i, np.float32))
+        pm = PowerMetrics(decim=d)
+        k_p, k_ps, k_us = VectorSink(), VectorSink(), VectorSink()
+        for b in (s_u, s_i, s_su, s_si, pm, k_p, k_ps, k_us):
+            g.add(b)
+        g.connect(s_u["out"], pm["u"])
+        g.connect(s_i["out"], pm["i"])
+        g.connect(s_su["out"], pm["u_sigma"])
+        g.connect(s_si["out"], pm["i_sigma"])
+        g.connect(pm["p"], k_p["in"])
+        g.connect(pm["p_sigma"], k_ps["in"])
+        g.connect(pm["u_rms_sigma"], k_us["in"])
+        gr.Scheduler(g, block_len=2 * d, sample_rate=fs).run_and_wait()
+        exp_p = 0.5 * 325 * 14.1 * np.cos(0.2)
+        exp_sp = np.sqrt(np.mean(i.astype(np.float64) ** 2) * sig_u ** 2
+                         + np.mean(u.astype(np.float64) ** 2) * sig_i ** 2)             / np.sqrt(d)
+        np.testing.assert_allclose(k_p.data(), exp_p, rtol=1e-2)
+        np.testing.assert_allclose(k_ps.data(), exp_sp, rtol=5e-2)
+        np.testing.assert_allclose(k_us.data(), sig_u / np.sqrt(d), rtol=5e-2)
+
     def test_power_metrics_resistive_load(self):
         fs = 10000.0
         t = np.arange(10000) / fs
