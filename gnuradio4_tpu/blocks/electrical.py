@@ -32,6 +32,7 @@ class PowerMetrics(Block):
            Port("s", dtype="float32"), Port("u_rms", dtype="float32"),
            Port("i_rms", dtype="float32"),
            Port("p_sigma", dtype="float32"),
+           Port("s_sigma", dtype="float32"),
            Port("u_rms_sigma", dtype="float32"),
            Port("i_rms_sigma", dtype="float32"))
     decim = Setting(default=1000, kind="static", limits=(1, 1 << 24),
@@ -71,22 +72,42 @@ class PowerMetrics(Block):
         # u_rms = sqrt(m), m = mean(u²): σ_m = sqrt(Σ(2uσ)²)/d, σ = σ_m/(2√m)
         sm_u = jnp.sqrt(jnp.sum(4.0 * uw * uw * suw * suw, axis=-1)) / d
         sm_i = jnp.sqrt(jnp.sum(4.0 * iw * iw * siw * siw, axis=-1)) / d
+        s_ur = sm_u / (2.0 * jnp.maximum(u_rms, eps))
+        s_ir = sm_i / (2.0 * jnp.maximum(i_rms, eps))
+        # s = u_rms · i_rms (uncorrelated product rule)
+        s_s = s * jnp.sqrt((s_ur / jnp.maximum(u_rms, eps)) ** 2
+                           + (s_ir / jnp.maximum(i_rms, eps)) ** 2)
         return state, {"p": p, "q": q, "s": s, "u_rms": u_rms, "i_rms": i_rms,
-                       "p_sigma": jnp.sqrt(var_p),
-                       "u_rms_sigma": sm_u / (2.0 * jnp.maximum(u_rms, eps)),
-                       "i_rms_sigma": sm_i / (2.0 * jnp.maximum(i_rms, eps))}
+                       "p_sigma": jnp.sqrt(var_p), "s_sigma": s_s,
+                       "u_rms_sigma": s_ur, "i_rms_sigma": s_ir}
 
 
 @register_block("PowerFactor")
 class PowerFactor(Block):
     """cos φ = P/S and phase angle from P/S streams (≈ PowerFactor)."""
 
-    IN = (Port("p", dtype="float32"), Port("s", dtype="float32"))
-    OUT = (Port("power_factor", dtype="float32"), Port("phase", dtype="float32"))
+    IN = (Port("p", dtype="float32"), Port("s", dtype="float32"),
+          Port("p_sigma", dtype="float32", optional=True),
+          Port("s_sigma", dtype="float32", optional=True))
+    OUT = (Port("power_factor", dtype="float32"),
+           Port("phase", dtype="float32"),
+           Port("power_factor_sigma", dtype="float32"))
 
     def apply(self, state, ins, ctx):
-        pf = jnp.clip(ins["p"] / jnp.maximum(ins["s"], 1e-20), -1.0, 1.0)
-        return state, {"power_factor": pf, "phase": jnp.arccos(pf)}
+        eps = 1e-20
+        s_ = jnp.maximum(ins["s"], eps)
+        pf = jnp.clip(ins["p"] / s_, -1.0, 1.0)
+        # first-order σ of a quotient (uncorrelated): continues PowerMetrics'
+        # uncertainty side-channel through cos φ = P/S
+        sp = ins.get("p_sigma")
+        ss = ins.get("s_sigma")
+        zero = jnp.zeros_like(pf)
+        sp = zero if sp is None else sp
+        ss = zero if ss is None else ss
+        pf_sigma = jnp.abs(pf) * jnp.sqrt(
+            (sp / jnp.maximum(jnp.abs(ins["p"]), eps)) ** 2 + (ss / s_) ** 2)
+        return state, {"power_factor": pf, "phase": jnp.arccos(pf),
+                       "power_factor_sigma": pf_sigma}
 
 
 @register_block("SystemUnbalance")

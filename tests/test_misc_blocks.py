@@ -262,6 +262,36 @@ class TestSyncBlock:
 
 
 class TestElectrical:
+    def test_uncertainty_chain_power_factor(self):
+        """sigma side-channel composes across blocks: PowerMetrics sigma
+        outputs feed PowerFactor's optional sigma inputs → cos-phi with a
+        propagated uncertainty."""
+        fs, f0, n, d = 10000.0, 50.0, 20000, 2000
+        t = np.arange(n) / fs
+        u = (325.0 * np.sin(2 * np.pi * f0 * t)).astype(np.float32)
+        i = (14.1 * np.sin(2 * np.pi * f0 * t - 0.2)).astype(np.float32)
+        g = gr.Graph()
+        s_u, s_i = VectorSource(u), VectorSource(i)
+        s_su = VectorSource(np.full(n, 3.25, np.float32))
+        s_si = VectorSource(np.full(n, 0.141, np.float32))
+        pm, pfb = PowerMetrics(decim=d), PowerFactor()
+        k_pf, k_pfs = VectorSink(), VectorSink()
+        for b in (s_u, s_i, s_su, s_si, pm, pfb, k_pf, k_pfs):
+            g.add(b)
+        g.connect(s_u["out"], pm["u"])
+        g.connect(s_i["out"], pm["i"])
+        g.connect(s_su["out"], pm["u_sigma"])
+        g.connect(s_si["out"], pm["i_sigma"])
+        g.connect(pm["p"], pfb["p"])
+        g.connect(pm["s"], pfb["s"])
+        g.connect(pm["p_sigma"], pfb["p_sigma"])
+        g.connect(pm["s_sigma"], pfb["s_sigma"])
+        g.connect(pfb["power_factor"], k_pf["in"])
+        g.connect(pfb["power_factor_sigma"], k_pfs["in"])
+        gr.Scheduler(g, block_len=2 * d, sample_rate=fs).run_and_wait()
+        np.testing.assert_allclose(k_pf.data(), np.cos(0.2), atol=1e-3)
+        assert np.all(k_pfs.data() > 0) and np.all(k_pfs.data() < 0.01)
+
     def test_power_metrics_uncertainty_propagation(self):
         """PowerMetrics with sigma side-channels (≈ the reference's
         PowerMetrics<UncertainValue<float>> instantiation,
