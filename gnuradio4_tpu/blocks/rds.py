@@ -183,12 +183,18 @@ class RdsDecoder(SinkBlock):
         self._rt = bytearray(b" " * 64)
         self._pi_votes: dict[int, int] = {}
         self.pty: int | None = None
+        self._pending = 0
 
     # -- stream side -----------------------------------------------------------
     def consume(self, arrays, tags, n_valid, abs_index):
         if n_valid > 0:
             x = np.asarray(arrays["in"][..., :n_valid])
             self._halves.append(np.real(x).astype(np.float64).reshape(-1))
+            self._pending += n_valid
+            # live updates: a full re-decode costs microseconds at 2375 Hz
+            if self._pending >= 2048:
+                self._pending = 0
+                self._process()
 
     def stop(self):
         self._process()
