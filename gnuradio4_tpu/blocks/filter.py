@@ -85,16 +85,36 @@ class FreqXlatingFir(FirFilter):
     center_freq = Setting(default=0.0, kind="static", unit="Hz")
     sample_rate_in = Setting(default=0.0, kind="static", unit="Hz",
                              description="0 → inherit resolved edge rate")
+    f_cut = Setting(default=0.0, kind="static", unit="Hz",
+                    description="> 0 → auto-design a lowpass prototype at the "
+                                "resolved rate instead of explicit taps "
+                                "(YAML-friendly, like BasicFilter)")
+    ntaps = Setting(default=121, kind="static", limits=(1, 1 << 16),
+                    description="prototype length when f_cut is set")
+    window = Setting(default="Hamming", kind="static")
 
     def _fs(self, ctx_rate: float = 1.0) -> float:
         fs = float(self.settings.get("sample_rate_in"))
         return fs if fs > 0 else ctx_rate
 
+    _fs_cached: float = 1.0
+
+    def _taps_array(self):
+        f_cut = float(self.settings.get("f_cut"))
+        if f_cut > 0.0:
+            return fd.design_fir(
+                "lowpass", int(self.settings.get("ntaps")),
+                sample_rate=self._fs(self._fs_cached), f_low=f_cut,
+                window=self.settings.get("window")).astype(np.float32)
+        return super()._taps_array()
+
     def _rotated_taps(self, fs: float):
+        self._fs_cached = fs
         base = np.asarray(self._taps_array(), dtype=np.float64)
         return freq_xlating_taps(base, float(self.settings.get("center_freq")), fs)
 
     def init_state(self, ctx):
+        self._fs_cached = ctx.sample_rate     # design rate for f_cut mode
         ntaps = len(self._taps_array())
         ch = ctx.channels.get("in", 0)
         hist = fir_init_state(ch, ntaps, jnp.complex64)

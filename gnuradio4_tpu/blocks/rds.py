@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..core.block import Port, SinkBlock
+from ..core.block import Block, Port, SinkBlock
 from ..core.registry import register_block
 from ..core.settings import Setting
 
@@ -249,3 +249,55 @@ class RdsDecoder(SinkBlock):
     @property
     def radiotext(self) -> str:
         return self._rt.decode("latin-1").split("\r")[0].rstrip()
+
+
+@register_block("RdsSource")
+class RdsSource(Block):
+    """Transmit-side RDS source: emits the 57 kHz DSB-SC multiplex component
+    for a station described by settings (cyclic 0A PS + 2A radiotext group
+    schedule). Self-contained — pair with an FM modulator or feed a receiver
+    chain directly (examples/rds_receiver.yaml)."""
+
+    OUT = (Port("out", dtype="float32"),)
+    FEED = True
+    pi = Setting(default=0x52A1, kind="static")
+    pty = Setting(default=0, kind="static")
+    ps = Setting(default="GR4-TPU ", kind="static")
+    radiotext = Setting(default="", kind="static")
+    carrier_hz = Setting(default=57000.0, kind="static", unit="Hz")
+    sample_rate = Setting(default=228000.0, kind="static", unit="Hz")
+    amplitude = Setting(default=1.0, kind="static")
+    n_samples = Setting(default=0, kind="static",
+                        description="stop after N samples (0 = endless)")
+
+    def __init__(self, name=None, **settings):
+        super().__init__(name=name, **settings)
+        groups = make_0a_groups(int(self.settings.get("pi")),
+                                int(self.settings.get("pty")),
+                                str(self.settings.get("ps")))
+        rt = str(self.settings.get("radiotext"))
+        if rt:
+            groups = groups + make_2a_groups(int(self.settings.get("pi")),
+                                             int(self.settings.get("pty")), rt)
+        # seamless cyclic playback: the differential encoder must return to
+        # its start state at the wrap, i.e. the total bit parity must be even
+        # — otherwise the same group is corrupted at every loop seam
+        if sum(int(b) for g in groups for b in g) % 2:
+            groups = groups * 2
+        self._wave = modulate_mpx(
+            groups, fs=float(self.settings.get("sample_rate")),
+            carrier_hz=float(self.settings.get("carrier_hz")),
+            amplitude=float(self.settings.get("amplitude")))
+
+    def host_done(self, abs_out, n):
+        total = int(self.settings.get("n_samples"))
+        if total and abs_out + n >= total:
+            return max(0, total - abs_out)
+        return None
+
+    def host_feed(self, n, abs_index):
+        idx = (np.arange(abs_index, abs_index + n) % len(self._wave))
+        return {"out": self._wave[idx]}, n
+
+    def apply(self, state, ins, ctx):
+        return state, {"out": ins["out"]}

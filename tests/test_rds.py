@@ -92,3 +92,20 @@ class TestRdsReceiverChain:
                                amplitude=-1.0)
         dec = _run_chain(mpx, self.FS)
         assert dec.pi == self.PI and dec.ps == self.PS
+
+
+class TestRdsSourceExample:
+    def test_rds_source_seamless_cyclic(self):
+        """RdsSource loops differentially-seamlessly: every group decodes
+        including PS segment 0 (a naive wrap corrupts the seam group on
+        every cycle)."""
+        from pathlib import Path
+        from gnuradio4_tpu.core.yaml_io import run_grc
+        src = Path("/root/repo/examples/rds_receiver.yaml").read_text()
+        sched = run_grc(src, n_steps=60)
+        dec = [b for b in sched.graph.blocks if b.name == "rds"][0]
+        dec._process()
+        assert dec.pi == 0x52A1
+        assert dec.ps == "GR4-TPU!"
+        assert dec.radiotext == "HELLO FROM THE TPU SIDE"
+        assert len(dec.groups) > 100
