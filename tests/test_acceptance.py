@@ -69,3 +69,61 @@ def test_fm_station_to_audio_file(tmp_path):
     all_tags = [t for c in chunks for t in c.tags]
     assert any(t.map.get(Keys.SAMPLE_RATE) == fs / 5 for t in all_tags)
     assert any(t.map.get(Keys.FREQUENCY) == fc for t in all_tags)
+
+
+def test_full_fm_broadcast_stereo_plus_rds():
+    """Capstone: one FM carrier carrying a COMPLETE broadcast multiplex —
+    stereo program (L+R, 19 kHz pilot, 38 kHz DSB L−R) plus 57 kHz RDS —
+    demodulated by one flowgraph that splits the MPX into the stereo decoder
+    and the RDS chain. Asserts >40 dB stereo separation and a full RDS
+    PI/PS decode simultaneously."""
+    from gnuradio4_tpu.blocks import rds
+    from gnuradio4_tpu.ops.filter_design import design_fir
+
+    fs_if, dev = 456000.0, 75000.0
+    groups = rds.make_0a_groups(0x52A1, 9, "GR4-TPU!") * 4
+    rds_wave = rds.modulate_mpx(groups, fs=fs_if)
+    n = len(rds_wave)
+    t = np.arange(n) / fs_if
+    L = np.sin(2 * np.pi * 800.0 * t)
+    R = np.sin(2 * np.pi * 1400.0 * t)
+    th = 2 * np.pi * 19000.0 * t
+    mpx = (0.20 * (L + R) + 0.1 * np.sin(th)
+           + 0.20 * (L - R) * np.sin(2 * th) + 0.08 * rds_wave)
+    phase = 2 * np.pi * np.cumsum(dev * mpx) / fs_if
+    tx = np.exp(1j * phase).astype(np.complex64)
+
+    g = gr.Graph()
+    src = g.emplace("VectorSource", data=tx)
+    qd = g.emplace("QuadratureDemod", gain=fs_if / (2 * np.pi * dev))
+    lp = g.emplace("FirFilter", decim=2, taps=tuple(design_fir(
+        "lowpass", 121, sample_rate=fs_if, f_low=80000.0).tolist()))
+    st = g.emplace("FmStereoDecoder", sample_rate_in=228000.0)
+    kl, kr = g.emplace("VectorSink"), g.emplace("VectorSink")
+    cvt = g.emplace("Convert", to="complex64")
+    xlat = g.emplace("FreqXlatingFir", center_freq=57000.0, decim=24,
+                     f_cut=2400.0, ntaps=241)
+    costas = g.emplace("CostasLoop", order=2, loop_bw=0.01)
+    mm = g.emplace("MMSymbolSync", sps=4, gain=0.05)
+    dec = g.emplace("RdsDecoder")
+    g.connect_chain(src, qd, lp)
+    g.connect(lp["out"], st["in"])
+    g.connect(st["left"], kl["in"])
+    g.connect(st["right"], kr["in"])
+    g.connect(lp["out"], cvt["in"])
+    g.connect_chain(cvt, xlat, costas, mm, dec)
+    gr.Scheduler(g, block_len=48000, sample_rate=fs_if).run_and_wait()
+
+    yl, yr = np.asarray(kl.data()), np.asarray(kr.data())
+
+    def tone(y, f0):
+        seg = y[65536:65536 + 131072] * np.hanning(131072)
+        spec = np.abs(np.fft.rfft(seg))
+        f = np.fft.rfftfreq(131072, 1 / 228000.0)
+        return spec[np.argmin(np.abs(f - f0))]
+
+    sep_l = 20 * np.log10(tone(yl, 800) / (tone(yl, 1400) + 1e-12))
+    sep_r = 20 * np.log10(tone(yr, 1400) / (tone(yr, 800) + 1e-12))
+    assert sep_l > 40 and sep_r > 40, (sep_l, sep_r)
+    assert dec.pi == 0x52A1 and dec.ps == "GR4-TPU!"
+    assert len(dec.groups) >= 12
