@@ -133,6 +133,8 @@ def decode_bits_stream(mag: np.ndarray, *, threshold: float = 0.2,
                 tc = int("".join(map(str, bits[32:37])), 2)
                 if 1 <= tc <= 4:
                     rec["callsign"] = decode_callsign(bits[32:88])
+                elif 9 <= tc <= 18:
+                    rec["position_fields"] = parse_position_fields(bits)
             out.append(rec)
             i += frame_len
         else:
@@ -158,7 +160,8 @@ class AdsbDecoder(SinkBlock):
         super().__init__(name=name, **settings)
         self._tail = np.zeros(0, np.float64)
         self.frames: list[dict] = []
-        self.aircraft: dict[int, str] = {}
+        self.aircraft: dict[int, dict] = {}   # icao → {callsign?, lat?, lon?, alt_ft?}
+        self._cpr: dict[int, dict] = {}       # icao → last even/odd CPR fields
 
     def consume(self, arrays, tags, n_valid, abs_index):
         if n_valid <= 0:
@@ -170,6 +173,118 @@ class AdsbDecoder(SinkBlock):
             return_resume=True)
         for rec in found:
             self.frames.append(rec)
+            ac = self.aircraft.setdefault(rec["icao"], {})
             if "callsign" in rec:
-                self.aircraft[rec["icao"]] = rec["callsign"]
+                ac["callsign"] = rec["callsign"]
+            pf = rec.get("position_fields")
+            if pf is not None:
+                if pf["alt_ft"] is not None:
+                    ac["alt_ft"] = pf["alt_ft"]
+                pair = self._cpr.setdefault(rec["icao"], {})
+                pair["odd" if pf["odd"] else "even"] = pf
+                if "even" in pair and "odd" in pair:
+                    pos = cpr_decode(pair["even"]["lat_cpr"],
+                                     pair["even"]["lon_cpr"],
+                                     pair["odd"]["lat_cpr"],
+                                     pair["odd"]["lon_cpr"],
+                                     use_odd=pf["odd"])
+                    if pos is not None:
+                        ac["lat"], ac["lon"] = pos
         self._tail = buf[resume:]     # unscanned remainder only — no rescans
+
+
+# -- airborne position (CPR, DO-260 §A.1.7 / "the 1090 MHz riddle") -----------
+
+_NZ = 15
+
+
+def hex_to_bits(frame_hex: str) -> np.ndarray:
+    """112-bit frame from its hex transcript (e.g. dump1090 output)."""
+    v = int(frame_hex, 16)
+    n = len(frame_hex) * 4
+    return np.asarray([(v >> (n - 1 - i)) & 1 for i in range(n)], np.uint8)
+
+
+def _nl(lat: float) -> int:
+    """Number of longitude zones at a latitude (NL function)."""
+    if abs(lat) >= 87.0:
+        return 1 if abs(lat) > 87.0 else 2
+    if lat == 0.0:
+        return 59
+    a = 1.0 - np.cos(np.pi / (2.0 * _NZ))
+    b = np.cos(np.pi / 180.0 * lat) ** 2
+    return int(np.floor(2.0 * np.pi
+                        / np.arccos(1.0 - a / b)))
+
+
+def cpr_encode(lat: float, lon: float, odd: bool) -> tuple[int, int]:
+    """17-bit CPR airborne encoding of a position."""
+    dlat = 360.0 / (4 * _NZ - (1 if odd else 0))
+    yz = int(np.floor(131072.0 * ((lat % dlat) / dlat) + 0.5)) % 131072
+    rlat = dlat * (yz / 131072.0 + np.floor(lat / dlat))
+    nl = max(_nl(rlat) - (1 if odd else 0), 1)
+    dlon = 360.0 / nl
+    xz = int(np.floor(131072.0 * ((lon % dlon) / dlon) + 0.5)) % 131072
+    return yz, xz
+
+
+def cpr_decode(lat_even: int, lon_even: int, lat_odd: int, lon_odd: int,
+               *, use_odd: bool = False) -> tuple[float, float] | None:
+    """Globally-unambiguous position from an even/odd CPR frame pair.
+
+    Returns None when the pair straddles a longitude-zone boundary
+    (NL mismatch — the receiver waits for the next frame)."""
+    cle, clo = lat_even / 131072.0, lat_odd / 131072.0
+    dlat_e, dlat_o = 360.0 / 60.0, 360.0 / 59.0
+    j = np.floor(59.0 * cle - 60.0 * clo + 0.5)
+    lat_e = dlat_e * ((j % 60) + cle)
+    lat_o = dlat_o * ((j % 59) + clo)
+    if lat_e >= 270.0:
+        lat_e -= 360.0
+    if lat_o >= 270.0:
+        lat_o -= 360.0
+    if _nl(lat_e) != _nl(lat_o):
+        return None
+    lat = lat_o if use_odd else lat_e
+    nl = _nl(lat)
+    ce, co = lon_even / 131072.0, lon_odd / 131072.0
+    m = np.floor(ce * (nl - 1) - co * nl + 0.5)
+    ni = max(nl - (1 if use_odd else 0), 1)
+    lon = (360.0 / ni) * ((m % ni) + (co if use_odd else ce))
+    if lon >= 180.0:
+        lon -= 360.0
+    return float(lat), float(lon)
+
+
+def decode_altitude_ft(alt12: np.ndarray) -> int | None:
+    """Barometric altitude from the 12-bit AC field (Q-bit granularity)."""
+    bits = np.asarray(alt12, np.uint8)
+    if bits[7] != 1:                      # Q=0 (100 ft Gillham code) — rare
+        return None
+    n = 0
+    for b in np.concatenate([bits[:7], bits[8:]]):
+        n = (n << 1) | int(b)
+    return 25 * n - 1000
+
+
+def make_df17_airborne_position(icao: int, lat: float, lon: float,
+                                alt_ft: int, *, odd: bool,
+                                capability: int = 5) -> np.ndarray:
+    """DF17 airborne-position squitter (TC=11, barometric, Q-bit altitude)."""
+    yz, xz = cpr_encode(lat, lon, odd)
+    n_alt = (alt_ft + 1000) // 25
+    alt11 = _int_to_bits(n_alt, 11)
+    alt12 = alt11[:7] + [1] + alt11[7:]                 # insert Q bit
+    me = (_int_to_bits(11, 5) + [0, 0] + [0] + alt12 + [0]
+          + [1 if odd else 0] + _int_to_bits(yz, 17) + _int_to_bits(xz, 17))
+    payload = _int_to_bits(capability, 3) + _int_to_bits(icao, 24) + me
+    return encode_frame(17, payload)
+
+
+def parse_position_fields(bits: np.ndarray) -> dict:
+    """CPR fields from a DF17 TC 9-18 frame's bit array."""
+    me = bits[32:88]
+    return {"odd": bool(me[21]),
+            "lat_cpr": int("".join(map(str, me[22:39])), 2),
+            "lon_cpr": int("".join(map(str, me[39:56])), 2),
+            "alt_ft": decode_altitude_ft(me[8:20])}

@@ -60,4 +60,64 @@ class TestAdsbGraphChain:
         gr.Scheduler(g, block_len=1000, sample_rate=2e6).run_and_wait()
 
         assert len(dec.frames) == 8, [f.get("callsign") for f in dec.frames]
-        assert dec.aircraft == {0xABC000 + k: f"TPU{k:04d}" for k in range(8)}
+        assert {i: a["callsign"] for i, a in dec.aircraft.items()} \
+            == {0xABC000 + k: f"TPU{k:04d}" for k in range(8)}
+
+
+class TestAdsbPosition:
+    # published worked example ("the 1090 MHz riddle" / mode-s.org):
+    # ICAO 40621D at (52.2572, 3.91937), 38000 ft
+    EVEN = "8D40621D58C382D690C8AC2863A7"
+    ODD = "8D40621D58C386435CC412692AD6"
+
+    def test_published_vector_pair(self):
+        ev, od = adsb.hex_to_bits(self.EVEN), adsb.hex_to_bits(self.ODD)
+        assert adsb.crc24(ev) == 0 and adsb.crc24(od) == 0
+        pe, po = adsb.parse_position_fields(ev), adsb.parse_position_fields(od)
+        assert not pe["odd"] and po["odd"]
+        assert pe["alt_ft"] == 38000 and po["alt_ft"] == 38000
+        lat, lon = adsb.cpr_decode(pe["lat_cpr"], pe["lon_cpr"],
+                                   po["lat_cpr"], po["lon_cpr"])
+        assert abs(lat - 52.2572) < 1e-3 and abs(lon - 3.91937) < 1e-3
+
+    def test_encode_decode_roundtrip(self):
+        for lat, lon, alt in [(52.2572, 3.91937, 38000),
+                              (-33.9461, 151.1772, 2500),
+                              (37.6188, -122.3756, 12775)]:
+            fe = adsb.make_df17_airborne_position(0x111111, lat, lon, alt,
+                                                  odd=False)
+            fo = adsb.make_df17_airborne_position(0x111111, lat, lon, alt,
+                                                  odd=True)
+            assert adsb.crc24(fe) == 0 and adsb.crc24(fo) == 0
+            pe = adsb.parse_position_fields(fe)
+            po = adsb.parse_position_fields(fo)
+            assert pe["alt_ft"] == alt
+            glat, glon = adsb.cpr_decode(pe["lat_cpr"], pe["lon_cpr"],
+                                         po["lat_cpr"], po["lon_cpr"])
+            assert abs(glat - lat) < 1e-3 and abs(glon - lon) < 1e-3
+
+    def test_graph_chain_builds_aircraft_picture(self):
+        """Identification + even/odd position squitters through the IQ chain
+        → complete per-aircraft picture (callsign, position, altitude)."""
+        rng = np.random.default_rng(2)
+        frames = [
+            adsb.make_df17_identification(0x40621D, "KLM1023"),
+            adsb.make_df17_airborne_position(0x40621D, 52.2572, 3.91937,
+                                             38000, odd=False),
+            adsb.make_df17_airborne_position(0x40621D, 52.2572, 3.91937,
+                                             38000, odd=True),
+        ]
+        wave = adsb.modulate(frames)
+        iq = (wave * np.exp(1j * np.cumsum(rng.normal(0, 0.25, len(wave))))
+              ).astype(np.complex64)
+        g = gr.Graph()
+        src = g.emplace("VectorSource", data=iq)
+        mag = g.emplace("Abs")
+        dec = g.emplace("AdsbDecoder")
+        g.connect_chain(src, mag, dec)
+        gr.Scheduler(g, block_len=700, sample_rate=2e6).run_and_wait()
+        ac = dec.aircraft[0x40621D]
+        assert ac["callsign"] == "KLM1023"
+        assert ac["alt_ft"] == 38000
+        assert abs(ac["lat"] - 52.2572) < 1e-3
+        assert abs(ac["lon"] - 3.91937) < 1e-3
