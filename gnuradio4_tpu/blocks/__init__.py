@@ -1,7 +1,7 @@
 """Block library (≈ reference blocks/): importing this package registers all built-in
 blocks with the global registry."""
 
-from . import (acquisition, adsb, alsa, audio, basic, channelizer,  # noqa: F401
+from . import (acquisition, adsb, alsa, audio, ax25, basic, channelizer,  # noqa: F401
                digital, dsp_extras, electrical, equalizer, fec, fileio,
                filter, fourier, http, math,
                misc, monitor, network, python_block, rds, rtl2832, sdr, soapy,
