@@ -4,7 +4,8 @@ blocks with the global registry."""
 from . import (acquisition, adsb, alsa, audio, ax25, basic, channelizer,  # noqa: F401
                digital, dsp_extras, electrical, equalizer, fec, fileio,
                filter, fourier, http, math,
-               misc, monitor, network, python_block, rds, rtl2832, sdr, soapy,
+               misc, monitor, network, pocsag, python_block, rds, rtl2832, sdr,
+               soapy,
                testing, timing, usb, util_blocks)
 from . import ref_aliases  # noqa: F401  (after all targets are registered)
 from ..core import datasink as _datasink  # noqa: F401  (registers DataSink)
