@@ -108,8 +108,21 @@ def decode_bits_stream(mag: np.ndarray, *, threshold: float = 0.2,
     out: list[dict] = []
     n = len(mag)
     frame_len = 16 + 224
+    # a valid start has a pulse in chip 0, so only above-threshold samples
+    # can begin a preamble — skip the quiet majority without a Python loop
+    # (2 Msps would crawl through a per-sample scan)
+    candidates = np.nonzero(mag >= 0.5 * threshold)[0]
+    ci = 0
     i = 0
     while i + frame_len <= n:
+        while ci < len(candidates) and candidates[ci] < i:
+            ci += 1
+        if ci >= len(candidates):
+            i = n            # no possible start anywhere ahead: fully scanned
+            break
+        i = int(candidates[ci])
+        if i + frame_len > n:
+            break
         win = mag[i:i + 16]
         peak = win.max()
         if peak < threshold:
