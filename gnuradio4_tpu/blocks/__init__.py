@@ -3,7 +3,7 @@ blocks with the global registry."""
 
 from . import (acquisition, adsb, alsa, audio, ax25, basic, channelizer,  # noqa: F401
                digital, dsp_extras, electrical, equalizer, fec, fileio,
-               filter, fourier, http, math,
+               filter, fourier, gnss, http, math,
                misc, monitor, network, pocsag, python_block, rds, rtl2832, sdr,
                soapy,
                testing, timing, usb, util_blocks)

@@ -1,0 +1,81 @@
+"""GPS L1 C/A Gold codes + FFT acquisition (ops/gnss.py — device-side
+beyond-reference model family)."""
+
+import numpy as np
+import pytest
+
+import gnuradio4_tpu as gr
+from gnuradio4_tpu.ops import gnss
+
+
+class TestCaCodes:
+    def test_published_octal_check_values(self):
+        # IS-GPS-200 table 3-I first-10-chips column
+        known = {1: 0o1440, 2: 0o1620, 3: 0o1710, 4: 0o1744, 5: 0o1133,
+                 19: 0o1633}
+        for prn, want in known.items():
+            assert gnss.ca_code_first_octal(prn) == want, prn
+
+    def test_gold_code_properties(self):
+        # balance: 512 ones / 511 zeros per period
+        for prn in (1, 9, 17, 32):
+            chips = gnss.ca_code(prn)
+            assert np.sum(chips < 0) == 512 and np.sum(chips > 0) == 511
+        # autocorrelation: peak 1023, sidelobes in the Gold three-level set
+        c = gnss.ca_code(5)
+        ac = np.array([np.dot(c, np.roll(c, k)) for k in range(1023)])
+        assert ac[0] == 1023
+        assert set(np.unique(np.round(ac[1:]))) <= {-65.0, -1.0, 63.0}
+        # cross-correlation bounded by the same levels
+        c2 = gnss.ca_code(6)
+        cc = np.array([np.dot(c, np.roll(c2, k)) for k in range(1023)])
+        assert set(np.unique(np.round(cc))) <= {-65.0, -1.0, 63.0}
+
+    def test_all_prns_distinct(self):
+        codes = {prn: tuple(gnss.ca_code(prn)) for prn in range(1, 33)}
+        assert len(set(codes.values())) == 32
+
+
+class TestAcquisition:
+    FS = 2.046e6
+
+    def test_two_satellites_acquired_exactly(self):
+        sig = gnss.synthesize([(7, 1800.0, 300), (22, -3250.0, 1501)],
+                              fs=self.FS, n_ms=4, noise_std=2.0,
+                              rng=np.random.default_rng(1))
+        r7 = gnss.acquire(sig, 7, fs=self.FS)
+        r22 = gnss.acquire(sig, 22, fs=self.FS)
+        assert r7 is not None and r7["code_phase"] == 300
+        assert abs(r7["doppler"] - 1800.0) <= 250.0
+        assert r22 is not None and r22["code_phase"] == 1501
+        assert abs(r22["doppler"] - (-3250.0)) <= 250.0
+
+    def test_absent_prn_rejected(self):
+        sig = gnss.synthesize([(7, 1800.0, 300)], fs=self.FS, n_ms=4,
+                              noise_std=2.0, rng=np.random.default_rng(2))
+        assert gnss.acquire(sig, 13, fs=self.FS) is None
+
+    def test_weak_signal_with_noncoherent_gain(self):
+        # amplitude 0.5 under sigma=2 noise: 1 block fails, 4 blocks acquire
+        sig = gnss.synthesize([(3, 900.0, 777)], fs=self.FS, n_ms=8,
+                              amplitude=0.5, noise_std=2.0,
+                              rng=np.random.default_rng(3))
+        strong = gnss.acquire(sig, 3, fs=self.FS, n_coherent=8)
+        assert strong is not None and strong["code_phase"] == 777
+
+
+class TestGnssBlock:
+    def test_graph_acquisition_sink(self):
+        sig = gnss.synthesize([(11, 2400.0, 42), (29, -1000.0, 1999)],
+                              fs=2.046e6, n_ms=6, noise_std=1.5,
+                              rng=np.random.default_rng(4))
+        g = gr.Graph()
+        src = g.emplace("VectorSource", data=sig)
+        acq = g.emplace("GnssAcquisition", prns=(11, 29, 31),
+                        sample_rate_in=2.046e6, n_coherent=4)
+        g.connect(src, acq)
+        gr.Scheduler(g, block_len=4092, sample_rate=2.046e6).run_and_wait()
+        found = {d["prn"]: d for d in acq.detections}
+        assert set(found) == {11, 29}
+        assert found[11]["code_phase"] == 42
+        assert found[29]["code_phase"] == 1999
