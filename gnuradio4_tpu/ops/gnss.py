@@ -117,22 +117,140 @@ def acquire(iq: np.ndarray, prn: int, *, fs: float,
             "code_phase": int(c_idx), "metric": metric}
 
 
-def synthesize(prns_dopplers_phases: list[tuple[int, float, int]], *,
+def synthesize(prns_dopplers_phases: list[tuple], *,
                fs: float, n_ms: int = 4, amplitude: float = 1.0,
                rng: np.random.Generator | None = None,
                noise_std: float = 0.0) -> np.ndarray:
-    """Composite baseband: Σ satellites (PRN, Doppler Hz, code-phase samples)
-    + complex AWGN. Test/simulation stimulus."""
+    """Composite baseband: Σ satellites (PRN, Doppler Hz, code-phase samples
+    [, 50 bps nav bits]) + complex AWGN. Test/simulation stimulus. Nav bits
+    BPSK-modulate the code at the 20 ms cadence."""
     n = int(round(fs * 1e-3)) * n_ms
+    spms = int(round(fs * 1e-3))
     t = np.arange(n) / fs
     out = np.zeros(n, np.complex128)
-    for prn, dopp, phase in prns_dopplers_phases:
-        code = sampled_code(prn, fs, n)
-        rolled = np.roll(np.tile(code[:int(round(fs * 1e-3))],
-                                 n_ms), phase)[:n]
+    for sat in prns_dopplers_phases:
+        prn, dopp, phase = sat[:3]
+        nav = np.asarray(sat[3], np.int8) if len(sat) > 3 else None
+        rolled = np.roll(np.tile(sampled_code(prn, fs, spms), n_ms),
+                         phase)[:n]
+        if nav is not None:
+            ms_bit = (np.arange(n) // (20 * spms)) % len(nav)
+            rolled = rolled * (1.0 - 2.0 * nav[ms_bit])
         out += amplitude * rolled * np.exp(2j * np.pi * dopp * t)
     if noise_std > 0.0:
         rng = rng or np.random.default_rng(0)
         out += noise_std * (rng.standard_normal(n)
                             + 1j * rng.standard_normal(n))
     return out.astype(np.complex64)
+
+
+@functools.partial(jax.jit, static_argnames=("fs",))
+def _track_scan(iq_blocks: jnp.ndarray, code: jnp.ndarray, init_code_phase,
+                init_freq, *, fs: float, dll_gain: float = 0.05,
+                pll_alpha: float = 0.6, pll_beta: float = 30.0):
+    """Closed-loop C/A tracking over [n_ms, N] 1 ms blocks (lax.scan).
+
+    Per block: early/prompt/late code correlators (±0.5 chip) after carrier
+    wipe; a normalized early-late envelope DLL steers the code phase, a
+    Costas atan PLL steers carrier phase/frequency. Everything stays on
+    device; vmap over satellites gives parallel tracking channels.
+
+    Returns (prompt I+jQ per ms [n_ms], code phases [n_ms], freqs [n_ms]).
+    """
+    n = iq_blocks.shape[-1]
+    spc = fs / CHIP_RATE                        # samples per chip
+    t = jnp.arange(n, dtype=jnp.float32) / fs
+    base_idx = jnp.arange(n, dtype=jnp.float32) * (CHIP_RATE / fs)
+
+    def replica(chip_offset):
+        idx = jnp.floor(base_idx + chip_offset) % CODE_LEN
+        return code[idx.astype(jnp.int32)]
+
+    def step(carry, x):
+        code_chips, phase, freq = carry
+        carrier = jnp.exp(-1j * (2.0 * jnp.pi * freq * t + phase))
+        wiped = x * carrier.astype(jnp.complex64)
+        e = jnp.sum(wiped * replica(code_chips - 0.5))
+        p = jnp.sum(wiped * replica(code_chips))
+        l = jnp.sum(wiped * replica(code_chips + 0.5))
+        # DLL: normalized early-late envelope
+        ae, al = jnp.abs(e), jnp.abs(l)
+        dll = (ae - al) / jnp.maximum(ae + al, 1e-12)
+        code_chips = (code_chips - dll_gain * dll) % CODE_LEN
+        # Costas PLL (data-bit insensitive); phase advances with the
+        # frequency that was actually applied during the block — advancing
+        # with the freshly-updated one injects a bias proportional to the
+        # error and the loop settles tens of Hz off
+        # atan(Q/I), NOT atan2: the half-plane discriminator is what makes
+        # Costas insensitive to the 180-degree data-bit flips
+        err = jnp.arctan(jnp.imag(p) / jnp.where(
+            jnp.abs(jnp.real(p)) < 1e-20, 1e-20, jnp.real(p)))
+        phase = (phase + 2.0 * jnp.pi * freq * n / fs
+                 + pll_alpha * err) % (2.0 * jnp.pi)
+        freq = freq + pll_beta * err
+        return (code_chips, phase, freq), (p, code_chips, freq)
+
+    init = (init_code_phase * (CHIP_RATE / fs) % CODE_LEN,
+            jnp.float32(0.0), jnp.float32(init_freq))
+    _, (prompts, code_chips, freqs) = jax.lax.scan(step, init, iq_blocks)
+    return prompts, code_chips, freqs
+
+
+def track(iq: np.ndarray, prn: int, *, fs: float, code_phase: int,
+          doppler: float, n_ms: int | None = None) -> dict:
+    """Track one acquired satellite → prompt correlator series + nav bits.
+
+    ``code_phase``/``doppler`` come from :func:`acquire`. Nav bits are the
+    sign of the prompt I arm after settling, grouped at the 50 bps (20 ms)
+    cadence with the bit boundary found from sign transitions.
+    """
+    spms = int(round(fs * 1e-3))
+    total = len(iq) // spms if n_ms is None else n_ms
+    blocks = jnp.asarray(iq[:total * spms], jnp.complex64).reshape(total, spms)
+    code = jnp.asarray(ca_code(prn))
+    prompts, code_chips, freqs = _track_scan(
+        blocks, code, jnp.float32(-code_phase), jnp.float32(doppler), fs=fs)
+    return _finish_track(np.asarray(prompts), np.asarray(code_chips),
+                         np.asarray(freqs), total)
+
+
+def track_channels(iq: np.ndarray, acquisitions: list[dict], *, fs: float
+                   ) -> list[dict]:
+    """Parallel tracking channels: one vmapped scan tracks every acquired
+    satellite simultaneously (the TPU-native form of a receiver's channel
+    bank — channels are a batch axis, not threads)."""
+    if not acquisitions:
+        return []
+    spms = int(round(fs * 1e-3))
+    total = len(iq) // spms
+    blocks = jnp.asarray(iq[:total * spms], jnp.complex64).reshape(total, spms)
+    codes = jnp.stack([jnp.asarray(ca_code(a["prn"])) for a in acquisitions])
+    phases = jnp.asarray([-a["code_phase"] for a in acquisitions], jnp.float32)
+    freqs = jnp.asarray([a["doppler"] for a in acquisitions], jnp.float32)
+    prompts, chips, f = jax.vmap(
+        lambda c, p0, f0: _track_scan(blocks, c, p0, f0, fs=fs))(
+            codes, phases, freqs)
+    out = []
+    for k, a in enumerate(acquisitions):
+        r = _finish_track(np.asarray(prompts[k]), np.asarray(chips[k]),
+                          np.asarray(f[k]), total)
+        r["prn"] = a["prn"]
+        out.append(r)
+    return out
+
+
+def _finish_track(prompts: np.ndarray, code_chips: np.ndarray,
+                  freqs: np.ndarray, total: int) -> dict:
+    settle = min(30, total // 4)
+    sgn = np.sign(np.real(prompts))
+    trans = np.nonzero(sgn[settle + 1:] != sgn[settle:-1])[0] + settle + 1
+    boundary = int(np.argmax(np.bincount(trans % 20, minlength=20))) \
+        if len(trans) else 0
+    bits = []
+    k = boundary if boundary > settle else boundary + 20 * (
+        (settle - boundary + 19) // 20)
+    while k + 20 <= total:
+        bits.append(1 if np.sum(np.real(prompts[k:k + 20])) >= 0 else 0)
+        k += 20
+    return {"prompts": prompts, "doppler": freqs, "code_chips": code_chips,
+            "bits": np.asarray(bits, np.uint8), "bit_boundary": boundary}

@@ -79,3 +79,53 @@ class TestGnssBlock:
         assert set(found) == {11, 29}
         assert found[11]["code_phase"] == 42
         assert found[29]["code_phase"] == 1999
+
+
+class TestTracking:
+    FS = 2.046e6
+    NAV1 = np.array([1, 0, 1, 1, 0, 0, 1, 0], np.int8)
+    NAV2 = np.array([0, 1, 1, 0, 1, 0, 0, 1], np.int8)
+
+    def _bits_match_cycle(self, bits, nav):
+        # recovered bits = (1 − nav) up to cycle offset and polarity
+        exp = np.tile(nav, 30)
+        for off in range(len(nav)):
+            for pol in (0, 1):
+                if np.array_equal(exp[off:off + len(bits)] ^ pol, 1 - bits):
+                    return True
+        return False
+
+    def test_single_channel_converges_and_recovers_bits(self):
+        sig = gnss.synthesize([(7, 1800.0, 300, self.NAV1)], fs=self.FS,
+                              n_ms=170, noise_std=1.0,
+                              rng=np.random.default_rng(1))
+        acq = gnss.acquire(sig, 7, fs=self.FS)
+        tr = gnss.track(sig, 7, fs=self.FS, code_phase=acq["code_phase"],
+                        doppler=acq["doppler"])
+        # Doppler pulled from the 250 Hz acquisition bin to within 2 Hz
+        assert abs(np.mean(tr["doppler"][-10:]) - 1800.0) < 2.0
+        assert len(tr["bits"]) >= 5
+        assert self._bits_match_cycle(tr["bits"], self.NAV1)
+
+    def test_vmapped_channel_bank(self):
+        # two satellites tracked simultaneously by ONE vmapped scan program
+        sig = gnss.synthesize(
+            [(7, 1800.0, 300, self.NAV1), (22, -3250.0, 1501, self.NAV2)],
+            fs=self.FS, n_ms=170, noise_std=1.0,
+            rng=np.random.default_rng(1))
+        acqs = [gnss.acquire(sig, p, fs=self.FS) for p in (7, 22)]
+        chans = gnss.track_channels(sig, acqs, fs=self.FS)
+        assert [c["prn"] for c in chans] == [7, 22]
+        assert abs(np.mean(chans[0]["doppler"][-10:]) - 1800.0) < 2.0
+        assert abs(np.mean(chans[1]["doppler"][-10:]) + 3250.0) < 2.0
+        assert self._bits_match_cycle(chans[0]["bits"], self.NAV1)
+        assert self._bits_match_cycle(chans[1]["bits"], self.NAV2)
+
+    def test_costas_survives_data_flips(self):
+        # a loop with an atan2 discriminator re-rotates after every bit flip;
+        # the prompt magnitude must stay at full correlation through flips
+        sig = gnss.synthesize([(3, 500.0, 100, self.NAV1)], fs=self.FS,
+                              n_ms=120, noise_std=0.0)
+        tr = gnss.track(sig, 3, fs=self.FS, code_phase=100, doppler=400.0)
+        mags = np.abs(tr["prompts"][40:])
+        assert mags.min() > 0.9 * mags.max()
