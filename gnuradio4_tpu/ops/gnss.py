@@ -254,3 +254,50 @@ def _finish_track(prompts: np.ndarray, code_chips: np.ndarray,
         k += 20
     return {"prompts": prompts, "doppler": freqs, "code_chips": code_chips,
             "bits": np.asarray(bits, np.uint8), "bit_boundary": boundary}
+
+
+def acquire_all(iq: np.ndarray, *, fs: float, prns=range(1, 33),
+                doppler_max: float = 5000.0, doppler_step: float = 250.0,
+                n_coherent: int = 2, threshold: float = 2.5,
+                mesh=None) -> list[dict]:
+    """Sky search: acquire every PRN in one batched program.
+
+    The PRN axis is a pure batch (vmap) — under a ``mesh`` it is sharded
+    across devices (expert-parallel style: each chip searches its slice of
+    the constellation; the Doppler×code FFTs stay chip-local, no collectives
+    in the hot loop)."""
+    prns = list(prns)
+    n = int(round(fs * 1e-3))
+    codes = jnp.stack([jnp.asarray(sampled_code(p, fs, n)) for p in prns])
+    dopplers = jnp.arange(-doppler_max, doppler_max + doppler_step / 2,
+                          doppler_step, dtype=jnp.float32)
+    x = jnp.asarray(iq, jnp.complex64)
+
+    fn = jax.vmap(lambda c: acquire_metric(x, c, dopplers, fs=fs,
+                                           n_coherent=n_coherent))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        axis = mesh.axis_names[-1]
+        codes = jax.device_put(codes, NamedSharding(mesh, P(axis, None)))
+        fn = jax.jit(fn, in_shardings=NamedSharding(mesh, P(axis, None)),
+                     out_shardings=NamedSharding(mesh, P(axis, None, None)))
+    surfs = np.asarray(fn(codes))                       # [P, D, N]
+
+    spchip = int(round(fs / CHIP_RATE))
+    out = []
+    for k, prn in enumerate(prns):
+        surf = surfs[k]
+        d_idx, c_idx = np.unravel_index(np.argmax(surf), surf.shape)
+        peak = surf[d_idx, c_idx]
+        row = surf[d_idx].copy()
+        lo, hi = c_idx - spchip, c_idx + spchip + 1
+        row[max(lo, 0):hi] = 0.0
+        if lo < 0:
+            row[lo:] = 0.0
+        if hi > n:
+            row[:hi - n] = 0.0
+        metric = float(peak / max(row.max(), 1e-30))
+        if metric >= threshold:
+            out.append({"prn": prn, "doppler": float(dopplers[d_idx]),
+                        "code_phase": int(c_idx), "metric": metric})
+    return out

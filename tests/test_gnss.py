@@ -129,3 +129,23 @@ class TestTracking:
         tr = gnss.track(sig, 3, fs=self.FS, code_phase=100, doppler=400.0)
         mags = np.abs(tr["prompts"][40:])
         assert mags.min() > 0.9 * mags.max()
+
+
+class TestSkySearch:
+    def test_acquire_all_sharded_equals_unsharded(self):
+        """All-constellation acquisition with the PRN axis sharded over the
+        8-device mesh (expert-parallel: each chip searches its slice, no
+        collectives in the hot loop) matches the unsharded search."""
+        from gnuradio4_tpu.parallel.mesh import make_mesh
+        import jax
+        fs = 2.046e6
+        sig = gnss.synthesize(
+            [(7, 1800.0, 300), (22, -3250.0, 1501), (31, 4100.0, 888)],
+            fs=fs, n_ms=4, noise_std=2.0, rng=np.random.default_rng(1))
+        mesh = make_mesh((len(jax.devices()),), axes=("ep",))
+        got = gnss.acquire_all(sig, fs=fs, mesh=mesh)
+        plain = gnss.acquire_all(sig, fs=fs)
+        assert [(d["prn"], d["code_phase"]) for d in got] == \
+            [(7, 300), (22, 1501), (31, 888)]
+        assert [(d["prn"], d["code_phase"], d["doppler"]) for d in got] == \
+            [(d["prn"], d["code_phase"], d["doppler"]) for d in plain]
