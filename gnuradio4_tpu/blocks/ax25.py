@@ -173,7 +173,7 @@ def deframe(bits: np.ndarray) -> list[bytes]:
     bits = np.asarray(bits, np.uint8)
     flag = np.asarray(_FLAG, np.uint8)
     # find flag positions
-    starts = [i for i in range(len(bits) - 8)
+    starts = [i for i in range(len(bits) - 7)
               if np.array_equal(bits[i:i + 8], flag)]
     frames: list[bytes] = []
     for a, b in zip(starts, starts[1:]):
@@ -222,28 +222,56 @@ class Ax25Decoder(SinkBlock):
     IN = (Port("in", dtype="float32"),)
     sps = Setting(default=10.0, kind="static",
                   description="discriminator samples per bit")
+    max_buffer_s = Setting(default=60.0, kind="static",
+                           description="detector-stream history bound (s of "
+                                       "samples at sps×1200); decoding is "
+                                       "incremental — packets appear during "
+                                       "the run")
 
     def __init__(self, name=None, **settings):
         super().__init__(name=name, **settings)
-        self._stream: list[np.ndarray] = []
+        self._buf = np.zeros(0, np.float64)
+        self._n_seen = 0            # frames already emitted from this buffer
+        self._pending = 0
         self.packets: list[dict] = []
 
     def consume(self, arrays, tags, n_valid, abs_index):
-        if n_valid > 0:
-            x = np.real(np.asarray(arrays["in"][..., :n_valid]))
-            self._stream.append(x.reshape(-1).astype(np.float64))
+        if n_valid <= 0:
+            return
+        x = np.real(np.asarray(arrays["in"][..., :n_valid]))
+        self._buf = np.concatenate([self._buf,
+                                    x.reshape(-1).astype(np.float64)])
+        self._pending += n_valid
+        if self._pending >= 4096:
+            self._pending = 0
+            self._process()
 
     def stop(self):
         self._process()
 
     def _process(self) -> None:
-        if not self._stream:
+        if not len(self._buf):
             return
-        freq = np.concatenate(self._stream)
-        tones = demod_bits(freq, float(self.settings.get("sps")))
-        bits = nrzi_decode(tones)
-        self.packets = [p for f in deframe(bits)
-                        if (p := parse_frame(f)) is not None]
+        # decoding a growing buffer is deterministic, so the frame list only
+        # extends — emit the suffix beyond what was already reported
+        tones = demod_bits(self._buf, float(self.settings.get("sps")))
+        frames = deframe(nrzi_decode(tones))
+        for f in frames[self._n_seen:]:
+            p = parse_frame(f)
+            if p is not None:
+                self.packets.append(p)
+        self._n_seen = len(frames)
+        cap = int(float(self.settings.get("max_buffer_s"))
+                  * float(self.settings.get("sps")) * 1200.0)
+        if len(self._buf) > cap:
+            # trim to the last half-cap and re-baseline the frame count over
+            # the kept tail (frames fully inside it were already reported);
+            # a frame straddling the cut is lost — the cap trades that for
+            # bounded memory on endless runs
+            self._buf = self._buf[-cap // 2:]
+            tail_tones = demod_bits(self._buf,
+                                    float(self.settings.get("sps")))
+            self._n_seen = len(deframe(nrzi_decode(tail_tones)))
 
 
 def afsk_discriminate(audio: np.ndarray, *, fs: float = 48000.0,

@@ -104,8 +104,9 @@ class PowerFactor(Block):
         zero = jnp.zeros_like(pf)
         sp = zero if sp is None else sp
         ss = zero if ss is None else ss
-        pf_sigma = jnp.abs(pf) * jnp.sqrt(
-            (sp / jnp.maximum(jnp.abs(ins["p"]), eps)) ** 2 + (ss / s_) ** 2)
+        # stable quotient rule: |pf|·sqrt((sp/p)²+(ss/s)²) overflows float32
+        # to 0·inf = NaN as p → 0; the equivalent form below limits to sp/s
+        pf_sigma = jnp.sqrt((sp / s_) ** 2 + (pf * ss / s_) ** 2)
         return state, {"power_factor": pf, "phase": jnp.arccos(pf),
                        "power_factor_sigma": pf_sigma}
 

@@ -58,7 +58,9 @@ class GnssAcquisition(SinkBlock):
     def _run(self, iq: np.ndarray) -> None:
         from ..ops import gnss
         fs = float(self.settings.get("sample_rate_in"))
-        n_ms = max(int(len(iq) / (fs * 1e-3)), 1)
+        n_ms = int(len(iq) / (fs * 1e-3))
+        if n_ms < 1:
+            return          # less than one code period delivered — no search
         n_coh = min(int(self.settings.get("n_coherent")), n_ms)
         for prn in self.settings.get("prns"):
             r = gnss.acquire(

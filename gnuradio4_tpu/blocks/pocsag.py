@@ -206,23 +206,47 @@ class PocsagDecoder(SinkBlock):
     IN = (Port("in", dtype="float32"),)
     sps = Setting(default=32.0, kind="static")
     invert = Setting(default=True, kind="static")
+    max_buffer_s = Setting(default=120.0, kind="static",
+                           description="discriminator history bound; decoding "
+                                       "is incremental")
 
     def __init__(self, name=None, **settings):
         super().__init__(name=name, **settings)
-        self._stream: list[np.ndarray] = []
+        self._buf = np.zeros(0, np.float64)
+        self._archived: list[dict] = []
+        self._pending = 0
         self.pages: list[dict] = []
 
     def consume(self, arrays, tags, n_valid, abs_index):
-        if n_valid > 0:
-            x = np.real(np.asarray(arrays["in"][..., :n_valid]))
-            self._stream.append(x.reshape(-1).astype(np.float64))
+        if n_valid <= 0:
+            return
+        x = np.real(np.asarray(arrays["in"][..., :n_valid]))
+        self._buf = np.concatenate([self._buf,
+                                    x.reshape(-1).astype(np.float64)])
+        self._pending += n_valid
+        if self._pending >= 16384:
+            self._pending = 0
+            self._process()
 
     def stop(self):
-        if not self._stream:
+        self._process()
+
+    def _process(self) -> None:
+        if not len(self._buf):
             return
         from .ax25 import demod_bits
-        disc = np.concatenate(self._stream)
-        if bool(self.settings.get("invert")):
-            disc = -disc
+        disc = -self._buf if bool(self.settings.get("invert")) else self._buf
         bits = demod_bits(disc, float(self.settings.get("sps")))
-        self.pages = decode_transmission(bits)
+        # wholesale view: a page still receiving message codewords at the
+        # buffer end is provisional — re-decoding with more data REPLACES it
+        # with the completed version (a grown-prefix suffix emit would freeze
+        # the truncated message)
+        self.pages = self._archived + decode_transmission(bits)
+        cap = int(float(self.settings.get("max_buffer_s"))
+                  * float(self.settings.get("sps")) * 1200.0)
+        if len(self._buf) > cap:
+            # freeze the current view and restart the buffer; a page mid-air
+            # at the trim instant is lost — the cap trades that rare loss for
+            # bounded memory on endless runs
+            self._archived = list(self.pages)
+            self._buf = np.zeros(0, np.float64)

@@ -207,6 +207,7 @@ class RdsDecoder(SinkBlock):
         cap = int(self.settings.get("max_buffer_bits"))
         if len(h) > 2 * cap:
             h = h[-2 * cap:]
+        self._halves = [h]          # bound storage too, not just the window
         best: list[tuple] = []
         for parity in (0, 1):
             hh = h[parity:]
@@ -220,15 +221,23 @@ class RdsDecoder(SinkBlock):
             if len(got) > len(best):
                 best = got
         self.groups = best
+        # full re-decode each time → rebuild the votes instead of accumulating
+        # (re-counting the same groups skews PI, and last-group-wins would let
+        # one late noise group overwrite a pty established by hundreds)
+        self._pi_votes = {}
+        pty_votes: dict[int, int] = {}
         for b1, b2, b3, b4, _vb in best:
             self._pi_votes[b1] = self._pi_votes.get(b1, 0) + 1
-            self.pty = (b2 >> 5) & 0x1F
+            pty_votes[(b2 >> 5) & 0x1F] = pty_votes.get((b2 >> 5) & 0x1F,
+                                                        0) + 1
+            self.pty = max(pty_votes.items(), key=lambda kv: kv[1])[0]
             gtype, version_b = (b2 >> 12) & 0xF, bool((b2 >> 11) & 1)
             if gtype == 0:
                 addr = b2 & 0x3
-                chars = b3 if version_b else b4
-                self._ps[2 * addr] = (chars >> 8) & 0xFF
-                self._ps[2 * addr + 1] = chars & 0xFF
+                # PS characters ride block 4 in BOTH 0A and 0B (block 3 of a
+                # 0B group is the repeated PI code, not text)
+                self._ps[2 * addr] = (b4 >> 8) & 0xFF
+                self._ps[2 * addr + 1] = b4 & 0xFF
             elif gtype == 2 and not version_b:
                 addr = b2 & 0xF
                 for k, ch in enumerate(((b3 >> 8) & 0xFF, b3 & 0xFF,

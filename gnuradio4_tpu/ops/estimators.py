@@ -231,6 +231,9 @@ class SchmittState:
     zone: tuple = ()          # samples accumulated inside the hysteresis band
     zone_start: int = 0       # position of zone[0] relative to chunk start
                               # (negative ⇒ carried over from a previous chunk)
+    last: float | None = None  # previous chunk's final sample — the bracketing
+                               # pre-band point when the band is entered at a
+                               # chunk seam (keeps streaming == one-shot)
 
 
 def _regression_crossing(ys: np.ndarray, offset: float) -> float | None:
@@ -286,8 +289,15 @@ def schmitt_edges(x: np.ndarray, *, low: float, high: float,
             if zone:
                 zone.append(x[i])
             elif in_band_entry:
-                zone = [x[i - 1], x[i]] if i > 0 else [x[i]]
-                zone_start = i - 1 if i > 0 else i
+                if i > 0:
+                    zone = [x[i - 1], x[i]]
+                    zone_start = i - 1
+                elif st.last is not None:
+                    zone = [st.last, x[0]]     # bracket across the chunk seam
+                    zone_start = -1
+                else:
+                    zone = [x[0]]
+                    zone_start = 0
         if (not above and x[i] >= high) or (above and x[i] <= low):
             rising = not above
             pos = float(i)
@@ -311,7 +321,8 @@ def schmitt_edges(x: np.ndarray, *, low: float, high: float,
                 zone, zone_start = [], 0
     n = len(x)
     return edges, SchmittState(above=above, zone=tuple(zone),
-                               zone_start=zone_start - n)
+                               zone_start=zone_start - n,
+                               last=float(x[-1]) if n else st.last)
 
 
 def schmitt_device(x: jnp.ndarray, last_above: jnp.ndarray, *, low: float,

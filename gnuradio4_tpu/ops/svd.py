@@ -87,6 +87,12 @@ def svd(a: jnp.ndarray, *, full_matrices: bool = False, method: str = "xla"):
     implementation (core SVD.hpp:1-10 one-sided Jacobi) in TPU-idiomatic form.
     """
     if method == "jacobi":
+        if a.shape[-2] < a.shape[-1]:
+            # jacobi needs m ≥ n; SVD the transpose and swap factors:
+            # A = (Aᵀ)ᵀ = (U'SV'ᴴ)ᵀ ⇒ U = conj(V') = vtᵀ*, Vᴴ = U'ᵀ
+            u2, s2, vt2 = jacobi_svd(jnp.swapaxes(a, -1, -2))
+            return (jnp.swapaxes(vt2, -1, -2), s2,
+                    jnp.swapaxes(u2, -1, -2))
         return jacobi_svd(a)
     return jnp.linalg.svd(a, full_matrices=full_matrices)
 
