@@ -100,3 +100,10 @@ class TestAfskModem:
         assert dec.packets[0]["info"].endswith("GR4 TPU")
         assert dec.packets[1]["src"] == ("W1AW", 0)
         assert dec.packets[1]["info"] == ">APRS test via TPU"
+
+
+class TestDeframeEdgeCases:
+    def test_closing_flag_at_exact_buffer_end(self):
+        payload = ax25.build_ui_frame("TEST", "CALL", "edge")
+        bits = ax25.hdlc_bits(payload, tail_flags=1)
+        assert ax25.deframe(bits) == [payload]     # last 8 bits ARE the flag

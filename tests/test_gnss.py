@@ -149,3 +149,15 @@ class TestSkySearch:
             [(7, 300), (22, 1501), (31, 888)]
         assert [(d["prn"], d["code_phase"], d["doppler"]) for d in got] == \
             [(d["prn"], d["code_phase"], d["doppler"]) for d in plain]
+
+
+class TestShortBuffer:
+    def test_sub_millisecond_stream_does_not_crash(self):
+        import jax
+        g = gr.Graph()
+        src = g.emplace("VectorSource",
+                        data=np.zeros(1024, np.complex64))  # < 1 ms at 2.046M
+        acq = g.emplace("GnssAcquisition", prns=(1,), sample_rate_in=2.046e6)
+        g.connect(src, acq)
+        gr.Scheduler(g, block_len=512, sample_rate=2.046e6).run_and_wait()
+        assert acq.detections == []

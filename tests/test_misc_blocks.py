@@ -459,3 +459,27 @@ class TestIQDemodulator:
         assert abs(f[np.argmax(S)] - 5e3) < 100          # tone at +5 kHz
         img = S[np.argmin(np.abs(f + 30e3))]             # aliased image spot
         assert 20 * np.log10(img / S.max()) < -60        # auto AA filter works
+
+
+class TestPowerFactorSigmaStability:
+    def test_zero_active_power_gives_finite_sigma(self):
+        from gnuradio4_tpu.blocks.electrical import PowerFactor
+        n = 8
+        g = gr.Graph()
+        s_p = VectorSource(np.zeros(n, np.float32))      # purely reactive
+        s_s = VectorSource(np.full(n, 100.0, np.float32))
+        s_sp = VectorSource(np.full(n, 5.0, np.float32))
+        s_ss = VectorSource(np.full(n, 1.0, np.float32))
+        pf = PowerFactor()
+        k = VectorSink()
+        for b in (s_p, s_s, s_sp, s_ss, pf, k):
+            g.add(b)
+        g.connect(s_p["out"], pf["p"])
+        g.connect(s_s["out"], pf["s"])
+        g.connect(s_sp["out"], pf["p_sigma"])
+        g.connect(s_ss["out"], pf["s_sigma"])
+        g.connect(pf["power_factor_sigma"], k["in"])
+        gr.Scheduler(g, block_len=n).run_and_wait()
+        out = k.data()
+        assert np.all(np.isfinite(out))
+        np.testing.assert_allclose(out, 5.0 / 100.0, rtol=1e-5)  # limit sp/s

@@ -440,3 +440,28 @@ class TestJacobiSvd:
                                      method="jacobi"))
         np.testing.assert_allclose(jac, xla, atol=1e-3)
         assert np.std(jac - clean) < 0.4 * np.std(noisy - clean)
+
+
+class TestJacobiWideMatrices:
+    def test_m_less_than_n_via_transpose(self):
+        from gnuradio4_tpu.ops.svd import svd
+        rng = np.random.default_rng(12)
+        for shape, dtype in [((6, 14), jnp.float32), ((5, 9), jnp.complex64)]:
+            a = rng.standard_normal(shape)
+            if dtype == jnp.complex64:
+                a = a + 1j * rng.standard_normal(shape)
+            a = jnp.asarray(a, dtype)
+            u, s, vt = svd(a, method="jacobi")
+            rec = (u * s[None, :].astype(a.dtype)) @ vt
+            np.testing.assert_allclose(np.asarray(rec), np.asarray(a),
+                                       atol=1e-3)
+
+    def test_denoiser_wide_window_any_engine(self):
+        # window > (chunk+1)/2 must work on both engines (auto on TPU picks
+        # jacobi — configs must not be platform-dependent crashes)
+        from gnuradio4_tpu.ops.svd import svd_denoise
+        x = jnp.asarray(np.random.default_rng(1).standard_normal(64),
+                        jnp.float32)
+        for eng in ("xla", "jacobi"):
+            y = svd_denoise(x, window=48, rank=2, method=eng)
+            assert y.shape == x.shape

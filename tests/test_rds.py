@@ -109,3 +109,23 @@ class TestRdsSourceExample:
         assert dec.ps == "GR4-TPU!"
         assert dec.radiotext == "HELLO FROM THE TPU SIDE"
         assert len(dec.groups) > 100
+
+
+class TestVersionBGroups:
+    def test_0b_ps_characters_from_block4(self):
+        # 0B groups repeat the PI in block 3; PS chars are in block 4
+        pi, pty, ps = 0x52A1, 9, "GR4-TPU!"
+        groups = []
+        for addr in range(4):
+            b2 = (0x0 << 12) | (1 << 11) | ((pty & 0x1F) << 5) | addr
+            b4 = (ord(ps[2 * addr]) << 8) | ord(ps[2 * addr + 1])
+            groups.append(rds.encode_group(pi, b2, pi, b4, version_b=True))
+        # twice: differential decoding inherently loses the very first bit
+        bits = np.concatenate([np.asarray(g, np.uint8) for g in groups * 2])
+        diff = rds.differential_encode(bits)
+        halves = rds.biphase_halves(diff)
+        dec = rds.RdsDecoder()
+        dec._halves = [halves.astype(np.float64)]
+        dec._process()
+        assert dec.ps == ps
+        assert dec.pi == pi
