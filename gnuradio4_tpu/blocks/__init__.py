@@ -1,7 +1,8 @@
 """Block library (≈ reference blocks/): importing this package registers all built-in
 blocks with the global registry."""
 
-from . import (acquisition, adsb, alsa, audio, ax25, basic, channelizer,  # noqa: F401
+from . import (acquisition, adsb, alsa, apt, audio, ax25, basic,  # noqa: F401
+               channelizer,
                digital, dsp_extras, electrical, equalizer, fec, fileio,
                filter, fourier, gnss, http, math,
                misc, monitor, network, pocsag, python_block, rds, rtl2832, sdr,
