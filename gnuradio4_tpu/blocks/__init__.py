@@ -6,6 +6,7 @@ from . import (acquisition, adsb, alsa, apt, audio, ax25, basic,  # noqa: F401
                digital, dsp_extras, electrical, equalizer, fec, fileio,
                filter, fourier, gnss, http, math,
                misc, monitor, network, pocsag, python_block, rds, rtl2832, sdr,
+               uncertain,
                soapy,
                testing, timing, usb, util_blocks)
 from . import ref_aliases  # noqa: F401  (after all targets are registered)

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.block import Block, Port
+from ..core.errors import GrError
 from ..core.registry import register_block
 from ..core.settings import Setting
 from ..ops import filter_design as fd
@@ -32,6 +33,13 @@ class FirFilter(Block):
     OUT = (Port("out"),)
     taps = Setting(default=(1.0,), kind="static", description="FIR taps b[k]")
     decim = Setting(default=1, kind="static", limits=(1, 1 << 16))
+    uncertain = Setting(default=False, kind="static",
+                        description="input is a 2-plane (value, sigma) stream; "
+                                    "sigma propagates as sqrt(fir(sigma^2, "
+                                    "taps^2)) — the uncorrelated first-order "
+                                    "rule of the reference's "
+                                    "fir_filter<UncertainValue<T>> "
+                                    "(time_domain_filter.hpp:213)")
 
     def __init__(self, name=None, taps: Any = None, **settings):
         if taps is not None:
@@ -69,9 +77,29 @@ class FirFilter(Block):
 
     def apply(self, state, ins, ctx):
         x = ins["in"]
-        y, new_state = fir_apply(x, self._taps_array(), state,
-                                 decim=int(self.settings.get("decim")))
+        d = int(self.settings.get("decim"))
+        if self.settings.get("uncertain"):
+            from .uncertain import check_uncertain_channels
+            check_uncertain_channels(ctx, "in", self.name)
+            t = self._taps_array()
+            if np.iscomplexobj(t):
+                raise GrError(f"{self.name}: uncertain mode needs real taps")
+            # state holds the raw input planes (value, sigma) — same layout as
+            # the plain path, so halo sharding and checkpoints are unchanged
+            yv, hv = fir_apply(x[..., 0, :], t, state[..., 0, :], decim=d)
+            s2, hs = fir_apply(jnp.square(x[..., 1, :]), (t * t),
+                               jnp.square(state[..., 1, :]), decim=d)
+            y = jnp.stack([yv, jnp.sqrt(jnp.maximum(s2, 0.0))], axis=-2)
+            new_state = jnp.stack([hv, jnp.sqrt(jnp.maximum(hs, 0.0))], axis=-2)
+            return new_state, {"out": y}
+        y, new_state = fir_apply(x, self._taps_array(), state, decim=d)
         return new_state, {"out": y}
+
+    def sp_halo(self, ctx):
+        """Time-shardable: state is exactly the last ntaps−1 raw inputs, so the
+        default ppermute-halo lowering applies (per-shard lengths are
+        decim-divisible by the rate algebra's shard alignment)."""
+        return len(self._taps_array()) - 1
 
 
 @register_block("FreqXlatingFir")
@@ -318,6 +346,13 @@ class IirFilter(Block):
                                  "fractions (needs complex-conjugate poles); "
                                  "'pallas': VMEM-resident biquad cascade kernel "
                                  "(one fused time loop, no per-sample HLO)")
+    uncertain = Setting(default=False, kind="static",
+                        description="input is a 2-plane (value, sigma) stream; "
+                                    "sigma^2 runs the per-op uncorrelated "
+                                    "recursion sy2[n] = Σb^2·sx2[n-k] + "
+                                    "Σa^2·sy2[n-j] (≈ iir_filter<Uncertain"
+                                    "Value<T>>, time_domain_filter.hpp:64); "
+                                    "forces the scan engine")
 
     def __init__(self, name=None, b: Any = None, a: Any = None, **settings):
         if b is not None:
@@ -349,6 +384,12 @@ class IirFilter(Block):
                                sos_parallel_init_state)
         from ..ops.filter_design import ba_to_sos
         ch = ctx.channels.get("in", 0)
+        if self.settings.get("uncertain"):
+            nb = len(self.settings.get("b"))
+            na = len(self.settings.get("a"))
+            # per-plane scalar scan states (value path + variance path)
+            return {"v": iir_init_state(0, nb, na),
+                    "s2": iir_init_state(0, nb, na)}
         eng = self._engine()
         if eng == "parallel":
             sos = ba_to_sos(self.settings.get("b"), self.settings.get("a"))
@@ -365,6 +406,18 @@ class IirFilter(Block):
         from ..ops.filter_design import ba_to_sos
         b = np.asarray(self.settings.get("b"), dtype=np.float64)
         a = np.asarray(self.settings.get("a"), dtype=np.float64)
+        if self.settings.get("uncertain"):
+            from .uncertain import check_uncertain_channels
+            check_uncertain_channels(ctx, "in", self.name)
+            x = ins["in"]
+            bn, an = b / a[0], a / a[0]
+            yv, sv = iir_apply(x[..., 0, :], bn, an, state["v"])
+            # variance recursion: sy2 = Σ bn² sx2 − Σ (−an²) sy2
+            av = np.concatenate([[1.0], -np.square(an[1:])])
+            s2, ss = iir_apply(jnp.square(x[..., 1, :]), np.square(bn), av,
+                               state["s2"])
+            y = jnp.stack([yv, jnp.sqrt(jnp.maximum(s2, 0.0))], axis=-2)
+            return {"v": sv, "s2": ss}, {"out": y}
         eng = self._engine()
         if eng == "parallel":
             y, new_state = sos_parallel_apply(ins["in"], ba_to_sos(b, a), state)

@@ -20,10 +20,17 @@ from ..ops.signal import nco_phases, phase_increment, phase_to_frac, complex_exp
 
 
 class _NAry(Block):
-    """N-input elementwise reducer; inputs in0..in{N-1} (≈ multi-port Add etc.)."""
+    """N-input elementwise reducer; inputs in0..in{N-1} (≈ multi-port Add etc.).
+
+    ``uncertain=True`` runs the reducer on 2-plane (value, sigma) streams with
+    first-order Gaussian propagation — the sample type is UncertainValue, as in
+    the reference's ``Add<gr::UncertainValue<float>>`` registrations
+    (Math.hpp:68-71)."""
 
     OUT = (Port("out"),)
     n_inputs = Setting(default=2, kind="static", limits=(1, 64))
+    uncertain = Setting(default=False, kind="static",
+                        description="inputs are 2-plane (value, sigma) streams")
 
     def __init__(self, name=None, **settings):
         super().__init__(name=name, **settings)
@@ -34,6 +41,12 @@ class _NAry(Block):
         raise NotImplementedError
 
     def apply(self, state, ins, ctx):
+        if self.settings.get("uncertain"):
+            from .uncertain import check_uncertain_channels, uv_join, uv_split
+            for p in self.in_ports:
+                check_uncertain_channels(ctx, p.name, self.name)
+            out = self._reduce([uv_split(ins[p.name]) for p in self.in_ports])
+            return state, {"out": uv_join(out)}
         vals = [ins[p.name] for p in self.in_ports]
         return state, {"out": self._reduce(vals)}
 
@@ -75,38 +88,56 @@ class Divide(_NAry):
 
 
 class _ConstOp(Block):
+    """Elementwise op against a constant. With ``uncertain=True`` the stream is
+    a 2-plane (value, sigma) pair and the constant itself may carry an
+    uncertainty (``value_sigma``) — ≈ the reference's
+    ``AddConst<gr::UncertainValue<T>>`` (Math.hpp:25-28), whose constant is an
+    UncertainValue."""
+
     IN = (Port("in"),)
     OUT = (Port("out"),)
     SAMPLE_ACCURATE = frozenset({"value"})   # tag-driven changes hit at index k
     value = Setting(default=1.0, description="constant operand")
+    uncertain = Setting(default=False, kind="static",
+                        description="stream is a 2-plane (value, sigma) pair")
+    value_sigma = Setting(default=0.0, limits=(0.0, None),
+                          description="1-sigma uncertainty of the constant "
+                                      "(uncertain mode)")
+
+    _OP = staticmethod(lambda x, c: x)
+
+    def apply(self, state, ins, ctx):
+        x = ins["in"]
+        if self.settings.get("uncertain"):
+            from ..utils.uncertain import UncertainValue
+            from .uncertain import check_uncertain_channels, uv_join, uv_split
+            check_uncertain_channels(ctx, "in", self.name)
+            c = UncertainValue(
+                jnp.asarray(ctx.p("value", 1.0), jnp.float32),
+                jnp.asarray(ctx.p("value_sigma", 0.0), jnp.float32))
+            return state, {"out": uv_join(self._OP(uv_split(x), c))}
+        return state, {"out": self._OP(
+            x, jnp.asarray(ctx.p("value", 1.0)).astype(x.dtype))}
 
 
 @register_block("AddConst")
 class AddConst(_ConstOp):
-    def apply(self, state, ins, ctx):
-        x = ins["in"]
-        return state, {"out": x + jnp.asarray(ctx.p("value", 1.0)).astype(x.dtype)}
+    _OP = staticmethod(lambda x, c: x + c)
 
 
 @register_block("SubtractConst")
 class SubtractConst(_ConstOp):
-    def apply(self, state, ins, ctx):
-        x = ins["in"]
-        return state, {"out": x - jnp.asarray(ctx.p("value", 1.0)).astype(x.dtype)}
+    _OP = staticmethod(lambda x, c: x - c)
 
 
 @register_block("MultiplyConst")
 class MultiplyConst(_ConstOp):
-    def apply(self, state, ins, ctx):
-        x = ins["in"]
-        return state, {"out": x * jnp.asarray(ctx.p("value", 1.0)).astype(x.dtype)}
+    _OP = staticmethod(lambda x, c: x * c)
 
 
 @register_block("DivideConst")
 class DivideConst(_ConstOp):
-    def apply(self, state, ins, ctx):
-        x = ins["in"]
-        return state, {"out": x / jnp.asarray(ctx.p("value", 1.0)).astype(x.dtype)}
+    _OP = staticmethod(lambda x, c: x / c)
 
 
 @register_block("Rotator")

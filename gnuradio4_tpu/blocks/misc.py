@@ -179,9 +179,14 @@ class FrequencyEstimator(Block):
     method 'fft': windowed FFT + parabolic peak interpolation per chunk;
     method 'zero_crossing': mean spacing of sign changes. One estimate per
     ``chunk`` samples (rate fs/chunk).
+
+    Complex IQ input is accepted on both methods (beyond the reference's
+    float/double instantiations): 'fft' searches the full signed spectrum
+    [−fs/2, fs/2); 'zero_crossing' becomes the phase-slope (Kay) estimator
+    fs/2π·arg Σ x[n+1]·x̄[n] — the ML tone-frequency estimator at high SNR.
     """
 
-    IN = (Port("in", dtype="float32"),)
+    IN = (Port("in"),)
     OUT = (Port("out", dtype="float32"),)
     chunk = Setting(default=1024, kind="static", limits=(8, 1 << 24))
     method = Setting(default="fft", kind="static",
@@ -200,19 +205,34 @@ class FrequencyEstimator(Block):
         x = ins["in"]
         xw = x.reshape(*x.shape[:-1], -1, n)
         fs = ctx.sample_rate
+        is_complex = jnp.issubdtype(x.dtype, jnp.complexfloating)
         if self.settings.get("method") == "fft":
             w = jnp.asarray(np.hanning(n), jnp.float32)
-            spec = jnp.abs(jnp.fft.rfft(xw * w, axis=-1))
-            spec = spec.at[..., 0].set(0.0)  # ignore DC
+            if is_complex:
+                # full signed spectrum, fftshifted so DC sits at bin n//2
+                spec = jnp.abs(jnp.fft.fftshift(
+                    jnp.fft.fft(xw * w, axis=-1), axes=-1))
+                spec = spec.at[..., n // 2].set(0.0)  # ignore DC
+                half = n - 1
+                bin0 = -(n // 2)
+            else:
+                spec = jnp.abs(jnp.fft.rfft(xw * w, axis=-1))
+                spec = spec.at[..., 0].set(0.0)  # ignore DC
+                half = n // 2
+                bin0 = 0
             k = jnp.argmax(spec, axis=-1)
             # parabolic interpolation around the peak
-            km = jnp.clip(k, 1, n // 2 - 1)
+            km = jnp.clip(k, 1, half - 1)
             a = jnp.take_along_axis(spec, km[..., None] - 1, axis=-1)[..., 0]
             b = jnp.take_along_axis(spec, km[..., None], axis=-1)[..., 0]
             c = jnp.take_along_axis(spec, km[..., None] + 1, axis=-1)[..., 0]
             denom = a - 2 * b + c
             d = jnp.where(jnp.abs(denom) > 1e-20, 0.5 * (a - c) / denom, 0.0)
-            freq = (km.astype(jnp.float32) + d) * (fs / n)
+            freq = (km.astype(jnp.float32) + d + bin0) * (fs / n)
+        elif is_complex:
+            # phase-slope (Kay) estimator: signed, sub-bin, one arg per chunk
+            acc = jnp.sum(xw[..., 1:] * jnp.conj(xw[..., :-1]), axis=-1)
+            freq = jnp.angle(acc).astype(jnp.float32) * (fs / (2.0 * np.pi))
         else:
             sign = jnp.signbit(xw)
             crossings = jnp.sum(sign[..., 1:] != sign[..., :-1], axis=-1)

@@ -77,9 +77,10 @@ class Setting:
             except ValueError:
                 pass
         if self.limits is not None:
-            lo, hi = self.limits
+            lo, hi = self.limits   # None = unbounded on that side
             v = np.asarray(value, dtype=float)
-            if np.any(v < lo) or np.any(v > hi):
+            if (lo is not None and np.any(v < lo)) \
+                    or (hi is not None and np.any(v > hi)):
                 raise SettingsError(f"setting {self.name!r}={value!r} outside limits [{lo}, {hi}]")
         if self.choices is not None and value not in self.choices:
             raise SettingsError(f"setting {self.name!r}={value!r} not in {self.choices}")

@@ -174,6 +174,16 @@ def _build_graph(body: dict[str, Any], registry: BlockRegistry,
         params.pop("name", None)
         params = {k: (tuple(v) if isinstance(v, list) else v)
                   for k, v in params.items()}
+        # reference ids templated on UncertainValue (e.g.
+        # 'gr::blocks::math::Add<gr::UncertainValue<float>>', Math.hpp:68)
+        # map to our 2-plane uncertain-stream mode where supported
+        if "UncertainValue" in str(bm.get("id") or "") \
+                and "uncertain" not in params:
+            from .settings import Setting as _Setting
+            f = registry.get(bid)
+            if isinstance(f, type) and \
+                    isinstance(getattr(f, "uncertain", None), _Setting):
+                params["uncertain"] = True
         blk = registry.create(bid, **params)
         blk.name = bname or blk.name
         for cm in bm.get("ctx_parameters", []) or []:

@@ -135,6 +135,32 @@ class TestFrequencyEstimator:
         assert ests.shape == (8,)
         np.testing.assert_allclose(ests, f0, atol=tol * fs / 1024)
 
+    @pytest.mark.parametrize("f0", [1234.0, -1234.0, 3777.5])
+    def test_complex_fft_signed_spectrum(self, f0):
+        """Complex IQ: the fft method resolves sign and magnitude of the tone."""
+        fs = 10000.0
+        n = np.arange(8192)
+        x = np.exp(2j * np.pi * f0 * n / fs).astype(np.complex64)
+        src = VectorSource(x)
+        fe = FrequencyEstimator(chunk=1024, method="fft")
+        snk = VectorSink()
+        run_chain(src, fe, snk, block_len=2048, sample_rate=fs)
+        np.testing.assert_allclose(snk.data(), f0, atol=0.5 * fs / 1024)
+
+    @pytest.mark.parametrize("f0", [250.0, -1875.25])
+    def test_complex_phase_slope_kay(self, f0, rng):
+        """Complex time-domain method = Kay phase-slope: sub-bin accuracy
+        under noise, signed."""
+        fs = 10000.0
+        n = np.arange(8192)
+        x = np.exp(2j * np.pi * f0 * n / fs)
+        x += 0.01 * (rng.standard_normal(8192) + 1j * rng.standard_normal(8192))
+        src = VectorSource(x.astype(np.complex64))
+        fe = FrequencyEstimator(chunk=1024, method="zero_crossing")
+        snk = VectorSink()
+        run_chain(src, fe, snk, block_len=2048, sample_rate=fs)
+        np.testing.assert_allclose(snk.data(), f0, atol=1.0)  # Hz, ≪ one bin
+
 
 class TestSavgolAndSvd:
     def test_savgol_design_preserves_polynomial(self):
