@@ -16,7 +16,8 @@ from ..core.block import Block, Port, SourceBlock
 from ..core.registry import register_block
 from ..core.settings import Setting
 from ..core.stream import canonical_dtype
-from ..ops.signal import (WAVEFORMS, nco_phases, phase_increment, phase_to_frac,
+from ..ops.signal import (NOISE_WAVEFORMS, WAVEFORMS,
+                          nco_phases, phase_increment, phase_to_frac,
                           waveform, complex_exp)
 
 
@@ -24,12 +25,19 @@ from ..ops.signal import (WAVEFORMS, nco_phases, phase_increment, phase_to_frac,
 class SignalGenerator(SourceBlock):
     """Waveform source with drift-free integer-NCO phase (≈ SignalGenerator.hpp:25).
 
-    settings: signal ∈ {Const,Sin,Cos,Square,Saw,Triangle}, frequency [Hz],
-    amplitude, offset, phase [rad], sample_rate [Hz], n_samples (0=∞).
+    settings: signal ∈ {Const,Sin,Cos,Square,Saw,Triangle,FastSin,FastCos,
+    UniformNoise,TriangularNoise,GaussianNoise} (the reference's full type
+    list, SignalGenerator.hpp:18), frequency [Hz], amplitude, offset,
+    phase [rad], sample_rate [Hz], n_samples (0=∞), seed (noise types).
+    Noise conventions match NoiseGenerator.hpp: Uniform/Triangular on
+    [−A, +A) + O, Gaussian N(0, A²) + O; generated on-device (threefry).
     """
 
     OUT = (Port("out", dtype="float32"),)
-    signal = Setting(default="Sin", kind="static", choices=WAVEFORMS)
+    signal = Setting(default="Sin", kind="static",
+                     choices=WAVEFORMS + NOISE_WAVEFORMS)
+    seed = Setting(default=0, kind="static",
+                   description="PRNG seed for the noise signal types")
     frequency = Setting(default=1.0, unit="Hz")
     amplitude = Setting(default=1.0)
     offset = Setting(default=0.0)
@@ -46,8 +54,14 @@ class SignalGenerator(SourceBlock):
         fs = float(self.settings.get("sample_rate"))
         return fs if fs > 0 else ctx_rate
 
+    def _is_noise(self) -> bool:
+        return str(self.settings.get("signal")).endswith("Noise")
+
     def init_state(self, ctx):
         self._ctx_rate = ctx.sample_rate
+        if self._is_noise():
+            from ..ops.noise import noise_init_state
+            return noise_init_state(int(self.settings.get("seed")))
         return jnp.zeros((), jnp.uint32)
 
     def prepare_params(self, params):
@@ -67,12 +81,24 @@ class SignalGenerator(SourceBlock):
     def apply(self, state, ins, ctx):
         n = ctx.out_len["out"]
         ch = ctx.channels["out"]
+        amp = jnp.asarray(ctx.p("amplitude", 1.0), jnp.float32)
+        off = jnp.asarray(ctx.p("offset", 0.0), jnp.float32)
+        if self._is_noise():
+            from ..ops import noise as nz
+            shape = (n,) if ch == 0 else (ch, n)
+            kind = str(self.settings.get("signal"))
+            if kind == "UniformNoise":
+                y, key = nz.uniform(state, shape, low=-1.0, high=1.0)
+            elif kind == "TriangularNoise":
+                y, key = nz.triangular(state, shape)
+            else:
+                y, key = nz.gaussian(state, shape)
+            return key, {"out": (amp * y + off).astype(jnp.float32)}
         dphi = jnp.asarray(ctx.params.get("_dphi", np.uint32(0)), jnp.uint32)
         ph0 = jnp.asarray(ctx.params.get("_phase0_u32", np.uint32(0)), jnp.uint32)
         ph = nco_phases(state + ph0, dphi, n)
         y = waveform(str(self.settings.get("signal")), phase_to_frac(ph),
-                     amplitude=jnp.asarray(ctx.p("amplitude", 1.0), jnp.float32),
-                     offset=jnp.asarray(ctx.p("offset", 0.0), jnp.float32))
+                     amplitude=amp, offset=off)
         if ch:
             y = jnp.broadcast_to(y, (ch, n))
         return state + dphi * jnp.uint32(n), {"out": y.astype(jnp.float32)}
@@ -81,8 +107,13 @@ class SignalGenerator(SourceBlock):
         """Time-sharded lowering: the integer-NCO phase is a pure function of
         global sample position, so each shard generates its local segment from
         a position-offset start phase — no halo, no gather island (exact:
-        uint32 phase arithmetic wraps identically). Per-sample param ramps
-        (arrays) fall back to the generic replicated island."""
+        uint32 phase arithmetic wraps identically). Noise signal types run as
+        a replicated island (every shard draws the identical full-length
+        stream and keeps its slice — sharded == unsharded exactly).
+        Per-sample param ramps (arrays) fall back to the island too."""
+        if self._is_noise():
+            from ..core.block import Block
+            return Block.apply_sp(self, state, ins, ctx, local_ctx, axis_name)
         if any(jnp.ndim(ctx.params.get(k, 0.0))
                for k in ("_dphi", "amplitude", "offset")):
             return super().apply_sp(state, ins, ctx, local_ctx, axis_name)
@@ -120,7 +151,8 @@ class NoiseSource(SourceBlock):
 
     OUT = (Port("out"),)
     noise = Setting(default="gaussian", kind="static",
-                    choices=("gaussian", "uniform", "complex_gaussian"))
+                    choices=("gaussian", "uniform", "triangular",
+                             "complex_gaussian"))
     std = Setting(default=1.0, description="std-dev / half-range")
     mean = Setting(default=0.0)
     seed = Setting(default=0, kind="static")
@@ -156,6 +188,8 @@ class NoiseSource(SourceBlock):
             y, key = nz.gaussian(state, shape, std=std, mean=mean)
         elif kind == "uniform":
             y, key = nz.uniform(state, shape, low=mean - std, high=mean + std)
+        elif kind == "triangular":
+            y, key = nz.triangular(state, shape, half_range=std, mean=mean)
         else:
             y, key = nz.complex_gaussian(state, shape, std=std)
         return key, {"out": y}

@@ -24,32 +24,51 @@ from ..ops.savgol import design_savgol
 from ..ops.fir import fir_apply, fir_init_state
 
 
-FUNCTION_MODES = ("Const", "LinearRamp", "ParabolicRamp", "CubicSpline")
+FUNCTION_MODES = ("Const", "LinearRamp", "ParabolicRamp", "CubicSpline",
+                  "ImpulseResponse", "UniformNoise", "TriangularNoise",
+                  "GaussianNoise", "Sin", "Cos", "FastSin", "FastCos")
+_FG_NOISE = ("UniformNoise", "TriangularNoise", "GaussianNoise")
+_FG_TONES = ("Sin", "Cos", "FastSin", "FastCos")
 
 
 @register_block("FunctionGenerator")
 class FunctionGenerator(SourceBlock):
     """Segment-programmable function source (≈ FunctionGenerator.hpp:138).
 
-    One segment at a time: ``signal_type`` ∈ {Const, LinearRamp, ParabolicRamp,
-    CubicSpline} from ``start_value`` → ``final_value`` over ``duration`` seconds.
-    Segments are switched by (context) tags or Set messages — applying settings
-    restarts the segment clock (state reset), matching the reference's
-    context-tag-driven operation.
+    One segment at a time, the reference's full type list
+    (FunctionGenerator.hpp:21): ramps {Const, LinearRamp, ParabolicRamp,
+    CubicSpline} from ``start_value`` → ``final_value`` over ``duration``
+    seconds; ``ImpulseResponse`` (``final_value`` inside [impulse_time0,
+    impulse_time0+impulse_time1], ``start_value`` outside); noise types
+    (``start_value`` = amplitude, device threefry); tones Sin/Cos/FastSin/
+    FastCos (``final_value`` = amplitude, ``start_value`` = offset; a
+    positive ``duration`` expires the tone back to the offset).
+    Segments are switched by (context) tags or Set messages — applying
+    settings restarts the segment clock (state reset), matching the
+    reference's context-tag-driven operation.
     """
 
     OUT = (Port("out", dtype="float32"),)
     signal_type = Setting(default="Const", kind="static", choices=FUNCTION_MODES)
     start_value = Setting(default=0.0)
     final_value = Setting(default=0.0)
-    duration = Setting(default=1.0, unit="s", limits=(1e-12, 1e12))
+    duration = Setting(default=1.0, unit="s", limits=(0.0, 1e12))
     round_off_time = Setting(default=0.0, unit="s",
                              description="parabolic ease-in/out time")
+    impulse_time0 = Setting(default=0.0, unit="s")
+    impulse_time1 = Setting(default=0.0, unit="s")
+    frequency = Setting(default=0.0, unit="Hz")
+    phase = Setting(default=0.0, unit="rad")
+    seed = Setting(default=0, kind="static",
+                   description="PRNG seed for the noise types")
     sample_rate = Setting(default=0.0, unit="Hz")
     n_samples = Setting(default=0, kind="static")
 
     def init_state(self, ctx):
         self._ctx_rate = ctx.sample_rate
+        if str(self.settings.get("signal_type")) in _FG_NOISE:
+            from ..ops.noise import noise_init_state
+            return noise_init_state(int(self.settings.get("seed")))
         return jnp.zeros((), jnp.uint32)  # samples since segment start (blocks)
 
     def on_settings_applied(self, result):
@@ -65,13 +84,34 @@ class FunctionGenerator(SourceBlock):
     def apply(self, state, ins, ctx):
         n = ctx.out_len["out"]
         fs = float(self.settings.get("sample_rate")) or ctx.sample_rate
-        idx = jax.lax.broadcasted_iota(jnp.float32, (n, 1), 0)[:, 0]
-        t = (state.astype(jnp.float32) + idx) / jnp.float32(fs)
         a = jnp.asarray(ctx.p("start_value", 0.0), jnp.float32)
         b = jnp.asarray(ctx.p("final_value", 0.0), jnp.float32)
         dur = jnp.asarray(ctx.p("duration", 1.0), jnp.float32)
-        u = jnp.clip(t / dur, 0.0, 1.0)
         mode = str(self.settings.get("signal_type"))
+        if mode in _FG_NOISE:
+            from ..ops import noise as nz
+            fn = {"UniformNoise": lambda k: nz.uniform(k, (n,)),
+                  "TriangularNoise": lambda k: nz.triangular(k, (n,)),
+                  "GaussianNoise": lambda k: nz.gaussian(k, (n,))}[mode]
+            y, key = fn(state)
+            return key, {"out": (a * y).astype(jnp.float32)}
+        idx = jax.lax.broadcasted_iota(jnp.float32, (n, 1), 0)[:, 0]
+        t = (state.astype(jnp.float32) + idx) / jnp.float32(fs)
+        if mode in _FG_TONES:
+            # final_value = amplitude, start_value = offset; expires to offset
+            f = jnp.asarray(ctx.p("frequency", 0.0), jnp.float32)
+            ph = jnp.asarray(ctx.p("phase", 0.0), jnp.float32)
+            theta = 2.0 * np.pi * f * t + ph
+            tone = jnp.sin(theta) if mode in ("Sin", "FastSin") \
+                else jnp.cos(theta)
+            y = jnp.where((dur > 0.0) & (t > dur), a, b * tone + a)
+            return state + jnp.uint32(n), {"out": y.astype(jnp.float32)}
+        if mode == "ImpulseResponse":
+            it0 = jnp.asarray(ctx.p("impulse_time0", 0.0), jnp.float32)
+            it1 = jnp.asarray(ctx.p("impulse_time1", 0.0), jnp.float32)
+            y = jnp.where((t < it0) | (t > it0 + it1), a, b)
+            return state + jnp.uint32(n), {"out": y.astype(jnp.float32)}
+        u = jnp.clip(t / jnp.maximum(dur, 1e-12), 0.0, 1.0)
         if mode == "Const":
             y = jnp.broadcast_to(a, (n,))
         elif mode == "LinearRamp":

@@ -14,7 +14,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-WAVEFORMS = ("Const", "Sin", "Cos", "Square", "Saw", "Triangle")
+WAVEFORMS = ("Const", "Sin", "Cos", "Square", "Saw", "Triangle",
+             # FastSin/FastCos are the reference's reduced-precision recursive
+             # phasors (SignalGenerator.hpp:34) — the integer NCO is already
+             # drift-free AND exact here, so they alias Sin/Cos
+             "FastSin", "FastCos")
+NOISE_WAVEFORMS = ("UniformNoise", "TriangularNoise", "GaussianNoise")
 
 _TWO_PI = 2.0 * np.pi
 _PHASE_SCALE = np.float32(1.0 / 4294967296.0)  # 2^-32
@@ -43,9 +48,9 @@ def waveform(kind: str, frac_phase: jnp.ndarray, *, amplitude, offset) -> jnp.nd
     k = kind.lower()
     if k == "const":
         return jnp.full_like(frac_phase, 1.0) * amplitude + offset
-    if k == "sin":
+    if k in ("sin", "fastsin"):
         return amplitude * jnp.sin(_TWO_PI * frac_phase) + offset
-    if k == "cos":
+    if k in ("cos", "fastcos"):
         return amplitude * jnp.cos(_TWO_PI * frac_phase) + offset
     if k == "square":
         return amplitude * jnp.where(frac_phase < 0.5, 1.0, -1.0) + offset

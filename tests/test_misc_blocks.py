@@ -54,6 +54,53 @@ class TestFunctionGenerator:
         # parabolic start: slope grows from ~0
         assert np.diff(y)[2] < np.diff(y)[150]
 
+    def test_impulse_response_window(self):
+        """ImpulseResponse: final_value inside [it0, it0+it1], start_value
+        outside (FunctionGenerator.hpp:295)."""
+        fg = FunctionGenerator(signal_type="ImpulseResponse", start_value=1.0,
+                               final_value=7.0, impulse_time0=0.2,
+                               impulse_time1=0.3, n_samples=1000,
+                               sample_rate=1000.0)
+        snk = VectorSink()
+        run_chain(fg, snk, block_len=250, sample_rate=1000.0)
+        y = snk.data()
+        t = np.arange(1000) / 1000.0
+        exp = np.where((t < 0.2) | (t > 0.5), 1.0, 7.0)
+        np.testing.assert_allclose(y, exp)
+
+    def test_tone_amplitude_offset_and_expiry(self):
+        """Tone types: final_value = amplitude, start_value = offset; a
+        positive duration expires the tone back to the offset
+        (FunctionGenerator.hpp:258-269,344)."""
+        fg = FunctionGenerator(signal_type="Sin", start_value=2.0,
+                               final_value=0.5, frequency=50.0, duration=0.5,
+                               n_samples=1000, sample_rate=1000.0)
+        snk = VectorSink()
+        run_chain(fg, snk, block_len=250, sample_rate=1000.0)
+        y = snk.data()
+        t = np.arange(1000) / 1000.0
+        live = t <= 0.5
+        np.testing.assert_allclose(
+            y[live], 0.5 * np.sin(2 * np.pi * 50.0 * t[live]) + 2.0, atol=1e-4)
+        np.testing.assert_allclose(y[t > 0.5], 2.0)
+
+    @pytest.mark.parametrize("mode", ["UniformNoise", "TriangularNoise",
+                                      "GaussianNoise"])
+    def test_noise_types(self, mode):
+        """Noise types: start_value = amplitude (FunctionGenerator.hpp:342)."""
+        fg = FunctionGenerator(signal_type=mode, start_value=2.0, seed=1,
+                               n_samples=20000, sample_rate=1000.0)
+        snk = VectorSink()
+        run_chain(fg, snk, block_len=5000, sample_rate=1000.0)
+        y = snk.data()
+        assert abs(y.mean()) < 0.06
+        if mode == "GaussianNoise":
+            assert abs(y.var() - 4.0) < 0.2
+        else:
+            assert np.all(np.abs(y) <= 2.0)
+            var = 4.0 / 3.0 if mode == "UniformNoise" else 4.0 / 6.0
+            assert abs(y.var() - var) < 0.1
+
     def test_settings_change_restarts_segment(self):
         fg = FunctionGenerator(signal_type="LinearRamp", start_value=0.0,
                                final_value=1.0, duration=0.5, sample_rate=1000.0)

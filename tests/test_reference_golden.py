@@ -608,3 +608,166 @@ class TestQaSampleRateEstimatorGolden:
         for k in range(1, 10):
             r = sre.update(k * 1000, k * 1.0)
         np.testing.assert_allclose(r, 1000.0, rtol=0.01)
+
+
+class TestQaNoiseGeneratorGolden:
+    """≈ algorithm/test/qa_NoiseGenerator.cpp + qa_GaussianNoise.cpp: noise
+    stream conventions over the bit-compatible host Xoshiro256++/Marsaglia
+    engine (output = A·noise + O; complex rails; Option B power)."""
+
+    N = 20000
+
+    def _gen(self, kind, **kw):
+        from gnuradio4_tpu.ops.noise import NoiseGenerator
+        return NoiseGenerator(kind, **kw)
+
+    @pytest.mark.parametrize("kind", ["uniform", "triangular"])
+    def test_range_and_mean(self, kind):
+        x = self._gen(kind, seed=42).fill(self.N)
+        assert np.all(x >= -1.0) and np.all(x < 1.0)
+        assert abs(x.mean()) < 0.02
+
+    def test_gaussian_mean_and_variance(self):
+        x = self._gen("gaussian", seed=42).fill(self.N)
+        assert abs(x.mean()) < 0.02
+        assert abs(x.var() - 1.0) < 0.05
+
+    @pytest.mark.parametrize("kind", ["uniform", "triangular", "gaussian"])
+    def test_amplitude_and_offset(self, kind):
+        x = self._gen(kind, amplitude=3.0, offset=5.0, seed=7).fill(self.N)
+        assert abs(x.mean() - 5.0) < 0.3   # qa_NoiseGenerator.cpp:65-78
+
+    @pytest.mark.parametrize("kind", ["uniform", "triangular", "gaussian"])
+    def test_fill_matches_repeated_sample(self, kind):
+        a = self._gen(kind, amplitude=2.0, offset=1.0, seed=3)
+        b = self._gen(kind, amplitude=2.0, offset=1.0, seed=3)
+        filled = a.fill(64)
+        singles = np.asarray([b.sample() for _ in range(64)])
+        np.testing.assert_array_equal(filled, singles)
+
+    @pytest.mark.parametrize("kind", ["uniform", "triangular", "gaussian"])
+    def test_reset_restores_sequence(self, kind):
+        g = self._gen(kind, seed=11)
+        first = g.fill(128)
+        g.reset(11)
+        np.testing.assert_array_equal(first, g.fill(128))
+
+    def test_gaussian_determinism(self):
+        from gnuradio4_tpu.ops.noise import GaussianNoise, Xoshiro256pp
+        g1 = GaussianNoise(Xoshiro256pp(123))
+        g2 = GaussianNoise(Xoshiro256pp(123))
+        for _ in range(1000):
+            assert g1() == g2()
+
+    def test_gaussian_polar_pairs_from_uniform_stream(self):
+        """Each accepted polar pair reconstructs exactly from the raw
+        uniformM11 stream — pins the Marsaglia rejection loop bit-for-bit."""
+        from gnuradio4_tpu.ops.noise import GaussianNoise, Xoshiro256pp
+        g = GaussianNoise(Xoshiro256pp(5))
+        got = [g() for _ in range(40)]       # 20 polar pairs
+        rng = Xoshiro256pp(5)
+        exp = []
+        while len(exp) < 40:
+            u, v = rng.uniformM11(), rng.uniformM11()
+            s = u * u + v * v
+            if 0.0 < s < 1.0:
+                f = np.sqrt(-2.0 * np.log(s) / s)
+                exp += [u * f, v * f]
+        np.testing.assert_array_equal(got, exp)
+
+    def test_complex_uniform_independent_rails(self):
+        z = self._gen("uniform", seed=9).fill_complex(self.N)
+        for rail in (z.real, z.imag):
+            assert np.all(rail >= -1.0) and np.all(rail < 1.0)
+            assert abs(rail.mean()) < 0.02
+        # independent draws: rails are uncorrelated
+        assert abs(np.corrcoef(z.real, z.imag)[0, 1]) < 0.03
+
+    def test_complex_gaussian_option_b(self):
+        z = self._gen("gaussian", seed=13).fill_complex(self.N)
+        assert abs(np.mean(np.abs(z) ** 2) - 1.0) < 0.05
+        assert abs(z.real.var() - 0.5) < 0.05
+        assert abs(z.imag.var() - 0.5) < 0.05
+
+    def test_complex_gaussian_amplitude_power(self):
+        z = self._gen("gaussian", amplitude=3.0, seed=17).fill_complex(self.N)
+        assert abs(np.mean(np.abs(z) ** 2) - 9.0) < 0.5
+
+    def test_complex_offset_real_rail_only(self):
+        z = self._gen("gaussian", offset=5.0, seed=19).fill_complex(4000)
+        assert abs(z.real.mean() - 5.0) < 0.1
+        assert abs(z.imag.mean()) < 0.1
+
+    def test_fill_complex_matches_repeated_complex_sample(self):
+        for kind in ("uniform", "triangular", "gaussian"):
+            a = self._gen(kind, seed=23)
+            b = self._gen(kind, seed=23)
+            filled = a.fill_complex(64)
+            singles = np.asarray([b.complex_sample() for _ in range(64)])
+            np.testing.assert_array_equal(filled, singles)
+
+
+class TestQaSignalGeneratorNoiseTypes:
+    """≈ SignalGenerator.hpp:18 noise signal types (UniformNoise,
+    TriangularNoise, GaussianNoise) through the block path; device threefry
+    with the reference's A/O conventions."""
+
+    def _run(self, **settings):
+        g = gr.Graph()
+        src = g.emplace("SignalGenerator", n_samples=32768, **settings)
+        snk = g.emplace("VectorSink")
+        g.connect(src, snk)
+        gr.Scheduler(g, block_len=8192, sample_rate=48000.0).run_and_wait()
+        return snk.data()[:32768]
+
+    def test_uniform_range_mean(self):
+        x = self._run(signal="UniformNoise", amplitude=2.0, offset=1.0)
+        assert np.all(x >= -1.0) and np.all(x <= 3.0)
+        assert abs(x.mean() - 1.0) < 0.05
+
+    def test_triangular_stats(self):
+        x = self._run(signal="TriangularNoise", amplitude=3.0)
+        assert np.all(np.abs(x) <= 3.0)
+        # Irwin-Hall(2) on [-1,1): var = 1/6 → A²/6
+        assert abs(x.var() - 9.0 / 6.0) < 0.1
+
+    def test_gaussian_stats(self):
+        x = self._run(signal="GaussianNoise", amplitude=2.0, offset=-1.0)
+        assert abs(x.mean() + 1.0) < 0.05
+        assert abs(x.var() - 4.0) < 0.15
+
+    def test_seed_determinism_and_divergence(self):
+        a = self._run(signal="GaussianNoise", seed=5)
+        b = self._run(signal="GaussianNoise", seed=5)
+        c = self._run(signal="GaussianNoise", seed=6)
+        np.testing.assert_array_equal(a, b)
+        assert not np.array_equal(a, c)
+
+    def test_fast_sin_cos_alias_exact(self):
+        a = self._run(signal="Sin", frequency=1000.0)
+        b = self._run(signal="FastSin", frequency=1000.0)
+        np.testing.assert_array_equal(a, b)
+
+    def test_noise_sp_island_exact(self):
+        """Noise SignalGenerator under an sp mesh: the replicated-island
+        lowering keeps sharded == unsharded bitwise."""
+        import jax
+        from jax.sharding import Mesh
+        devs = jax.devices()
+        if len(devs) < 8:
+            pytest.skip("needs 8 devices")
+        mesh = Mesh(np.asarray(devs[:8]), ("sp",))
+
+        def run(m):
+            g = gr.Graph()
+            src = g.emplace("SignalGenerator", signal="GaussianNoise",
+                            seed=3, n_samples=16384)
+            fir = g.emplace("FirFilter",
+                            taps=tuple((np.ones(16) / 16).tolist()))
+            snk = g.emplace("VectorSink")
+            g.connect_chain(src, fir, snk)
+            gr.Scheduler(g, block_len=8192, sample_rate=48e3,
+                         mesh=m).run_and_wait()
+            return snk.data()[:16384]
+
+        np.testing.assert_array_equal(run(None), run(mesh))
