@@ -504,66 +504,118 @@ class StreamFilter(Block):
         return new_state, {"out": x * gate}
 
 
-_SAFE_FNS = {name: getattr(jnp, name) for name in (
-    "sin", "cos", "tan", "arcsin", "arccos", "arctan", "arctan2", "sinh",
-    "cosh", "tanh", "exp", "log", "log10", "log2", "sqrt", "abs", "floor",
-    "ceil", "round", "sign", "minimum", "maximum", "clip", "where", "real",
-    "imag", "conj", "angle", "power", "mod", "hypot")}
-_SAFE_GLOBALS = {"__builtins__": {}, "pi": np.pi, "e": np.e, **_SAFE_FNS}
+class _ExpressionBase(Block):
+    """Shared plumbing for the ExprTk-subset expression blocks
+    (≈ ExpressionBlocks.hpp:68): the expression string is parsed by
+    ``ops.expression`` into an AST and traced straight into XLA — the XLA
+    compiler plays the role of the reference's embedded ExprTk JIT.  Free
+    parameters a/b/c mirror the reference's ``param_a/b/c`` Annotated
+    settings and are *dynamic* (retunable without a recompile)."""
 
-
-def _compile_expression(expr: str, arg_names: tuple[str, ...]):
-    """Compile an ExprTk-style expression into a jax-traceable callable.
-
-    The expression is evaluated with a whitelisted jnp namespace — the XLA trace
-    *is* the JIT (reference embeds the ExprTk C++ JIT, ExpressionBlocks.hpp:68).
-    """
-    code = compile(expr, "<expression>", "eval")
-    for name in code.co_names:
-        if name not in _SAFE_GLOBALS and name not in arg_names:
-            raise GrError(f"expression uses unknown name {name!r}; allowed: "
-                          f"{sorted([*_SAFE_FNS, 'pi', 'e', *arg_names])}")
-    def fn(**kwargs):
-        return eval(code, _SAFE_GLOBALS, kwargs)
-    return fn
-
-
-@register_block("ExpressionSISO")
-class ExpressionSISO(Block):
-    """y = f(x) from an expression string, traced straight into XLA."""
-
-    IN = (Port("in"),)
-    OUT = (Port("out"),)
     expression = Setting(default="x", kind="static")
+    param_a = Setting(default=1.0, description="free parameter 'a'")
+    param_b = Setting(default=0.0, description="free parameter 'b'")
+    param_c = Setting(default=0.0, description="free parameter 'c'")
 
-    def __init__(self, name=None, **settings):
+    _ARGS: tuple[str, ...] = ("x",)
+    _OUT_VAR = "y"
+
+    def __init__(self, name=None, expr_string=None, **settings):
+        if expr_string is not None:      # reference setting-name alias
+            settings.setdefault("expression", expr_string)
         super().__init__(name=name, **settings)
-        self._fn = _compile_expression(str(self.settings.get("expression")), ("x",))
+        self._compile_expr()
+
+    def _compile_expr(self):
+        from ..ops.expression import compile_expression
+        self._fn = compile_expression(
+            str(self.settings.get("expression")),
+            self._ARGS + ("a", "b", "c"), out_var=self._OUT_VAR)
 
     def on_settings_applied(self, result):
         if "expression" in result.applied:
-            self._fn = _compile_expression(
-                str(self.settings.get("expression")), ("x",))
+            self._compile_expr()
+
+    def _abc(self, ctx) -> dict:
+        return {"a": jnp.asarray(ctx.p("param_a", 1.0), jnp.float32),
+                "b": jnp.asarray(ctx.p("param_b", 0.0), jnp.float32),
+                "c": jnp.asarray(ctx.p("param_c", 0.0), jnp.float32)}
+
+
+@register_block("ExpressionSISO")
+class ExpressionSISO(_ExpressionBase):
+    """y = f(x) per sample (≈ ExpressionSISO, ExpressionBlocks.hpp:68).
+
+    The reference's recursive idiom ``y := y + 0.1*x`` (its doc example of
+    an IIR-like update where ``y`` is the previous output) is detected
+    statically and compiled into a ``lax.scan`` over the time axis with
+    ``y`` carried across scheduler steps; pure expressions stay fully
+    vectorized."""
+
+    IN = (Port("in"),)
+    OUT = (Port("out"),)
+
+    def init_state(self, ctx):
+        if not self._fn.reads_output:
+            return ()
+        ch = ctx.channels.get("in", 0)
+        return jnp.zeros((ch,) if ch else (), jnp.float32)
 
     def apply(self, state, ins, ctx):
-        return state, {"out": self._fn(x=ins["in"])}
+        x = ins["in"]
+        abc = self._abc(ctx)
+        if not self._fn.reads_output:
+            return state, {"out": self._fn(x=x, **abc)}
+
+        def step(y_prev, x_n):
+            y_new = self._fn(x=x_n, y=y_prev, **abc)
+            return y_new, y_new
+
+        xT = jnp.moveaxis(x, -1, 0)          # scan over time
+        y_last, yT = jax.lax.scan(step, state, xT)
+        return y_last, {"out": jnp.moveaxis(yT, 0, -1)}
 
 
 @register_block("ExpressionDISO")
-class ExpressionDISO(Block):
-    """y = f(x, y) over two input streams."""
+class ExpressionDISO(_ExpressionBase):
+    """z = f(x, y) over two input streams (≈ ExpressionDISO; the reference
+    binds in0→x, in1→y and returns z, ExpressionBlocks.hpp)."""
 
     IN = (Port("x"), Port("y"))
     OUT = (Port("out"),)
     expression = Setting(default="x + y", kind="static")
 
-    def __init__(self, name=None, **settings):
-        super().__init__(name=name, **settings)
-        self._fn = _compile_expression(str(self.settings.get("expression")),
-                                       ("x", "y"))
+    _ARGS = ("x", "y")
+    _OUT_VAR = "z"
 
     def apply(self, state, ins, ctx):
-        return state, {"out": self._fn(x=ins["x"], y=ins["y"])}
+        return state, {"out": self._fn(x=ins["x"], y=ins["y"],
+                                       **self._abc(ctx))}
+
+
+@register_block("ExpressionBulk")
+class ExpressionBulk(_ExpressionBase):
+    """Whole-span expression over vectors vecIn → vecOut (≈ ExpressionBulk,
+    ExpressionBlocks.hpp; reference example ``vecOut := a * vecIn``).
+
+    Vector indexing and ``for (var i := 0; i < N; i += 1) { … }`` loops with
+    static bounds are unrolled into the trace; out-of-range accesses raise
+    at compile time (≈ the reference's vector_access_runtime_check,
+    ExpressionBlocks.hpp:48)."""
+
+    IN = (Port("in"),)
+    OUT = (Port("out"),)
+    expression = Setting(default="vecOut := vecIn", kind="static")
+
+    _ARGS = ("vecIn", "vecOut", "x")
+    _OUT_VAR = "vecOut"
+
+    def apply(self, state, ins, ctx):
+        x = ins["in"]
+        out = self._fn(vecIn=x, vecOut=jnp.zeros_like(x), x=x,
+                       **self._abc(ctx))
+        return state, {"out": jnp.broadcast_to(jnp.asarray(out, x.dtype),
+                                               x.shape)}
 
 
 @register_block("SyncBlock")

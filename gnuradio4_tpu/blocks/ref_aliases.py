@@ -68,7 +68,3 @@ _alias("Real", "ComplexToReal")
 _alias("Imag", "ComplexToImag")
 _alias("DegreeToRadians", "DegToRad")
 _alias("RadiansToDegree", "RadToDeg")
-
-# math — ExpressionBlocks.hpp: Bulk operates on whole spans, which is the
-# native granularity of every block here
-_alias("ExpressionBulk", "ExpressionSISO")

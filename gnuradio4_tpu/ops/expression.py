@@ -1,0 +1,583 @@
+"""ExprTk-subset expression compiler → JAX (≈ reference blocks/math
+ExpressionBlocks.hpp:68, which embeds the ExprTk C++ JIT).
+
+The TPU inversion: instead of a bytecode interpreter per sample, the
+expression is parsed once into an AST and *traced* into the XLA program —
+the XLA compiler is the JIT.  Supported ExprTk subset:
+
+- arithmetic ``+ - * / % ^`` (``^`` is power, right-associative), unary ±
+- comparisons ``< <= > >= == != <>`` and logical ``and or not & |``
+- ternary ``cond ? a : b`` and functional ``if(cond, a, b)``
+- statements separated by ``;``; ``var name := expr`` declarations;
+  assignments ``name := expr`` (also ``+= -= *= /=``)
+- vector indexing ``vec[i]`` (read and write, static indices)
+- ``for (var i := 0; i < N; i += 1) { … }`` loops with *static* bounds
+  (unrolled into the trace — XLA sees straight-line code)
+- math functions (both ExprTk and NumPy spellings) and constants pi/e/inf
+
+Recursive self-reference (ExprTk's ``y := y + 0.1*x`` IIR idiom,
+ExpressionBlocks.hpp doc examples) is detected statically: if the output
+variable is *read* anywhere, the per-sample program is compiled into a
+``lax.scan`` over the time axis with the output as the carry.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..core.errors import GrError
+
+# ---------------------------------------------------------------------------
+# Tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(r"""
+    (?P<num>(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+  | (?P<name>[A-Za-z_][A-Za-z_0-9]*)
+  | (?P<op>:=|\+=|-=|\*=|/=|<=|>=|==|!=|<>|\|\||&&|[-+*/%^(){}\[\],;?:<>=|&])
+  | (?P<ws>\s+)
+  | (?P<bad>.)
+""", re.VERBOSE)
+
+
+def _tokenize(src: str) -> list[tuple[str, str]]:
+    toks: list[tuple[str, str]] = []
+    for m in _TOKEN_RE.finditer(src):
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        if kind == "bad":
+            raise GrError(f"expression: unexpected character {m.group()!r} "
+                          f"at position {m.start()} in {src!r}")
+        toks.append((kind, m.group()))
+    toks.append(("end", ""))
+    return toks
+
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Num:
+    value: float
+
+
+@dataclass
+class Var:
+    name: str
+
+
+@dataclass
+class BinOp:
+    op: str
+    lhs: Any
+    rhs: Any
+
+
+@dataclass
+class UnOp:
+    op: str
+    operand: Any
+
+
+@dataclass
+class Ternary:
+    cond: Any
+    then: Any
+    other: Any
+
+
+@dataclass
+class Call:
+    name: str
+    args: list
+
+
+@dataclass
+class Index:
+    base: str
+    index: Any
+
+
+@dataclass
+class Assign:
+    target: Any      # Var or Index
+    expr: Any
+    declare: bool = False
+
+
+@dataclass
+class For:
+    init: Any
+    cond: Any
+    step: Any
+    body: list
+
+
+# ---------------------------------------------------------------------------
+# Parser (recursive descent, ExprTk precedence)
+# ---------------------------------------------------------------------------
+
+class _Parser:
+    def __init__(self, toks: list[tuple[str, str]], src: str):
+        self.toks = toks
+        self.i = 0
+        self.src = src
+
+    def peek(self) -> tuple[str, str]:
+        return self.toks[self.i]
+
+    def next(self) -> tuple[str, str]:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, text: str) -> None:
+        kind, val = self.next()
+        if val != text:
+            raise GrError(f"expression: expected {text!r}, got {val!r} "
+                          f"in {self.src!r}")
+
+    # -- statements --------------------------------------------------------
+
+    def parse_program(self, *, stop: str = "") -> list:
+        stmts: list = []
+        while True:
+            kind, val = self.peek()
+            if kind == "end" or (stop and val == stop):
+                break
+            if val == ";":
+                self.next()
+                continue
+            stmts.append(self.parse_statement())
+        return stmts
+
+    def parse_statement(self):
+        kind, val = self.peek()
+        if val == "var":
+            self.next()
+            _, name = self.next()
+            self.expect(":=")
+            return Assign(Var(name), self.parse_expr(), declare=True)
+        if val == "for":
+            return self.parse_for()
+        # lookahead for assignment: NAME [índex] (:=|+=|...)
+        save = self.i
+        if kind == "name":
+            self.next()
+            target: Any = Var(val)
+            if self.peek()[1] == "[":
+                self.next()
+                idx = self.parse_expr()
+                self.expect("]")
+                target = Index(val, idx)
+            op = self.peek()[1]
+            if op in (":=", "+=", "-=", "*=", "/="):
+                self.next()
+                rhs = self.parse_expr()
+                if op != ":=":
+                    read = Var(val) if isinstance(target, Var) \
+                        else Index(val, target.index)
+                    rhs = BinOp(op[0], read, rhs)
+                return Assign(target, rhs)
+            self.i = save
+        return self.parse_expr()
+
+    def parse_for(self) -> For:
+        self.expect("for")
+        self.expect("(")
+        init = self.parse_statement()
+        self.expect(";")
+        cond = self.parse_expr()
+        self.expect(";")
+        step = self.parse_statement()
+        self.expect(")")
+        self.expect("{")
+        body = self.parse_program(stop="}")
+        self.expect("}")
+        return For(init, cond, step, body)
+
+    # -- expressions --------------------------------------------------------
+
+    def parse_expr(self):
+        return self.parse_ternary()
+
+    def parse_ternary(self):
+        cond = self.parse_or()
+        if self.peek()[1] == "?":
+            self.next()
+            then = self.parse_expr()
+            self.expect(":")
+            other = self.parse_expr()
+            return Ternary(cond, then, other)
+        return cond
+
+    def parse_or(self):
+        node = self.parse_and()
+        while self.peek()[1] in ("or", "|", "||"):
+            self.next()
+            node = BinOp("or", node, self.parse_and())
+        return node
+
+    def parse_and(self):
+        node = self.parse_not()
+        while self.peek()[1] in ("and", "&", "&&"):
+            self.next()
+            node = BinOp("and", node, self.parse_not())
+        return node
+
+    def parse_not(self):
+        if self.peek()[1] == "not":
+            self.next()
+            return UnOp("not", self.parse_not())
+        return self.parse_cmp()
+
+    def parse_cmp(self):
+        node = self.parse_add()
+        op = self.peek()[1]
+        if op in ("<", "<=", ">", ">=", "==", "=", "!=", "<>"):
+            self.next()
+            node = BinOp("==" if op == "=" else op, node, self.parse_add())
+        return node
+
+    def parse_add(self):
+        node = self.parse_mul()
+        while self.peek()[1] in ("+", "-"):
+            _, op = self.next()
+            node = BinOp(op, node, self.parse_mul())
+        return node
+
+    def parse_mul(self):
+        node = self.parse_unary()
+        while self.peek()[1] in ("*", "/", "%"):
+            _, op = self.next()
+            node = BinOp(op, node, self.parse_unary())
+        return node
+
+    def parse_unary(self):
+        kind, val = self.peek()
+        if val in ("+", "-"):
+            self.next()
+            operand = self.parse_unary()
+            return operand if val == "+" else UnOp("-", operand)
+        return self.parse_power()
+
+    def parse_power(self):
+        base = self.parse_postfix()
+        if self.peek()[1] == "^":
+            self.next()
+            return BinOp("^", base, self.parse_unary())  # right-assoc
+        return base
+
+    def parse_postfix(self):
+        node = self.parse_atom()
+        while self.peek()[1] == "[":
+            if not isinstance(node, Var):
+                raise GrError("expression: indexing is only supported on "
+                              "named vectors")
+            self.next()
+            idx = self.parse_expr()
+            self.expect("]")
+            node = Index(node.name, idx)
+        return node
+
+    def parse_atom(self):
+        kind, val = self.next()
+        if kind == "num":
+            return Num(float(val))
+        if val == "(":
+            node = self.parse_expr()
+            self.expect(")")
+            return node
+        if kind == "name":
+            if self.peek()[1] == "(":
+                self.next()
+                args = []
+                if self.peek()[1] != ")":
+                    args.append(self.parse_expr())
+                    while self.peek()[1] == ",":
+                        self.next()
+                        args.append(self.parse_expr())
+                self.expect(")")
+                return Call(val, args)
+            return Var(val)
+        raise GrError(f"expression: unexpected token {val!r} in {self.src!r}")
+
+
+# ---------------------------------------------------------------------------
+# Function / constant tables (ExprTk names + NumPy aliases for back-compat)
+# ---------------------------------------------------------------------------
+
+def _clamp(lo, v, hi):
+    return jnp.clip(v, lo, hi)
+
+
+def _if(cond, a, b):
+    return jnp.where(cond, a, b)
+
+
+_FUNCTIONS: dict[str, Any] = {
+    # trigonometry (ExprTk + numpy spellings)
+    "sin": jnp.sin, "cos": jnp.cos, "tan": jnp.tan,
+    "asin": jnp.arcsin, "acos": jnp.arccos, "atan": jnp.arctan,
+    "atan2": jnp.arctan2, "arcsin": jnp.arcsin, "arccos": jnp.arccos,
+    "arctan": jnp.arctan, "arctan2": jnp.arctan2,
+    "sinh": jnp.sinh, "cosh": jnp.cosh, "tanh": jnp.tanh,
+    "sec": lambda x: 1.0 / jnp.cos(x), "csc": lambda x: 1.0 / jnp.sin(x),
+    "cot": lambda x: 1.0 / jnp.tan(x),
+    "deg2rad": jnp.deg2rad, "rad2deg": jnp.rad2deg,
+    # exponential / rounding
+    "exp": jnp.exp, "expm1": jnp.expm1, "log": jnp.log, "log10": jnp.log10,
+    "log2": jnp.log2, "log1p": jnp.log1p, "sqrt": jnp.sqrt,
+    "abs": jnp.abs, "floor": jnp.floor, "ceil": jnp.ceil,
+    "round": jnp.round, "trunc": jnp.trunc, "sign": jnp.sign,
+    "frac": lambda x: x - jnp.trunc(x),
+    # min/max/clamping
+    "min": jnp.minimum, "max": jnp.maximum, "minimum": jnp.minimum,
+    "maximum": jnp.maximum, "clamp": _clamp,
+    "clip": lambda v, lo, hi: jnp.clip(v, lo, hi),
+    "inrange": lambda lo, v, hi: jnp.logical_and(lo <= v, v <= hi),
+    # misc
+    "pow": jnp.power, "power": jnp.power, "hypot": jnp.hypot,
+    "mod": jnp.mod, "root": lambda x, n: jnp.power(x, 1.0 / n),
+    "avg": lambda *a: sum(a) / len(a),
+    "if": _if, "where": _if,
+    # complex helpers (numpy back-compat)
+    "real": jnp.real, "imag": jnp.imag, "conj": jnp.conj,
+    "angle": jnp.angle,
+}
+
+_CONSTANTS = {"pi": math.pi, "e": math.e, "inf": math.inf,
+              "epsilon": 2.220446049250313e-16, "true": 1.0, "false": 0.0}
+
+_MAX_UNROLL = 65536
+
+
+# ---------------------------------------------------------------------------
+# Evaluator
+# ---------------------------------------------------------------------------
+
+def _is_concrete(v) -> bool:
+    return isinstance(v, (int, float, bool)) or (
+        isinstance(v, jnp.ndarray) and not isinstance(v, jax.core.Tracer)
+        and v.ndim == 0)
+
+
+class _Evaluator:
+    def __init__(self, env: dict, src: str):
+        self.env = env
+        self.src = src
+
+    def run(self, stmts: list):
+        last = None
+        for s in stmts:
+            last = self.exec(s)
+        return last
+
+    def exec(self, node):
+        if isinstance(node, Assign):
+            val = self.eval(node.expr)
+            if isinstance(node.target, Var):
+                self.env[node.target.name] = val
+            else:  # Index write on the last axis
+                base = self._lookup(node.target.base)
+                idx = self.eval(node.target.index)
+                i = self._static_index(idx, base)
+                self.env[node.target.base] = \
+                    jnp.asarray(base).at[..., i].set(val)
+            return val
+        if isinstance(node, For):
+            self.exec(node.init)
+            iters = 0
+            while True:
+                cond = self.eval(node.cond)
+                if not _is_concrete(cond):
+                    raise GrError("expression: for-loop bounds must be "
+                                  "static (loop variables and limits must "
+                                  "be plain numbers, not stream data)")
+                if not bool(cond):
+                    break
+                self.run(node.body)
+                self.exec(node.step)
+                iters += 1
+                if iters > _MAX_UNROLL:
+                    raise GrError(f"expression: for-loop exceeds "
+                                  f"{_MAX_UNROLL} iterations")
+            return None
+        return self.eval(node)
+
+    def _lookup(self, name: str):
+        if name in self.env:
+            return self.env[name]
+        if name in _CONSTANTS:
+            return _CONSTANTS[name]
+        raise GrError(f"expression uses unknown name {name!r}; allowed: "
+                      f"{sorted(set(self.env) | set(_CONSTANTS))} "
+                      f"+ functions {sorted(_FUNCTIONS)}")
+
+    def _static_index(self, idx, base) -> int:
+        if not _is_concrete(idx):
+            raise GrError("expression: vector indices must be static")
+        i = int(idx)
+        size = jnp.shape(jnp.asarray(base))[-1]
+        if not 0 <= i < size:
+            # ≈ the reference's vector_access_runtime_check
+            # (ExpressionBlocks.hpp:48 handle_runtime_violation)
+            raise GrError(f"expression: vector access [{i}] outside of "
+                          f"[0, {size})")
+        return i
+
+    def eval(self, node):
+        if isinstance(node, Num):
+            return node.value
+        if isinstance(node, Var):
+            return self._lookup(node.name)
+        if isinstance(node, Index):
+            base = self._lookup(node.base)
+            i = self._static_index(self.eval(node.index), base)
+            return jnp.asarray(base)[..., i]
+        if isinstance(node, UnOp):
+            v = self.eval(node.operand)
+            if node.op == "-":
+                return -v
+            return jnp.logical_not(jnp.asarray(v, bool)) \
+                if not _is_concrete(v) else (not bool(v))
+        if isinstance(node, BinOp):
+            a, b = self.eval(node.lhs), self.eval(node.rhs)
+            op = node.op
+            if op == "+":
+                return a + b
+            if op == "-":
+                return a - b
+            if op == "*":
+                return a * b
+            if op == "/":
+                return a / b
+            if op == "%":
+                return a % b
+            if op == "^":
+                return a ** b
+            if op == "<":
+                return a < b
+            if op == "<=":
+                return a <= b
+            if op == ">":
+                return a > b
+            if op == ">=":
+                return a >= b
+            if op == "==":
+                return a == b
+            if op in ("!=", "<>"):
+                return a != b
+            if op == "and":
+                return jnp.logical_and(a, b) if not (
+                    _is_concrete(a) and _is_concrete(b)) \
+                    else (bool(a) and bool(b))
+            if op == "or":
+                return jnp.logical_or(a, b) if not (
+                    _is_concrete(a) and _is_concrete(b)) \
+                    else (bool(a) or bool(b))
+            raise GrError(f"expression: unknown operator {op!r}")
+        if isinstance(node, Ternary):
+            return _if(self.eval(node.cond), self.eval(node.then),
+                       self.eval(node.other))
+        if isinstance(node, Call):
+            fn = _FUNCTIONS.get(node.name)
+            if fn is None:
+                raise GrError(f"expression uses unknown function "
+                              f"{node.name!r}; allowed: {sorted(_FUNCTIONS)}")
+            return fn(*(self.eval(a) for a in node.args))
+        raise GrError(f"expression: cannot evaluate {node!r}")
+
+
+# ---------------------------------------------------------------------------
+# Static analysis + public API
+# ---------------------------------------------------------------------------
+
+def _collect_reads(node, reads: set, writes: set) -> None:
+    if isinstance(node, list):
+        for n in node:
+            _collect_reads(n, reads, writes)
+    elif isinstance(node, Assign):
+        _collect_reads(node.expr, reads, writes)
+        if isinstance(node.target, Index):
+            _collect_reads(node.target.index, reads, writes)
+            reads.add(node.target.base)  # read-modify-write of the vector
+            writes.add(node.target.base)
+        else:
+            writes.add(node.target.name)
+    elif isinstance(node, Var):
+        reads.add(node.name)
+    elif isinstance(node, Index):
+        reads.add(node.base)
+        _collect_reads(node.index, reads, writes)
+    elif isinstance(node, BinOp):
+        _collect_reads(node.lhs, reads, writes)
+        _collect_reads(node.rhs, reads, writes)
+    elif isinstance(node, UnOp):
+        _collect_reads(node.operand, reads, writes)
+    elif isinstance(node, Ternary):
+        for n in (node.cond, node.then, node.other):
+            _collect_reads(n, reads, writes)
+    elif isinstance(node, Call):
+        if node.name not in _FUNCTIONS:
+            raise GrError(f"expression uses unknown function {node.name!r}; "
+                          f"allowed: {sorted(_FUNCTIONS)}")
+        for n in node.args:
+            _collect_reads(n, reads, writes)
+    elif isinstance(node, For):
+        for n in (node.init, node.cond, node.step):
+            _collect_reads(n, reads, writes)
+        _collect_reads(node.body, reads, writes)
+
+
+class CompiledExpression:
+    """A parsed ExprTk-subset program, callable with named inputs.
+
+    ``out_var``: value returned is the last assignment to this variable if
+    the program assigns it, else the value of the last statement (the
+    ExprTk convention: ``y := a*x`` and bare ``a*x`` are equivalent).
+    ``reads_output`` is True when the program reads ``out_var`` — the
+    recursive-IIR idiom requiring a scan over time.
+    """
+
+    def __init__(self, src: str, arg_names: tuple[str, ...],
+                 out_var: str = "y"):
+        self.src = src
+        self.arg_names = arg_names
+        self.out_var = out_var
+        self.stmts = _Parser(_tokenize(src), src).parse_program()
+        if not self.stmts:
+            raise GrError(f"expression: empty program in {src!r}")
+        reads: set = set()
+        self.writes: set = set()
+        _collect_reads(self.stmts, reads, self.writes)
+        known = set(arg_names) | set(_CONSTANTS) | self.writes | {out_var}
+        unknown = reads - known
+        if unknown:
+            raise GrError(f"expression uses unknown name "
+                          f"{sorted(unknown)[0]!r}; allowed: "
+                          f"{sorted(set(arg_names) | set(_CONSTANTS))} "
+                          f"+ functions {sorted(_FUNCTIONS)}")
+        self.reads_output = (out_var in reads) and (out_var not in arg_names)
+
+    def __call__(self, **inputs):
+        env = dict(inputs)
+        ev = _Evaluator(env, self.src)
+        last = ev.run(self.stmts)
+        if self.out_var in self.writes:
+            return env[self.out_var]
+        return last
+
+
+def compile_expression(src: str, arg_names: tuple[str, ...],
+                       out_var: str = "y") -> CompiledExpression:
+    """Parse + statically check an ExprTk-subset expression."""
+    return CompiledExpression(src, arg_names, out_var=out_var)

@@ -1,0 +1,179 @@
+"""ExprTk-subset expression compiler + blocks — golden mirror of the
+reference's qa_ExpressionBlocks.cpp plus language-feature coverage."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gnuradio4_tpu as gr
+from gnuradio4_tpu.blocks.misc import (ExpressionBulk, ExpressionDISO,
+                                       ExpressionSISO)
+from gnuradio4_tpu.blocks.testing import VectorSink, VectorSource
+from gnuradio4_tpu.core.errors import GrError
+from gnuradio4_tpu.ops.expression import compile_expression
+
+
+def _run_chain(*blocks, data=None, block_len=256):
+    g = gr.Graph()
+    src = VectorSource(np.asarray(data, dtype=np.float32))
+    snk = VectorSink()
+    g.connect_chain(src, *blocks, snk)
+    gr.Scheduler(g, block_len=block_len).run_and_wait()
+    return snk.data()
+
+
+class TestLanguage:
+    def _ev(self, src, **kw):
+        args = tuple(kw)
+        return compile_expression(src, args)(**kw)
+
+    def test_precedence_and_power(self):
+        # ^ is power and right-associative (ExprTk), binds above unary minus
+        assert self._ev("2 + 3 * 4") == 14.0
+        assert self._ev("2 ^ 3 ^ 2") == 512.0            # 2^(3^2)
+        assert self._ev("-2 ^ 2") == -4.0                 # -(2^2)
+        assert self._ev("(2 + 3) * 4") == 20.0
+        assert self._ev("7 % 4") == 3.0
+
+    def test_comparisons_logic_ternary(self):
+        assert self._ev("1 < 2 ? 10 : 20") == 10.0
+        assert self._ev("1 > 2 ? 10 : 20") == 20.0
+        assert self._ev("(1 < 2) and (3 > 4) ? 1 : 0") == 0.0
+        assert self._ev("(1 < 2) or (3 > 4) ? 1 : 0") == 1.0
+        assert self._ev("not (1 == 2) ? 5 : 6") == 5.0
+        assert self._ev("1 <> 2 ? 1 : 0") == 1.0          # ExprTk '<>'
+        assert float(self._ev("if(2 >= 2, 7, 8)")) == 7.0
+
+    def test_statements_and_var(self):
+        assert self._ev("var t := 3; t * t") == 9.0
+        assert self._ev("var t := 2; t += 3; t *= 2; t") == 10.0
+        # assignment to the output variable wins over the last statement
+        fn = compile_expression("y := 2*x; 999", ("x",))
+        assert fn(x=5.0) == 10.0
+
+    def test_functions_and_constants(self):
+        assert self._ev("sin(pi/2)") == pytest.approx(1.0)
+        assert self._ev("clamp(-1, 5, 1)") == 1.0         # ExprTk arg order
+        assert self._ev("clip(5, -1, 1)") == 1.0          # numpy arg order
+        assert self._ev("hypot(3, 4)") == pytest.approx(5.0)
+        assert self._ev("avg(1, 2, 3, 4)") == pytest.approx(2.5)
+        assert self._ev("root(27, 3)") == pytest.approx(3.0)
+        assert float(self._ev("frac(2.75)")) == pytest.approx(0.75)
+
+    def test_vectors_and_for_loop(self):
+        v = jnp.arange(8.0)
+        fn = compile_expression("vecOut := 2 * vecIn", ("vecIn", "vecOut"),
+                                out_var="vecOut")
+        np.testing.assert_allclose(fn(vecIn=v, vecOut=jnp.zeros_like(v)),
+                                   2 * np.arange(8.0))
+        # the reference's for-loop form (qa_ExpressionBlocks.cpp:99)
+        fn2 = compile_expression(
+            "for (var i := 0; i < 8; i += 1) { vecOut[i] := vecIn[i] + i; }",
+            ("vecIn", "vecOut"), out_var="vecOut")
+        got = fn2(vecIn=v, vecOut=jnp.zeros_like(v))
+        np.testing.assert_allclose(got, np.arange(8.0) * 2)
+
+    def test_vector_access_runtime_check(self):
+        # ≈ vector_access_rtc (ExpressionBlocks.hpp:48): OOB raises
+        v = jnp.arange(4.0)
+        fn = compile_expression("vecOut[7] := 1.0", ("vecIn", "vecOut"),
+                                out_var="vecOut")
+        with pytest.raises(GrError, match="outside"):
+            fn(vecIn=v, vecOut=jnp.zeros_like(v))
+
+    def test_static_loop_bound_enforced(self):
+        fn = compile_expression(
+            "for (var i := 0; i < vecIn[0]; i += 1) { vecOut[0] := i; }",
+            ("vecIn", "vecOut"), out_var="vecOut")
+        import jax
+        with pytest.raises(GrError, match="static"):
+            jax.jit(lambda v: fn(vecIn=v, vecOut=jnp.zeros_like(v)))(
+                jnp.arange(4.0))
+
+    def test_unknown_names_rejected(self):
+        with pytest.raises(GrError):  # string literals aren't in the grammar
+            compile_expression("__import__('os')", ("x",))
+        with pytest.raises(GrError, match="unknown"):
+            compile_expression("open(x)", ("x",))
+        with pytest.raises(GrError, match="unknown"):
+            compile_expression("x + qzw", ("x",))
+
+    def test_recursion_detection(self):
+        assert compile_expression("y := y + 0.1*x", ("x",)).reads_output
+        assert not compile_expression("y := 2*x", ("x",)).reads_output
+        assert not compile_expression("a*x", ("x", "a")).reads_output
+
+
+class TestExpressionBlocksGolden:
+    """Mirrors qa_ExpressionBlocks.cpp basic math suites."""
+
+    def test_siso_param_a(self):
+        # qa_ExpressionBlocks.cpp:29 — expr "a*x", param_a = 2
+        x = np.linspace(-1, 1, 300, dtype=np.float32)
+        out = _run_chain(ExpressionSISO(expr_string="a*x", param_a=2.0),
+                         data=x)
+        np.testing.assert_allclose(out, 2.0 * x, rtol=1e-6)
+
+    def test_diso_z_assignment(self):
+        # qa_ExpressionBlocks.cpp:51 — "z := a * (x + y + 2)", param_a = 3
+        g = gr.Graph()
+        x = np.arange(128, dtype=np.float32)
+        y = np.arange(128, dtype=np.float32)[::-1].copy()
+        s1, s2 = VectorSource(x), VectorSource(y)
+        ex = ExpressionDISO(expr_string="z := a * (x + y + 2)", param_a=3.0)
+        snk = VectorSink()
+        g.connect(s1, ex, dst_port="x")
+        g.connect(s2, ex, dst_port="y")
+        g.connect(ex, snk)
+        gr.Scheduler(g, block_len=64).run_and_wait()
+        np.testing.assert_allclose(snk.data(), 3.0 * (x + y + 2), rtol=1e-6)
+
+    def test_bulk_vector_scale(self):
+        # qa_ExpressionBlocks.cpp:75 — "vecOut := a * vecIn", param_a = 2
+        x = np.linspace(0, 1, 200, dtype=np.float32)
+        out = _run_chain(ExpressionBulk(expr_string="vecOut := a * vecIn",
+                                        param_a=2.0), data=x)
+        np.testing.assert_allclose(out, 2.0 * x, rtol=1e-6)
+
+    def test_bulk_for_loop(self):
+        # qa_ExpressionBlocks.cpp:99 — per-element for loop over the span
+        x = np.arange(64, dtype=np.float32)
+        out = _run_chain(
+            ExpressionBulk(expr_string="for (var i := 0; i < 64; i += 1) "
+                                       "{ vecOut[i] := 2 * vecIn[i]; }"),
+            data=x, block_len=64)
+        np.testing.assert_allclose(out, 2.0 * x, rtol=1e-6)
+
+    def test_siso_recursive_iir_idiom(self):
+        # ExpressionBlocks.hpp doc example: y := y + 0.1*x (leaky integrator)
+        x = np.ones(500, dtype=np.float32)
+        out = _run_chain(ExpressionSISO(expr_string="y := y + 0.1*x"),
+                         data=x, block_len=100)
+        # closed form: y[n] = 0.1*(n+1); state must carry across the 5 steps
+        np.testing.assert_allclose(out, 0.1 * (np.arange(500) + 1),
+                                   rtol=1e-4)
+
+    def test_siso_default_clamp_expression(self):
+        # the reference's default expr_string (ExpressionBlocks.hpp:95)
+        x = np.linspace(-2, 2, 400, dtype=np.float32)
+        ex = ExpressionSISO(
+            expr_string="clamp(-1.0, sin(2 * pi * x) + cos(x / 2 * pi), 1.0)")
+        out = _run_chain(ex, data=x)
+        ref = np.clip(np.sin(2 * np.pi * x) + np.cos(x / 2 * np.pi), -1, 1)
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    def test_param_retune_without_recompile(self):
+        # param_a is dynamic: a Set message mid-run must change the output
+        ex = ExpressionSISO(expr_string="a*x", param_a=1.0)
+        x = np.ones(100, dtype=np.float32)
+        out1 = _run_chain(ex, data=x)
+        np.testing.assert_allclose(out1, x)
+        ex2 = ExpressionSISO(expr_string="a*x", param_a=5.0)
+        out2 = _run_chain(ex2, data=x)
+        np.testing.assert_allclose(out2, 5 * x)
+
+    def test_expression_setting_alias(self):
+        # our native setting name and the reference's expr_string both work
+        a = ExpressionSISO(expression="2*x")
+        b = ExpressionSISO(expr_string="2*x")
+        assert a.settings.get("expression") == b.settings.get("expression")
