@@ -7,6 +7,7 @@ complex↔interleaved/RealImag, deg↔rad).
 
 from __future__ import annotations
 
+from fractions import Fraction
 from typing import Any
 
 import jax.numpy as jnp
@@ -199,32 +200,126 @@ class NoiseSource(SourceBlock):
 class Selector(Block):
     """N×M stream router (≈ Selector.hpp:15). ``map_in``/``map_out`` pair up
     connections; unrouted outputs emit zeros, unrouted inputs are dropped (the
-    reference's back-pressure option is meaningless with fused execution)."""
+    reference's back-pressure option is meaningless with fused execution).
+
+    Reference parity extras (Selector.hpp:83-95): an optional ``select``
+    input (uint32 stream; the last sample of each step picks the monitored
+    input, ≈ ``selectSpan.back()``, Selector.hpp:149) and an optional
+    ``monitor`` output mirroring the selected input.  ``selected_src`` is the
+    message-settable equivalent when no select stream is connected.
+
+    Fan-in (several inputs mapped to one output) *sums* in this build; the
+    reference's round-robin interleave (``sync_combined_ports``,
+    Selector.hpp:60-66) is a per-port rate change, which the fused-graph
+    model expresses as the dedicated :class:`Interleave` block instead."""
 
     n_inputs = Setting(default=1, kind="static", limits=(1, 64))
     n_outputs = Setting(default=1, kind="static", limits=(1, 64))
     map_in = Setting(default=(0,), kind="static", description="routing: input idx list")
     map_out = Setting(default=(0,), kind="static", description="routing: output idx list")
+    selected_src = Setting(default=0, description="input index mirrored to the "
+                                                  "monitor output (≈ _selectedSrc)")
 
     def __init__(self, name=None, **settings):
         super().__init__(name=name, **settings)
         n_in = int(self.settings.get("n_inputs"))
         n_out = int(self.settings.get("n_outputs"))
-        self.in_ports = tuple(Port(f"in{i}") for i in range(n_in))
-        self.out_ports = tuple(Port(f"out{i}") for i in range(n_out))
+        self.in_ports = tuple(Port(f"in{i}") for i in range(n_in)) + (
+            Port("select", dtype="uint32", optional=True, asynchronous=True),)
+        self.out_ports = tuple(Port(f"out{i}") for i in range(n_out)) + (
+            Port("monitor", optional=True),)
 
     def apply(self, state, ins, ctx):
         m_in = list(self.settings.get("map_in"))
         m_out = list(self.settings.get("map_out"))
         outs = {}
-        example = next(iter(ins.values()))
-        for o in range(len(self.out_ports)):
+        n_in = int(self.settings.get("n_inputs"))
+        example = ins["in0"] if "in0" in ins else next(iter(ins.values()))
+        for o in range(int(self.settings.get("n_outputs"))):
             routed = [ins[f"in{i}"] for i, oo in zip(m_in, m_out) if oo == o]
             if routed:
                 outs[f"out{o}"] = routed[0] if len(routed) == 1 else sum(routed)
             else:
                 outs[f"out{o}"] = jnp.zeros_like(example)
+        # monitor: mirror the dynamically selected input (Selector.hpp:239-243)
+        sel = jnp.asarray(ctx.p("selected_src", 0), jnp.int32)
+        if "select" in ins:
+            sel = ins["select"][..., -1].astype(jnp.int32)  # selectSpan.back()
+        sel = jnp.clip(sel, 0, n_in - 1)
+        stacked = jnp.stack([ins[f"in{i}"] for i in range(n_in)], axis=0)
+        outs["monitor"] = jnp.take(stacked, sel, axis=0)
         return state, outs
+
+
+@register_block("Interleave")
+class Interleave(Block):
+    """Round-robin stream combiner — the reference Selector's synchronised
+    fan-in semantics (Selector.hpp:60-66: inputs mapped to one output emit
+    ``in0[0], in1[0], …, in0[1], in1[1], …``) as a dedicated block, because a
+    per-port rate change rides the block-level ``ratio`` in the fused-graph
+    model.  ``chunk_size`` samples are taken from each input per visit."""
+
+    n_inputs = Setting(default=2, kind="static", limits=(1, 64))
+    chunk_size = Setting(default=1, kind="static", limits=(1, None))
+
+    OUT = (Port("out"),)
+
+    def __init__(self, name=None, **settings):
+        super().__init__(name=name, **settings)
+        self.in_ports = tuple(
+            Port(f"in{i}") for i in range(int(self.settings.get("n_inputs"))))
+
+    @property
+    def ratio(self) -> Fraction:
+        return Fraction(int(self.settings.get("n_inputs")))
+
+    @property
+    def alignment(self) -> int:
+        return int(self.settings.get("chunk_size"))
+
+    def apply(self, state, ins, ctx):
+        k = int(self.settings.get("n_inputs"))
+        cs = int(self.settings.get("chunk_size"))
+        xs = [ins[f"in{i}"] for i in range(k)]
+        t = xs[0].shape[-1]
+        # [..., T] per input → [..., T/cs, k, cs] → [..., k·T]
+        parts = [x.reshape(*x.shape[:-1], t // cs, 1, cs) for x in xs]
+        out = jnp.concatenate(parts, axis=-2)
+        return state, {"out": out.reshape(*xs[0].shape[:-1], k * t)}
+
+
+@register_block("Deinterleave")
+class Deinterleave(Block):
+    """Round-robin stream splitter (inverse of :class:`Interleave`)."""
+
+    n_outputs = Setting(default=2, kind="static", limits=(1, 64))
+    chunk_size = Setting(default=1, kind="static", limits=(1, None))
+
+    IN = (Port("in"),)
+
+    def __init__(self, name=None, **settings):
+        super().__init__(name=name, **settings)
+        self.out_ports = tuple(
+            Port(f"out{i}") for i in range(int(self.settings.get("n_outputs"))))
+
+    @property
+    def ratio(self) -> Fraction:
+        return Fraction(1, int(self.settings.get("n_outputs")))
+
+    @property
+    def alignment(self) -> int:
+        return int(self.settings.get("n_outputs")) * \
+            int(self.settings.get("chunk_size"))
+
+    def apply(self, state, ins, ctx):
+        k = int(self.settings.get("n_outputs"))
+        cs = int(self.settings.get("chunk_size"))
+        x = ins["in"]
+        t = x.shape[-1]
+        parts = x.reshape(*x.shape[:-1], t // (k * cs), k, cs)
+        return state, {f"out{i}":
+                       parts[..., i, :].reshape(*x.shape[:-1], t // k)
+                       for i in range(k)}
 
 
 # -- converters (≈ ConverterBlocks.hpp) ----------------------------------------

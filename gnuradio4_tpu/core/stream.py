@@ -33,6 +33,8 @@ DTYPES = {
     "int16": jnp.int16,
     "int8": jnp.int8,
     "uint8": jnp.uint8,
+    "uint16": jnp.uint16,
+    "uint32": jnp.uint32,   # ≈ gr::Size_t streams (Selector select port)
     "bool": jnp.bool_,
 }
 _DTYPE_NAMES = {np.dtype(v): k for k, v in DTYPES.items()}
