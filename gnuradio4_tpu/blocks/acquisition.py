@@ -27,29 +27,67 @@ from ..core.tags import Keys
 class StreamToDataSet(SinkBlock):
     """Trigger-windowed stream capture → DataSets.
 
-    modes: 'triggered' (pre/post around a matcher), 'multiplexed' (start→stop),
-    'continuous' (fixed-length back-to-back windows).
+    ``mode='auto'`` (default) is the reference-fidelity path
+    (StreamToDataSet.hpp:25 ``StreamFilterImpl<T, false>``): the single
+    ``filter`` string selects start/stop pairs (``"[A/ctx1, B/ctx2]"``,
+    ``^``-prefixed parts for inclusive "ends" windows) or a bare single-trigger
+    matcher; overlapping windows accumulate concurrently with FIFO start/stop
+    pairing; in-window tags land in ``DataSet.timing_events`` and merged
+    auto-forward tags ride ``self.out_tags`` (see core/stream_capture.py).
+
+    Legacy modes: 'triggered' (pre/post around the old matcher DSL),
+    'multiplexed' (separate ``filter_stop``), 'continuous' (fixed-length
+    back-to-back windows).
     """
 
     IN = (Port("in"),)
-    mode = Setting(default="triggered", kind="static",
-                   choices=("triggered", "multiplexed", "continuous"))
+    mode = Setting(default="auto", kind="static",
+                   choices=("auto", "triggered", "multiplexed", "continuous"))
     filter = Setting(default="", kind="static",
                      description="trigger matcher DSL (start matcher)")
     filter_stop = Setting(default="", kind="static",
                           description="stop matcher for multiplexed mode")
     n_pre = Setting(default=0, kind="static", limits=(0, 1 << 24))
-    n_post = Setting(default=1024, kind="static", limits=(1, 1 << 24))
+    n_post = Setting(default=0, kind="static", limits=(0, 1 << 24))
+    n_max = Setting(default=0, kind="static", limits=(0, 1 << 30),
+                    description="max DataSet size (0: infinite)")
     n_length = Setting(default=1024, kind="static", limits=(1, 1 << 24),
                        description="window length for continuous mode")
     sample_rate_hint = Setting(default=1.0, kind="static")
+    signal_name = Setting(default="", kind="static")
+    signal_quantity = Setting(default="", kind="static")
+    signal_unit = Setting(default="", kind="static")
+    signal_min = Setting(default=0.0, kind="static")
+    signal_max = Setting(default=1.0, kind="static")
 
     def __init__(self, name=None, **settings):
+        # legacy surface compatibility: n_post used to default to 1024 for the
+        # poller modes — keep that when a legacy mode is chosen explicitly
+        if settings.get("mode") in ("triggered", "multiplexed") \
+                and "n_post" not in settings:
+            settings["n_post"] = 1024
         super().__init__(name=name, **settings)
         self.datasets: "queue.Queue[DataSet]" = queue.Queue()
+        self.out_tags: list = []   # merged auto-forward tags at DataSet indices
         mode = self.settings.get("mode")
         fs = float(self.settings.get("sample_rate_hint"))
-        if mode == "triggered":
+        self._engine = None
+        self._impl = None
+        if mode == "auto":
+            from ..core.stream_capture import CaptureEngine
+            self._engine = CaptureEngine(
+                str(self.settings.get("filter")),
+                n_pre=int(self.settings.get("n_pre")),
+                n_post=int(self.settings.get("n_post")),
+                n_max=int(self.settings.get("n_max")),
+                stream_out=False, sample_rate=fs,
+                signal_name=str(self.settings.get("signal_name")) or "",
+                signal_quantity=str(self.settings.get("signal_quantity")),
+                signal_unit=str(self.settings.get("signal_unit")),
+                signal_min=float(self.settings.get("signal_min")),
+                signal_max=float(self.settings.get("signal_max")))
+            self._drained = 0
+        elif mode == "triggered":
             self._impl = TriggerPoller(str(self.settings.get("filter")),
                                        pre=int(self.settings.get("n_pre")),
                                        post=int(self.settings.get("n_post")),
@@ -61,7 +99,6 @@ class StreamToDataSet(SinkBlock):
                                            sample_rate=fs, max_windows=1024)
             self._impl.q = self.datasets
         else:
-            self._impl = None
             self._acc: list[np.ndarray] = []
             self._acc_n = 0
             self._start_abs = 0
@@ -69,6 +106,15 @@ class StreamToDataSet(SinkBlock):
     def consume(self, arrays, tags, n_valid, abs_index):
         data = arrays["in"][..., :n_valid]
         if n_valid == 0:
+            return
+        if self._engine is not None:
+            self._engine.feed(np.asarray(data),
+                              [t for t in tags.get("in", [])
+                               if t.index < n_valid])
+            while self._drained < len(self._engine.datasets):
+                self.datasets.put(self._engine.datasets[self._drained])
+                self._drained += 1
+            self.out_tags = self._engine.ds_tags
             return
         if self._impl is not None:
             self._impl._feed(StreamChunk(
@@ -103,6 +149,50 @@ class StreamToDataSet(SinkBlock):
                 out.append(self.datasets.get_nowait())
             except queue.Empty:
                 return out
+
+
+@register_block("StreamFilterSink")
+class StreamFilterSink(SinkBlock):
+    """Reference-fidelity *stream-out* trigger capture
+    (StreamToDataSet.hpp:23 ``StreamFilter`` = ``StreamFilterImpl<T, true>``):
+    publishes only the samples inside trigger windows as a compacted stream
+    with tags re-indexed to the output grid, including the merged
+    auto-forward tag semantics.
+
+    Static device shapes forbid a variable-rate in-graph stream, so the
+    compacted stream terminates here at the host boundary: read it with
+    :meth:`data` / :attr:`tags` (the in-graph gate-to-zero form is
+    ``blocks.misc.StreamFilter``)."""
+
+    IN = (Port("in"),)
+    filter = Setting(default="", kind="static",
+                     description="'[start/ctx1, stop/ctx2]' or single matcher")
+    n_pre = Setting(default=0, kind="static", limits=(0, 1 << 24))
+    n_post = Setting(default=0, kind="static", limits=(0, 1 << 24))
+    sample_rate_hint = Setting(default=1.0, kind="static")
+
+    def __init__(self, name=None, **settings):
+        super().__init__(name=name, **settings)
+        from ..core.stream_capture import CaptureEngine
+        self._engine = CaptureEngine(
+            str(self.settings.get("filter")),
+            n_pre=int(self.settings.get("n_pre")),
+            n_post=int(self.settings.get("n_post")),
+            stream_out=True,
+            sample_rate=float(self.settings.get("sample_rate_hint")))
+
+    def consume(self, arrays, tags, n_valid, abs_index):
+        if n_valid == 0:
+            return
+        self._engine.feed(np.asarray(arrays["in"][..., :n_valid]),
+                          [t for t in tags.get("in", []) if t.index < n_valid])
+
+    def data(self) -> np.ndarray:
+        return self._engine.data()
+
+    @property
+    def tags(self):
+        return self._engine.out_tags
 
 
 @register_block("TriggerGate")
