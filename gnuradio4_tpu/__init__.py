@@ -31,12 +31,14 @@ from .core.settings import Setting, Settings, SettingsCtx
 from .core.stream import StreamSpec
 from .core.tags import Keys, Tag, TagPropagation
 from .core.dataset import Axis, DataSet, SignalMeta
-from .core.datasink import (DataSink, DataSinkRegistry, MultiplexedPoller,
-                            OverflowPolicy, SnapshotPoller, StreamingPoller,
-                            TriggerPoller, global_data_sink_registry)
+from .core.datasink import (DataSink, DataSinkQuery, DataSinkRegistry,
+                            DataSetPoller, MultiplexedPoller, OverflowPolicy,
+                            SnapshotPoller, StreamingPoller, TriggerPoller,
+                            global_data_sink_registry)
 from .core.merge import merge
 from .core.profiler import NullProfiler, Profiler
-from .core.trigger import MatchResult, match_trigger
+from .core.trigger import (BasicTriggerNameCtxMatcher, MatchResult,
+                           match_trigger)
 from .core.yaml_io import load_grc, run_grc, save_grc
 from .core.checkpoint import load_checkpoint, save_checkpoint
 from .core import pmt

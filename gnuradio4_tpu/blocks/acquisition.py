@@ -60,7 +60,7 @@ class StreamToDataSet(SinkBlock):
     signal_min = Setting(default=0.0, kind="static")
     signal_max = Setting(default=1.0, kind="static")
 
-    def __init__(self, name=None, **settings):
+    def __init__(self, name=None, registry=None, **settings):
         # legacy surface compatibility: n_post used to default to 1024 for the
         # poller modes — keep that when a legacy mode is chosen explicitly
         if settings.get("mode") in ("triggered", "multiplexed") \
@@ -69,6 +69,12 @@ class StreamToDataSet(SinkBlock):
         super().__init__(name=name, **settings)
         self.datasets: "queue.Queue[DataSet]" = queue.Queue()
         self.out_tags: list = []   # merged auto-forward tags at DataSet indices
+        # DataSet consumer endpoint (≈ DataSetSink<T> + getDataSetPoller,
+        # DataSink.hpp): register so DataSinkQuery.sink/signal finds us
+        from ..core.datasink import global_data_sink_registry
+        self._ds_listeners: list = []
+        self.registry = registry or global_data_sink_registry
+        self.registry.register(self)
         mode = self.settings.get("mode")
         fs = float(self.settings.get("sample_rate_hint"))
         self._engine = None
@@ -112,7 +118,10 @@ class StreamToDataSet(SinkBlock):
                               [t for t in tags.get("in", [])
                                if t.index < n_valid])
             while self._drained < len(self._engine.datasets):
-                self.datasets.put(self._engine.datasets[self._drained])
+                ds = self._engine.datasets[self._drained]
+                self.datasets.put(ds)
+                for lst in self._ds_listeners:
+                    lst._feed_dataset(ds)
                 self._drained += 1
             self.out_tags = self._engine.ds_tags
             return
@@ -149,6 +158,20 @@ class StreamToDataSet(SinkBlock):
                 out.append(self.datasets.get_nowait())
             except queue.Empty:
                 return out
+
+    # -- DataSet consumer endpoint (registry-facing) ----------------------------
+
+    def get_signal_name(self) -> str:
+        return str(self.settings.get("signal_name")) or self.name
+
+    def attach_dataset_listener(self, listener):
+        self._ds_listeners.append(listener)
+        return listener
+
+    def stop(self):
+        for lst in self._ds_listeners:
+            lst._eos()
+        self.registry.unregister(self)
 
 
 @register_block("StreamFilterSink")

@@ -100,6 +100,22 @@ def coalesce(tags: list[Tag]) -> list[Tag]:
     return [Tag(i, m) for i, m in by_index.items()]
 
 
+def dedup(tags: list[Tag]) -> list[Tag]:
+    """Sort by index, dropping only *exact* duplicates (same index AND equal
+    map). Distinct tags at the same index stay distinct, as in the reference
+    (Block::inputTags keeps a vector<Tag> — e.g. two different triggers on one
+    sample each open their own DataSink window, qa_DataSink.cpp:438-443);
+    stable sort keeps arrival order for ties."""
+    if not tags:
+        return tags
+    out: list[Tag] = []
+    for t in sorted(tags):
+        if any(u.index == t.index and u.map == t.map for u in out):
+            continue
+        out.append(t)
+    return out
+
+
 @dataclasses.dataclass
 class TagArrays:
     """Fixed-capacity device-visible view of a step's tags (indices within the step).
@@ -149,11 +165,12 @@ def propagate(
             if i < len(in_ports):
                 out[op] = [t.rescaled(ratio) for t in in_tags.get(in_ports[i], [])]
         return out
-    # TPP_ALL_TO_ALL (default)
+    # TPP_ALL_TO_ALL (default); exact-duplicate removal only — distinct tags
+    # at the same index are preserved (reference vector<Tag> semantics)
     merged: list[Tag] = []
     for p in in_ports:
         merged.extend(in_tags.get(p, []))
-    merged = coalesce([t.rescaled(ratio) for t in merged])
+    merged = dedup([t.rescaled(ratio) for t in merged])
     for op in out_ports:
         out[op] = list(merged)
     return out
