@@ -174,6 +174,56 @@ class StreamToDataSet(SinkBlock):
         self.registry.unregister(self)
 
 
+@register_block("SyncSink")
+class SyncSink(SinkBlock):
+    """Reference-fidelity multi-stream synchronizer endpoint
+    (≈ blocks/basic SyncBlock.hpp:12): aligns N equal-rate streams on
+    trigger tags with matching ``trigger_time`` (within ``tolerance``),
+    accounting dropped samples via ``n_dropped_samples`` tags and bounding
+    desynchronized history by ``max_history_size``.
+
+    Variable per-port drops are a variable-rate transform, so the exact
+    reference semantics live at the host boundary (core/sync_engine.py);
+    the in-graph device form with bounded skew is ``blocks.misc.SyncBlock``.
+    Read aligned streams with :meth:`data` / :meth:`out_tags`."""
+
+    PER_PORT_VALID = True   # Async inputs progress independently
+    n_ports = Setting(default=2, kind="static", limits=(1, 32))
+    max_history_size = Setting(default=32000, kind="static")
+    filter = Setting(default="", kind="static",
+                     description="trigger name filter ('' = any)")
+    tolerance = Setting(default=5, kind="static",
+                        description="trigger time tolerance [ns]")
+
+    def __init__(self, name=None, **settings):
+        super().__init__(name=name, **settings)
+        from ..core.sync_engine import SyncEngine
+        n = int(self.settings.get("n_ports"))
+        self.in_ports = tuple(Port(f"in{i}") for i in range(n))
+        self.engine = SyncEngine(
+            n, max_history_size=int(self.settings.get("max_history_size")),
+            filter=str(self.settings.get("filter")),
+            tolerance=int(self.settings.get("tolerance")))
+
+    def consume(self, arrays, tags, n_valid, abs_index):
+        # PER_PORT_VALID: n_valid is {port: count} — each stream advances by
+        # its own upstream's validity (≈ Async ports, SyncBlock.hpp:124)
+        for i in range(len(self.in_ports)):
+            nv = n_valid[f"in{i}"] if isinstance(n_valid, dict) else n_valid
+            if nv <= 0:
+                continue
+            self.engine.feed(i, np.asarray(arrays[f"in{i}"][..., :nv]),
+                             [t for t in tags.get(f"in{i}", [])
+                              if t.index < nv], pump=False)
+        self.engine.pump()
+
+    def data(self, port: int) -> np.ndarray:
+        return self.engine.data(port)
+
+    def out_tags(self, port: int):
+        return self.engine.out_tags[port]
+
+
 @register_block("StreamFilterSink")
 class StreamFilterSink(SinkBlock):
     """Reference-fidelity *stream-out* trigger capture

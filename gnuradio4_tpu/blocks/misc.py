@@ -48,6 +48,10 @@ class FunctionGenerator(SourceBlock):
     reference's context-tag-driven operation.
     """
 
+    # optional clock/tag input (≈ FunctionGenerator.hpp clk_in): carries no
+    # sample information here — its TAGS (CMD_BP_START contexts from a
+    # ClockSource) drive the stored-settings timeline
+    IN = (Port("clk_in", optional=True),)
     OUT = (Port("out", dtype="float32"),)
     signal_type = Setting(default="Const", kind="static", choices=FUNCTION_MODES)
     start_value = Setting(default=0.0)
@@ -192,24 +196,121 @@ class ClockSource(SourceBlock):
 
 @register_block("SchmittTrigger")
 class SchmittTrigger(Block):
-    """Hysteresis comparator: emits the binary gate state (±1) as a stream
-    (≈ blocks/basic Trigger.hpp). Edge *positions* (sub-sample) are host-side —
-    use ops.estimators.schmitt_edges on captured data, or a DataSink."""
+    """Hysteresis comparator (≈ blocks/basic Trigger.hpp SchmittTrigger +
+    algorithm/SchmittTrigger.hpp).
+
+    Two output modes:
+
+    - ``output='gate'`` (default): the binary comparator state as a ±1 stream
+      — the pure device form;
+    - ``output='pass'``: the input passed through verbatim, as the reference
+      block does (Trigger.hpp:133 copies input to output).
+
+    Edge *tags*: when ``trigger_name_rising_edge`` / ``falling_edge`` are
+    non-empty (reference defaults: "RISING"/"FALLING"; "" omits), the block
+    emits trigger tags at the detected (sub-sample interpolated) edge
+    positions, carrying trigger_name/trigger_time/trigger_offset/context
+    (Trigger.hpp:122-130 publishTag). Edge positions are data-dependent, so
+    the tags are computed host-side on the landed device results and ride the
+    delivery path (scheduler ``host_emit_tags``) — enabling them costs one
+    D2H copy of this block's input per step. ``interpolation``:
+    'none' | 'basic_linear' | 'regression' | 'polynomial'
+    (= NO/BASIC_LINEAR/LINEAR/POLYNOMIAL_INTERPOLATION).
+
+    Thresholds: legacy ``low``/``high``, or the reference's
+    ``offset``±``threshold`` pair (algorithm/SchmittTrigger.hpp:67) —
+    offset/threshold win when explicitly set.
+    """
 
     IN = (Port("in", dtype="float32"),)
     OUT = (Port("out", dtype="float32"),)
     low = Setting(default=-0.5, kind="static")
     high = Setting(default=0.5, kind="static")
+    offset = Setting(default=0.0, kind="static",
+                     description="trigger offset (band midpoint)")
+    threshold = Setting(default=0.0, kind="static",
+                        description="hysteresis half-width; band = offset±threshold")
+    output = Setting(default="gate", kind="static", choices=("gate", "pass"))
+    trigger_name_rising_edge = Setting(default="", kind="static")
+    trigger_name_falling_edge = Setting(default="", kind="static")
+    interpolation = Setting(default="basic_linear", kind="static",
+                            choices=("none", "basic_linear", "regression",
+                                     "polynomial"))
+    forward_tag = Setting(default=True, kind="static")
+
+    def __init__(self, name=None, **settings):
+        explicit_band = "offset" in settings or "threshold" in settings
+        super().__init__(name=name, **settings)
+        if explicit_band:
+            off = float(self.settings.get("offset"))
+            thr = float(self.settings.get("threshold"))
+            self.settings.set({"low": off - thr, "high": off + thr})
+            self.settings.apply_staged()
+        self._rise = str(self.settings.get("trigger_name_rising_edge"))
+        self._fall = str(self.settings.get("trigger_name_falling_edge"))
+        if self._rise or self._fall:
+            # data-derived tag emission: opt into HOST_TAP delivery of this
+            # block's input + the host_emit_tags hook (core/scheduler.py)
+            self.HOST_TAP = True
+            self.EMITS_HOST_TAGS = True
+        from ..ops.estimators import SchmittState
+        self._edge_state = SchmittState()
+        self._fs = 1.0
 
     def init_state(self, ctx):
         ch = ctx.channels.get("in", 0)
+        self._fs = ctx.sample_rate
         return jnp.zeros(() if ch == 0 else (ch,), jnp.bool_)
 
     def apply(self, state, ins, ctx):
         states, carry = schmitt_device(ins["in"], state,
                                        low=float(self.settings.get("low")),
                                        high=float(self.settings.get("high")))
+        if str(self.settings.get("output")) == "pass":
+            return carry, {"out": ins["in"]}
         return carry, {"out": jnp.where(states, 1.0, -1.0).astype(jnp.float32)}
+
+    def process_tags(self, in_tags, ctx):
+        if not bool(self.settings.get("forward_tag")):
+            return {"out": []}
+        return super().process_tags(in_tags, ctx)
+
+    def consume(self, arrays, tags, n_valid, abs_index):
+        """No-op sink hook — present because HOST_TAP delivery feeds this
+        block's input back to the host for edge extraction."""
+
+    def host_emit_tags(self, arrays, tags, n_valid, abs_index):
+        from ..core.tags import Tag
+        from ..ops.estimators import schmitt_edges
+        x = np.asarray(arrays["in"][..., :n_valid], np.float64)
+        if x.ndim > 1:
+            x = x[0]
+        method = {"none": "none", "basic_linear": "basic_linear",
+                  "regression": "regression", "polynomial": "polynomial"}[
+            str(self.settings.get("interpolation"))]
+        edges, self._edge_state = schmitt_edges(
+            x, low=float(self.settings.get("low")),
+            high=float(self.settings.get("high")),
+            state=self._edge_state, method=method)
+        fs = self._fs if self._fs else 1.0
+        out = []
+        for pos, kind in edges:
+            name = self._rise if kind > 0 else self._fall
+            if not name:
+                continue
+            ipos = int(np.floor(pos))
+            if abs_index + ipos < 0:
+                # interpolation extrapolated before the stream start — the
+                # reference skips out-of-range edge positions
+                # (Trigger.hpp:146 edgePosition >= 0 gate)
+                continue
+            out.append(Tag(ipos, {
+                Keys.TRIGGER_NAME: name,
+                Keys.TRIGGER_TIME: int((abs_index + pos) * 1e9 / fs),
+                Keys.TRIGGER_OFFSET: float(pos - ipos) / fs,
+                Keys.CONTEXT: "",
+            }))
+        return out
 
 
 @register_block("FrequencyEstimator")

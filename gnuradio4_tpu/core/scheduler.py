@@ -51,6 +51,8 @@ class _InFlight:
     n_valid: dict[str, int]
     abs_in: dict[str, int]
     t_dispatch: float
+    n_valid_ports: dict[str, dict[str, int]] = dataclasses.field(
+        default_factory=dict)   # PER_PORT_VALID sinks: per-port counts
 
 
 class Scheduler:
@@ -93,6 +95,12 @@ class Scheduler:
 
         self.fsm = StateMachine()
         self.bus = MessageBus()
+        # every lifecycle transition notifies the message plane — the
+        # reference's setAndNotifyState publishing kLifecycleState
+        # (qa_Messages.cpp:789 "Subscribe to scheduler lifecycle messages")
+        for _st in State:
+            self.fsm.on(_st, (lambda s: lambda: self.bus.notify(
+                self.name, Property.LIFECYCLE_STATE, {"state": s.value}))(_st))
         self.compiled: CompiledGraph | None = None
         self._states: dict[str, Any] = {}
         self._dirty = True            # needs (re)compile
@@ -368,7 +376,10 @@ class Scheduler:
         while len(self._inflight) >= self.pipeline_depth:
             self._deliver(self._inflight.popleft())
 
-        # 1. collect feeds + per-source valid counts
+        # 1. collect feeds + per-source valid counts ("source" = no *connected*
+        # inputs: a block with only unconnected optional ports, e.g. a
+        # FunctionGenerator without its clk_in, still self-terminates)
+        in_edges = c.in_edges_by_dst()
         feeds: dict[str, dict[str, np.ndarray]] = {}
         n_valid: dict[str, int] = {}
         for b in c.order:
@@ -402,7 +413,7 @@ class Scheduler:
                     if nv < c.out_len[uname] and \
                             not getattr(b, "ALLOW_UNDERRUN", False):
                         self._finished_sources.add(uname)
-            elif not b.in_ports:  # pure device source
+            elif not in_edges[uname]:  # pure device source
                 done = b.host_done(self._abs_out[uname], c.out_len[uname])
                 if done is not None and done <= c.out_len[uname]:
                     n_valid[uname] = max(0, done)
@@ -442,8 +453,12 @@ class Scheduler:
 
         # delivery-side validity: a FEED block WITH inputs (subgraph bridge) has
         # its n_valid set by its own feed (output side); what its consume()
-        # receives is the INPUT stream, whose validity is the upstream's
+        # receives is the INPUT stream, whose validity is the upstream's.
+        # Sinks flagged PER_PORT_VALID additionally get each port's own count —
+        # the analog of the reference's Async input ports progressing
+        # independently (e.g. SyncBlock.hpp:124 PortIn<T, Async>)
         n_valid_deliver = dict(n_valid)
+        n_valid_ports: dict[str, dict[str, int]] = {}
         for b in c.order:
             uname = b.unique_name
             ins = in_edges[uname]
@@ -451,6 +466,11 @@ class Scheduler:
                 n_valid_deliver[uname] = min(
                     n_valid.get(e.src.unique_name,
                                 c.out_len[e.src.unique_name]) for e in ins)
+            if ins and getattr(b, "PER_PORT_VALID", False):
+                n_valid_ports[uname] = {
+                    e.dst_port: n_valid.get(e.src.unique_name,
+                                            c.out_len[e.src.unique_name])
+                    for e in ins}
 
         # multi-host: every process computed the full (global) feed blocks —
         # slice out this process's time shard and assemble global jax.Arrays
@@ -461,6 +481,27 @@ class Scheduler:
         # Block.prepare_params) must be visible to this step's device dispatch
         with self.profiler.duration("scheduler.tags"):
             sink_tags = self._advance_tags(n_valid)
+
+        # 3b. settings staged by the tag walk (auto-update, context
+        # activation) apply THIS step — the reference chunk-breaks work at
+        # the tag (Block.hpp:1986), so a tag at the step head must govern
+        # these samples, including *static* changes (e.g. a context tag
+        # switching FunctionGenerator's signal_type re-jits before dispatch).
+        # Blocks with pending SAMPLE_ACCURATE ramps keep their applied value
+        # as the pre-tag baseline — the ramp IS their exact application.
+        self._apply_staged_settings(exclude=set(self._tag_ramps))
+        if self._dirty:
+            with self.profiler.duration("scheduler.compile"):
+                self._recompile(reset_state=False)
+            c = self.compiled
+            # refit feeds to the re-solved rate solution (same pattern as the
+            # zombie-prune retry below)
+            zf = c.zero_feeds()
+            feeds = {
+                uname: {p: _pad_to(np.asarray(a)[..., :zf[uname][p].shape[-1]],
+                                   zf[uname][p].shape, zf[uname][p].dtype)
+                        for p, a in fd.items() if p in zf.get(uname, {})}
+                for uname, fd in feeds.items() if uname in zf}
 
         # 4. dispatch device step (async); tag-driven settings at index k
         # become per-sample param arrays for this step (exact application)
@@ -519,7 +560,7 @@ class Scheduler:
         self._inflight.append(_InFlight(
             step=self._step, sink_ins=sink_ins, sink_tags=sink_tags,
             n_valid=n_valid_deliver, abs_in=abs_in_snapshot,
-            t_dispatch=time.monotonic()))
+            t_dispatch=time.monotonic(), n_valid_ports=n_valid_ports))
         self._step += 1
         self._last_progress = time.monotonic()
 
@@ -528,7 +569,7 @@ class Scheduler:
         # Mid-graph FEED bridges (ScheduledSubgraph) count as sources: the
         # graph is not done while their inner pipeline still holds data.
         sources = [b for b in c.order
-                   if not b.in_ports or getattr(b, "FEED", False)]
+                   if not in_edges[b.unique_name] or getattr(b, "FEED", False)]
         all_done = sources and all(b.unique_name in self._finished_sources
                                    for b in sources)
         if (all_done and not produced_any) or graph_done:
@@ -539,9 +580,58 @@ class Scheduler:
         while self._inflight:
             self._deliver(self._inflight.popleft())
 
+    def _late_tag_routes(self, c, src_uname: str):
+        """Downstream sink/tap consumers reachable from ``src_uname`` with the
+        cumulative rate ratio along the path and the arrival port: data-derived
+        tags (host_emit_tags) are produced only once device results land, so
+        they ride the *delivery* path to consumers, not the dispatch-time
+        sideband (≈ the reference publishing data-dependent tags inline in
+        processBulk, e.g. blocks/basic Trigger.hpp:122 publishTag)."""
+        routes: list[tuple[str, str, Fraction]] = []
+        out_edges: dict[str, list] = {}
+        for e in c.graph.edges:
+            out_edges.setdefault(e.src.unique_name, []).append(e)
+        seen = set()
+        frontier = [(src_uname, Fraction(1))]
+        while frontier:
+            uname, ratio = frontier.pop()
+            for e in out_edges.get(uname, []):
+                dst = e.dst.unique_name
+                if (dst, e.dst_port) in seen:
+                    continue
+                seen.add((dst, e.dst_port))
+                blk = next((b for b in c.order if b.unique_name == dst), None)
+                if blk is None:
+                    continue
+                if isinstance(blk, SinkBlock) or getattr(blk, "HOST_TAP",
+                                                         False):
+                    routes.append((dst, e.dst_port, ratio))
+                frontier.append((dst, ratio * blk.ratio))
+        return routes
+
     def _deliver(self, rec: _InFlight) -> None:
         c = self.compiled
         with self.profiler.duration("scheduler.deliver", step=rec.step):
+            # pass 1: data-derived tags from emitting blocks (topological) —
+            # computed on landed host data, routed to downstream consumers
+            late: dict[str, dict[str, list[Tag]]] = {}
+            for b in c.order:
+                uname = b.unique_name
+                if uname not in rec.sink_ins or \
+                        not getattr(b, "EMITS_HOST_TAGS", False):
+                    continue
+                arrays = {p: np.asarray(a)
+                          for p, a in rec.sink_ins[uname].items()}
+                emitted = b.host_emit_tags(
+                    arrays, rec.sink_tags.get(uname, {}),
+                    rec.n_valid.get(uname, c.in_len[uname]),
+                    rec.abs_in.get(uname, 0))
+                if not emitted:
+                    continue
+                for dst, port, ratio in self._late_tag_routes(c, uname):
+                    bucket = late.setdefault(dst, {}).setdefault(port, [])
+                    bucket += [t if ratio == 1 else t.rescaled(ratio)
+                               for t in emitted]
             for uname, ins in rec.sink_ins.items():
                 # None: the block was zombie-pruned after this step's dispatch
                 block = next((b for b in c.order if b.unique_name == uname),
@@ -560,9 +650,18 @@ class Scheduler:
                         arrays = {p: np.asarray(a) for p, a in ins.items()}
                 else:  # metrics-only sink: keep device arrays, skip the copy
                     arrays = dict(ins)
+                tags = rec.sink_tags.get(uname, {})
+                if uname in late:
+                    tags = {p: sorted(list(tags.get(p, [])) + extra)
+                            for p, extra in late[uname].items()} | \
+                           {p: v for p, v in tags.items()
+                            if p not in late[uname]}
+                nv = rec.n_valid.get(uname, c.in_len[uname])
+                if getattr(block, "PER_PORT_VALID", False):
+                    nv = rec.n_valid_ports.get(uname) or \
+                        {p.name: nv for p in block.in_ports}
                 try:
-                    block.consume(arrays, rec.sink_tags.get(uname, {}),
-                                  rec.n_valid.get(uname, c.in_len[uname]),
+                    block.consume(arrays, tags, nv,
                                   rec.abs_in.get(uname, 0))
                 except Exception as err:
                     if not self._contain_block_error(block, err, "consume"):
@@ -652,11 +751,11 @@ class Scheduler:
         return sink_tags
 
     # -- settings --------------------------------------------------------------
-    def _apply_staged_settings(self) -> None:
+    def _apply_staged_settings(self, exclude: set[str] = frozenset()) -> None:
         if self.compiled is None:
             return
         for b in self.compiled.order:
-            if not b.settings.changed():
+            if b.unique_name in exclude or not b.settings.changed():
                 continue
             res = b.settings.apply_staged()
             self.compiled.invalidate_params()
@@ -717,12 +816,30 @@ class Scheduler:
         elif ep == Property.ACTIVE_CONTEXT:
             from .settings import SettingsCtx
             if cmd is Command.Set:
-                block.settings.activate_context(SettingsCtx(
-                    time=float(data.get("time", 0.0)),
-                    context=str(data.get("context", ""))))
+                ctx = SettingsCtx(time=float(data.get("time", 0.0)),
+                                  context=str(data.get("context", "")))
+                # Set creates-and-activates (≈ Block.hpp kActiveContext Set,
+                # qa_Messages "create active test_context"): the context
+                # becomes a stored preset even before any values land in it
+                if ctx.context:
+                    block.settings._contexts.setdefault(ctx, {})
+                block.settings.activate_context(ctx)
             ctx = block.settings.active_context
             self.bus.reply(msg, {"context": ctx.context, "time": ctx.time})
         elif ep == Property.SETTINGS_CONTEXTS:
+            from .settings import SettingsCtx
+            if cmd is Command.Set:       # create/store a context preset
+                ctx = SettingsCtx(time=float(data.get("time", 0.0)),
+                                  context=str(data.get("context", "")))
+                block.settings.set(dict(data.get("properties", {})), ctx=ctx)
+                block.settings._contexts.setdefault(ctx, {})
+            elif cmd is Command.Disconnect:   # remove (≈ kSettingsCtx removal)
+                ctx = SettingsCtx(time=float(data.get("time", 0.0)),
+                                  context=str(data.get("context", "")))
+                if not block.settings.remove_context(ctx):
+                    self.bus.reply(msg, Error.here(
+                        f"no stored context {ctx.context!r}"))
+                    return
             ctxs = block.settings.stored_contexts()
             self.bus.reply(msg, {"contexts": [c.context for c in ctxs],
                                  "times": [c.time for c in ctxs]})

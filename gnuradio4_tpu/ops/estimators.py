@@ -253,6 +253,22 @@ def _regression_crossing(ys: np.ndarray, offset: float) -> float | None:
     return float((offset - intercept) / slope)
 
 
+def _quadratic_crossing(ys: np.ndarray, offset: float) -> float | None:
+    """Order-2 LSQ fit over ``ys`` (x = 0..n−1); smallest in-range root of
+    fit(x) = offset, or None when degenerate (POLYNOMIAL_INTERPOLATION)."""
+    n = len(ys)
+    xs = np.arange(n, dtype=np.float64)
+    try:
+        a, b, c = np.polyfit(xs, ys, 2)
+    except np.linalg.LinAlgError:
+        return None
+    roots = np.roots([a, b, c - offset]) if abs(a) > 1e-12 else \
+        (np.asarray([(offset - c) / b]) if abs(b) > 1e-12 else np.asarray([]))
+    real = [float(r.real) for r in roots
+            if abs(r.imag) < 1e-9 and -0.5 <= r.real <= n - 0.5]
+    return min(real) if real else None
+
+
 def schmitt_edges(x: np.ndarray, *, low: float, high: float,
                   state: SchmittState | None = None,
                   method: str = "basic_linear"
@@ -268,14 +284,22 @@ def schmitt_edges(x: np.ndarray, *, low: float, high: float,
       bracketing the threshold (BASIC_LINEAR_INTERPOLATION);
     - ``'regression'`` — least-squares line over the samples accumulated while
       traversing the hysteresis band, crossing solved at the band midpoint
-      (LINEAR_INTERPOLATION, SchmittTrigger.hpp:168-222 — noise-robust).
+      (LINEAR_INTERPOLATION, SchmittTrigger.hpp:168-222 — noise-robust);
+    - ``'polynomial'`` — quadratic least-squares fit over the band samples,
+      crossing solved on the fitted parabola (POLYNOMIAL_INTERPOLATION — the
+      reference's Savitzky–Golay-smoothed variant; a quadratic LSQ fit *is*
+      the order-2 SG smoother evaluated continuously). Falls back to the
+      linear regression when the band holds fewer than three samples.
 
     Streaming: pass the returned state back in for the next chunk; the
     regression band accumulation carries across chunk boundaries (positions of
     carried edges may come out negative relative to the current chunk).
     """
-    if method not in ("none", "basic_linear", "regression"):
+    if method not in ("none", "basic_linear", "regression", "polynomial"):
         raise ValueError(f"unknown schmitt method {method!r}")
+    poly = method == "polynomial"
+    if poly:
+        method = "regression"   # same band accumulation; crossing solve differs
     st = state or SchmittState()
     x = np.asarray(x, dtype=np.float64)
     mid = (low + high) / 2.0
@@ -309,7 +333,11 @@ def schmitt_edges(x: np.ndarray, *, low: float, high: float,
                 if j >= 0 and x[i] != x[j]:
                     pos = j + (mid - x[j]) / (x[i] - x[j])
             elif method == "regression" and zone:
-                c = _regression_crossing(np.asarray(zone), mid)
+                c = None
+                if poly and len(zone) >= 3:
+                    c = _quadratic_crossing(np.asarray(zone), mid)
+                if c is None:
+                    c = _regression_crossing(np.asarray(zone), mid)
                 if c is not None:
                     pos = zone_start + c
             edges.append((pos, +1 if rising else -1))
