@@ -401,6 +401,18 @@ class Arg(Block):
         return state, {"out": jnp.angle(ins["in"]).astype(jnp.float32)}
 
 
+@register_block("MagPhaseToComplex")
+class MagPhaseToComplex(Block):
+    """(magnitude, phase) → complex (≈ ConverterBlocks.hpp:219)."""
+
+    IN = (Port("mag", dtype="float32"), Port("phase", dtype="float32"))
+    OUT = (Port("out", dtype="complex64"),)
+
+    def apply(self, state, ins, ctx):
+        return state, {"out": (ins["mag"] * jnp.exp(1j * ins["phase"])
+                               ).astype(jnp.complex64)}
+
+
 @register_block("RealImagToComplex")
 class RealImagToComplex(Block):
     IN = (Port("real", dtype="float32"), Port("imag", dtype="float32"))
