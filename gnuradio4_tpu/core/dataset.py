@@ -90,6 +90,37 @@ class DataSet:
         self.signals[i].range_max = float(np.max(v.real))
         return self
 
+    def check_consistency(self, name: str = "unnamed") -> None:
+        """Structural validation (≈ dataset::checkConsistency,
+        DataSetHelper.hpp:183): positive extents, one axis (with matching
+        value count) per extent dimension, and per-signal metadata/timing
+        arrays sized to the signal count. Raises ``GrError`` on mismatch."""
+        from .errors import GrError
+
+        def fail(msg: str):
+            raise GrError(f"Mismatch in DataSet-{name!r}: {msg}")
+
+        ext = self.extents
+        if any(e <= 0 for e in ext):
+            fail(f"found 0 or negative extent values {list(ext)}")
+        if len(self.axes) != len(ext):
+            fail(f"nDimensions()={len(ext)} != axisCount()={len(self.axes)}")
+        for i, (ax, e) in enumerate(zip(self.axes, ext)):
+            if ax.values is not None and len(ax.values) != e:
+                fail(f"axisValues({i}) size={len(ax.values)} != "
+                     f"extents[{i}]={e}")
+        n_sig = self.n_signals
+        if len(self.signals) != n_sig:
+            fail(f"signal metadata size={len(self.signals)} != "
+                 f"number_of_signals={n_sig}")
+        if len(self.timing_events) != n_sig:
+            fail(f"timing_events.size()={len(self.timing_events)} != "
+                 f"number_of_signals={n_sig}")
+        expected = int(np.prod(ext)) * n_sig
+        if self.values.size != expected:
+            fail(f"signal_values.size()={self.values.size} != "
+                 f"product_of_extents*n_signals={expected}")
+
     @classmethod
     def from_stream(cls, samples: np.ndarray, *, sample_rate: float = 1.0,
                     signal_name: str = "signal", unit: str = "",

@@ -229,7 +229,11 @@ def load_grc(source: str, *, loader: PluginLoader | None = None,
              registry: BlockRegistry | None = None) -> Graph:
     """Instantiate a flowgraph from YAML (≈ loadGrc, Graph_yaml_importer.hpp:396)."""
     registry = registry or (loader.registry if loader else global_registry)
-    doc = yaml.safe_load(source)
+    # reference-dialect loader: GRC files written by the reference carry
+    # pmt type tags (!!float32, !!complex64 (re, im), … — YamlPmt.hpp);
+    # parameters arrive as correctly-typed numpy scalars/arrays
+    from .yaml_pmt import load as load_pmt_yaml
+    doc = load_pmt_yaml(source)
     if not isinstance(doc, dict):
         raise GrError("flowgraph YAML must be a mapping")
     for plugin in doc.get("plugins", []) or []:

@@ -225,6 +225,7 @@ def _check_datasets(datasets, ds_tags, expected_values, expected_tags):
     assert len(datasets) == len(expected_values), \
         [ds.values[0].tolist() for ds in datasets]
     for ds, ev, et in zip(datasets, expected_values, expected_tags):
+        ds.check_consistency("TestDataSet")   # ≈ cpp:344 checkConsistency
         np.testing.assert_array_equal(ds.values[0],
                                       np.asarray(ev, np.float32))
         assert_tags(ds.timing_events[0], et, ignore=_IGNORE_DS)
