@@ -153,11 +153,44 @@ class Rotator(Block):
     SAMPLE_ACCURATE = frozenset({"frequency_shift"})
     frequency_shift = Setting(default=0.0, unit="Hz",
                               description="rotation frequency (± = direction)")
+    # reference surface (Rotator.hpp:33-34): XOR-alternative to
+    # frequency_shift; activating it also switches to the reference's
+    # pre-increment phase convention (processOne adds the increment BEFORE
+    # applying, Rotator.hpp:53) with initial_phase as the chunk offset —
+    # the frequency_shift surface keeps this framework's zero-phase-at-
+    # sample-0 NCO convention
+    phase_increment = Setting(default=0.0, unit="rad",
+                              description="radians added per sample "
+                                          "(alternative to frequency_shift)")
+    initial_phase = Setting(default=0.0, unit="rad")
+
+    def __init__(self, name=None, sample_rate: float | None = None,
+                 **settings):
+        if "frequency_shift" in settings and "phase_increment" in settings:
+            from ..core.errors import GrError
+            raise GrError("cannot set both 'frequency_shift' and "
+                          "'phase_increment' (XOR, Rotator.hpp:46)")
+        self._use_increment = "phase_increment" in settings
+        super().__init__(name=name, **settings)
+        self._sample_rate_hint = float(sample_rate or 1.0)
 
     def prepare_params(self, params):
         params = dict(params)
-        params["_dphi"] = phase_increment(float(self.settings.get("frequency_shift")),
-                                          self._sample_rate_hint)
+        if self._use_increment:
+            inc = float(self.settings.get("phase_increment"))
+            frac = inc / (2.0 * np.pi)
+            frac -= np.floor(frac)
+            params["_dphi"] = np.uint32(round(frac * 4294967296.0)
+                                        % 4294967296)
+            # pre-increment + initial phase as a constant offset
+            params["_phoff"] = np.float32(
+                float(self.settings.get("initial_phase")) + inc)
+        else:
+            params["_dphi"] = phase_increment(
+                float(self.settings.get("frequency_shift")),
+                self._sample_rate_hint)
+            params["_phoff"] = np.float32(
+                float(self.settings.get("initial_phase")))
         return params
 
     def tag_param_ramps(self, events, n):
@@ -173,10 +206,6 @@ class Rotator(Block):
         frac -= np.floor(frac)
         return {"_dphi": (np.round(frac * 4294967296.0)
                           % 4294967296.0).astype(np.uint32)}
-
-    def __init__(self, name=None, sample_rate: float | None = None, **settings):
-        super().__init__(name=name, **settings)
-        self._sample_rate_hint = float(sample_rate or 1.0)
 
     def init_state(self, ctx):
         self._sample_rate_hint = ctx.sample_rate
@@ -194,6 +223,10 @@ class Rotator(Block):
             ph = nco_phases(state, dphi, n)
             new_phase = state + dphi * jnp.uint32(n)
         lo = complex_exp(phase_to_frac(ph))
+        phoff = jnp.asarray(ctx.params.get("_phoff", np.float32(0.0)),
+                            jnp.float32)
+        lo = jnp.where(phoff != 0.0,
+                       lo * jnp.exp(1j * phoff).astype(jnp.complex64), lo)
         return new_phase, {"out": (x * lo).astype(jnp.complex64)}
 
     def apply_sp(self, state, ins, ctx, local_ctx, axis_name):
@@ -203,9 +236,17 @@ class Rotator(Block):
         if jnp.ndim(dphi):
             return super().apply_sp(state, ins, ctx, local_ctx, axis_name)
         from ..parallel.halo import nco_shard_apply
-        return nco_shard_apply(self, state, ins, local_ctx, axis_name,
-                               jnp.asarray(dphi, jnp.uint32),
-                               ins["in"].shape[-1])
+        new_state, outs = nco_shard_apply(self, state, ins, local_ctx,
+                                          axis_name,
+                                          jnp.asarray(dphi, jnp.uint32),
+                                          ins["in"].shape[-1])
+        phoff = jnp.asarray(ctx.params.get("_phoff", np.float32(0.0)),
+                            jnp.float32)
+        outs = {"out": jnp.where(
+            phoff != 0.0,
+            outs["out"] * jnp.exp(1j * phoff).astype(jnp.complex64),
+            outs["out"])}
+        return new_state, outs
 
 
 @register_block("Abs")
