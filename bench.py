@@ -291,18 +291,42 @@ def _main_with_retry() -> None:
     if os.environ.get("GR4_BENCH_CHILD") == "1":
         main()
         return
-    for attempt in range(6):
-        r = subprocess.run(
+
+    def _run_child():
+        return subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
-            env={**os.environ, "GR4_BENCH_CHILD": "1"})
-        if r.returncode == 0:
-            return
-        if r.returncode == 3:   # regression gate: number already printed —
-            raise SystemExit(3)  # propagate without retries / CPU fallback
+            env={**os.environ, "GR4_BENCH_CHILD": "1"},
+            capture_output=True, text=True)
+
+    def _emit(r):
+        sys.stderr.write(r.stderr)
+        sys.stdout.write(r.stdout)
+        sys.stdout.flush()
+
+    last_unverified = None
+    for attempt in range(6):
+        r = _run_child()
+        if r.returncode in (0, 3):
+            if '"verified": false' not in r.stdout or attempt >= 3:
+                _emit(r)
+                raise SystemExit(3 if r.returncode == 3 else None)
+            # rc ok but D2H was in an outage window (dispatch-rate fallback).
+            # The flap timescale is minutes (round-2 notes): hold the result
+            # and retry a few fresh processes hoping to catch a healthy
+            # window with a *verified* compute measurement.
+            last_unverified = r
+            wait = 45 * (attempt + 1)
+            print(f"# attempt {attempt + 1} ran but UNVERIFIED (D2H outage) — "
+                  f"hunting a healthy window in {wait} s", file=sys.stderr)
+            time.sleep(wait)
+            continue
         wait = 30 * (attempt + 1)
         print(f"# bench attempt {attempt + 1} failed (rc={r.returncode}); "
               f"fresh-process retry in {wait} s", file=sys.stderr)
         time.sleep(wait)
+    if last_unverified is not None:   # never caught a verified window
+        _emit(last_unverified)
+        return
     # total transport outage: every attempt failed before producing a number.
     # Measure on CPU instead — the metric line carries a '(cpu' platform tag
     # so the record can never be mistaken for a TPU result.

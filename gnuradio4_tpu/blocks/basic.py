@@ -34,9 +34,18 @@ class SignalGenerator(SourceBlock):
     [−A, +A) + O, Gaussian N(0, A²) + O; generated on-device (threefry).
     """
 
-    OUT = (Port("out", dtype="float32"),)
+    OUT = (Port("out"),)
     signal = Setting(default="Sin", kind="static",
                      choices=WAVEFORMS + NOISE_WAVEFORMS)
+    dtype = Setting(default="float32", kind="static",
+                    choices=("float32", "int8", "int16", "int32", "uint8",
+                             "uint16", "uint32", "complex64"),
+                    description="output sample type: integers saturate like "
+                                "the reference's SignalGeneratorCore<T> "
+                                "(qa_SignalGeneratorCore int8/uint8 clamps); "
+                                "complex64 emits the analytic signal for the "
+                                "sinusoids (|z| = amplitude) and zero "
+                                "imaginary otherwise")
     seed = Setting(default=0, kind="static",
                    description="PRNG seed for the noise signal types")
     frequency = Setting(default=1.0, unit="Hz")
@@ -50,6 +59,18 @@ class SignalGenerator(SourceBlock):
 
     def out_channels(self, port, in_channels):
         return int(self.settings.get("channels"))
+
+    def out_dtype(self, port, in_dtypes):
+        return canonical_dtype(self.settings.get("dtype"))
+
+    def _cast_out(self, y: jnp.ndarray) -> jnp.ndarray:
+        """Saturating cast to the configured output type
+        (≈ SignalGeneratorCore<T>'s double→T saturate, qa:94-196)."""
+        dt = canonical_dtype(self.settings.get("dtype"))
+        if jnp.issubdtype(dt, jnp.integer):
+            info = np.iinfo(dt)
+            return jnp.clip(jnp.round(y), info.min, info.max).astype(dt)
+        return y.astype(dt)
 
     def _fs(self, ctx_rate: float) -> float:
         fs = float(self.settings.get("sample_rate"))
@@ -94,15 +115,31 @@ class SignalGenerator(SourceBlock):
                 y, key = nz.triangular(state, shape)
             else:
                 y, key = nz.gaussian(state, shape)
-            return key, {"out": (amp * y + off).astype(jnp.float32)}
+            return key, {"out": self._cast_out(amp * y + off)}
         dphi = jnp.asarray(ctx.params.get("_dphi", np.uint32(0)), jnp.uint32)
         ph0 = jnp.asarray(ctx.params.get("_phase0_u32", np.uint32(0)), jnp.uint32)
         ph = nco_phases(state + ph0, dphi, n)
-        y = waveform(str(self.settings.get("signal")), phase_to_frac(ph),
-                     amplitude=amp, offset=off)
+        kind = str(self.settings.get("signal"))
+        frac = phase_to_frac(ph)
+        if str(self.settings.get("dtype")) == "complex64":
+            # analytic signal for the sinusoids: real = the scalar waveform,
+            # |z - offset| = amplitude (qa_ToneGenerator fillComplex:99-139);
+            # Sin → A·e^{j(θ-π/2)} (real A·sinθ), Cos → A·e^{jθ};
+            # non-sinusoidal types carry zero imaginary
+            if kind in ("Sin", "FastSin"):
+                z = off + amp * complex_exp(frac - jnp.float32(0.25))
+            elif kind in ("Cos", "FastCos"):
+                z = off + amp * complex_exp(frac)
+            else:
+                z = (waveform(kind, frac, amplitude=amp, offset=off)
+                     + jnp.complex64(0))
+            if ch:
+                z = jnp.broadcast_to(z, (ch, n))
+            return state + dphi * jnp.uint32(n), {"out": z.astype(jnp.complex64)}
+        y = waveform(kind, frac, amplitude=amp, offset=off)
         if ch:
             y = jnp.broadcast_to(y, (ch, n))
-        return state + dphi * jnp.uint32(n), {"out": y.astype(jnp.float32)}
+        return state + dphi * jnp.uint32(n), {"out": self._cast_out(y)}
 
     def apply_sp(self, state, ins, ctx, local_ctx, axis_name):
         """Time-sharded lowering: the integer-NCO phase is a pure function of
@@ -130,6 +167,9 @@ class ComplexToneSource(SignalGenerator):
     """Complex exponential source e^{j2πft/fs} (baseband tone)."""
 
     OUT = (Port("out", dtype="complex64"),)
+
+    def out_dtype(self, port, in_dtypes):
+        return np.dtype("complex64")   # always complex, ignore dtype setting
 
     def apply(self, state, ins, ctx):
         n = ctx.out_len["out"]

@@ -53,6 +53,7 @@ class Property:
     META_INFORMATION = "MetaInformation"
     INSPECT_BLOCK = "InspectBlock"
     INSPECT_GRAPH = "InspectGraph"
+    REGISTRY_BLOCK_TYPES = "RegistryBlockTypes"  # (Graph.hpp:51)
     EMPLACE_BLOCK = "EmplaceBlock"
     REMOVE_BLOCK = "RemoveBlock"
     REPLACE_BLOCK = "ReplaceBlock"

@@ -884,6 +884,11 @@ class Scheduler:
                            "dst": e.dst.name, "dst_port": e.dst_port,
                            "samples_per_step": e.samples_per_step}
                           for e in g.edges]})
+        elif ep == Property.REGISTRY_BLOCK_TYPES:
+            # ≈ Graph.hpp:528 propertyCallbackRegistryBlockTypes
+            # (qa_GraphMessages "Get available block types")
+            from .registry import global_registry
+            self.bus.reply(msg, {"types": sorted(global_registry.known_blocks())})
         elif ep == Property.EMPLACE_BLOCK:
             b = self.graph.emplace(data["type"], **data.get("properties", {}))
             self._dirty = True

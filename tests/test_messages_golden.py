@@ -175,3 +175,16 @@ class TestSubscriptionsAndSchedulerPath:
         sched.run_and_wait()
         assert any(d.get("value") == 7.0 for d in seen)
         assert mul.settings.get("value") == 7.0
+
+
+class TestGraphMessages:
+    """≈ qa_GraphMessages.cpp:79-113 "Get available block types"."""
+
+    def test_registry_block_types(self):
+        sched, _ = make_sched()
+        r = ask(sched, Command.Get, "", Property.REGISTRY_BLOCK_TYPES)
+        types = r.data["types"]
+        assert len(types) > 100
+        for t in ("SignalGenerator", "FirFilter", "DataSink", "Selector"):
+            assert t in types
+        assert types == sorted(types)
