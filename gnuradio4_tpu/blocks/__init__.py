@@ -1,7 +1,7 @@
 """Block library (≈ reference blocks/): importing this package registers all built-in
 blocks with the global registry."""
 
-from . import (acquisition, adsb, alsa, apt, audio, ax25, basic,  # noqa: F401
+from . import (acquisition, adsb, ais, alsa, apt, audio, ax25, basic,  # noqa: F401
                channelizer,
                digital, dsp_extras, electrical, equalizer, fec, fileio,
                filter, fourier, gnss, http, math,
