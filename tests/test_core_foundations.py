@@ -172,6 +172,34 @@ class TestRegistry:
         with pytest.raises(GrError):
             global_registry.create("DoesNotExist")
 
+    def test_all_registered_blocks_instantiate(self):
+        """≈ qa_BasicAvailableBlocks.cpp: every registry type constructs with
+        defaults (the reference asserts registered keys exist; here we go
+        further and instantiate each one)."""
+        from gnuradio4_tpu import global_registry
+        # data-bearing constructors: these require their payload by design
+        import gnuradio4_tpu as gr
+
+        def _inner_graph():
+            g = gr.Graph()
+            c = g.emplace("Copy")
+            g.export_in("in", c, "in")
+            g.export_out("out", c, "out")
+            return g
+
+        needs_args = {"ArraySource": {"arrays": [[1.0, 2.0]]},
+                      "PreambleCorrelator": {"preamble": [1, 0, 1, 1]},
+                      "ScheduledSubgraph": {"inner": _inner_graph()}}
+        failed = []
+        for name in global_registry.known_blocks():
+            try:
+                b = global_registry.create(name, **needs_args.get(name, {}))
+                assert b.name
+            except Exception as e:   # noqa: BLE001 — collecting all failures
+                failed.append((name, str(e)[:80]))
+        assert not failed, failed
+        assert len(global_registry.known_blocks()) >= 180
+
 
 class TestComputeDomain:
     def test_parse(self):
