@@ -119,3 +119,12 @@ def test_agc_loop_example_converges():
     assert y.shape == (16384,)
     # loop drives |y| toward the reference level 1.0
     assert 0.7 < float(np.mean(np.abs(y[-4096:]))) < 1.3
+
+
+def test_ais_receiver_example_decodes_vessels():
+    src = Path("/root/repo/examples/ais_receiver.yaml").read_text()
+    from gnuradio4_tpu.core.yaml_io import run_grc
+    sched = run_grc(src)
+    tracker = [b for b in sched.graph.blocks if b.name == "tracker"][0]
+    assert set(tracker.vessels) == {477553000, 211234560}
+    assert tracker.vessels[477553000]["nav_status"] == 5
