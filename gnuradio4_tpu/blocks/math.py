@@ -236,17 +236,12 @@ class Rotator(Block):
         if jnp.ndim(dphi):
             return super().apply_sp(state, ins, ctx, local_ctx, axis_name)
         from ..parallel.halo import nco_shard_apply
-        new_state, outs = nco_shard_apply(self, state, ins, local_ctx,
-                                          axis_name,
-                                          jnp.asarray(dphi, jnp.uint32),
-                                          ins["in"].shape[-1])
-        phoff = jnp.asarray(ctx.params.get("_phoff", np.float32(0.0)),
-                            jnp.float32)
-        outs = {"out": jnp.where(
-            phoff != 0.0,
-            outs["out"] * jnp.exp(1j * phoff).astype(jnp.complex64),
-            outs["out"])}
-        return new_state, outs
+        # NOTE: nco_shard_apply re-enters self.apply with the full params
+        # (including _phoff), so the phase offset is already applied — no
+        # post-multiply here (it would double the offset on the sp path)
+        return nco_shard_apply(self, state, ins, local_ctx, axis_name,
+                               jnp.asarray(dphi, jnp.uint32),
+                               ins["in"].shape[-1])
 
 
 @register_block("Abs")

@@ -450,7 +450,14 @@ class _StreamingCallback(_PollerBase):
         self.max_chunk = int(max_chunk_size)
         self.sink = sink
         try:
-            self.arity = len(inspect.signature(fn).parameters)
+            params = inspect.signature(fn).parameters.values()
+            # count positional slots only; *args means "takes everything"
+            self.arity = 3 if any(
+                p.kind is inspect.Parameter.VAR_POSITIONAL
+                for p in params) else sum(
+                p.kind in (inspect.Parameter.POSITIONAL_ONLY,
+                           inspect.Parameter.POSITIONAL_OR_KEYWORD)
+                for p in params)
         except (TypeError, ValueError):
             self.arity = 1
 
@@ -678,7 +685,10 @@ class DataSink(SinkBlock):
             for k in _META_KEYS:
                 if k in t.map:
                     self._meta[k] = t.map[k]
-        if not self._meta_published:
+        if not self._meta_published and n_valid:
+            # only when this chunk actually reaches the pollers — an empty
+            # first delivery (warm-up underrun) must not swallow the one-shot
+            # metadata tag
             self._meta_published = True
             in_tags.insert(0, Tag(0, dict(self._meta)))
         chunk = StreamChunk(data=data, tags=in_tags, abs_index=abs_index)

@@ -449,7 +449,7 @@ class Scheduler:
             n_valid[uname] = nv_out
 
         produced_any = any(n_valid.get(b.unique_name, 0) > 0 for b in c.order
-                           if not b.in_ports)
+                           if not in_edges[b.unique_name])
 
         # delivery-side validity: a FEED block WITH inputs (subgraph bridge) has
         # its n_valid set by its own feed (output side); what its consume()
@@ -491,17 +491,30 @@ class Scheduler:
         # as the pre-tag baseline — the ramp IS their exact application.
         self._apply_staged_settings(exclude=set(self._tag_ramps))
         if self._dirty:
+            old_compiled, old_states = self.compiled, self._states
             with self.profiler.duration("scheduler.compile"):
                 self._recompile(reset_state=False)
             c = self.compiled
-            # refit feeds to the re-solved rate solution (same pattern as the
-            # zombie-prune retry below)
-            zf = c.zero_feeds()
-            feeds = {
-                uname: {p: _pad_to(np.asarray(a)[..., :zf[uname][p].shape[-1]],
-                                   zf[uname][p].shape, zf[uname][p].dtype)
-                        for p, a in fd.items() if p in zf.get(uname, {})}
-                for uname, fd in feeds.items() if uname in zf}
+            if c.in_len != old_compiled.in_len \
+                    or c.out_len != old_compiled.out_len:
+                # the tag-staged change re-solved the RATE solution — this
+                # step's feeds/validity/tag bookkeeping were computed on the
+                # old chunk grid and cannot be delivered on the new one.
+                # Dispatch the old program once more; the new solution takes
+                # over at the next step boundary (its trace is jit-cached).
+                self.compiled, self._states = old_compiled, old_states
+                self._dirty = True
+                c = old_compiled
+            else:
+                # same grid: refit feeds defensively (same pattern as the
+                # zombie-prune retry below)
+                zf = c.zero_feeds()
+                feeds = {
+                    uname: {p: _pad_to(
+                        np.asarray(a)[..., :zf[uname][p].shape[-1]],
+                        zf[uname][p].shape, zf[uname][p].dtype)
+                            for p, a in fd.items() if p in zf.get(uname, {})}
+                    for uname, fd in feeds.items() if uname in zf}
 
         # 4. dispatch device step (async); tag-driven settings at index k
         # become per-sample param arrays for this step (exact application)
@@ -733,8 +746,10 @@ class Scheduler:
             for t in emitted:
                 for p in b.out_ports:
                     out_tags.setdefault(p.name, []).append(t)
-            # EOS tag when this source just finished (Tag.hpp end_of_stream)
-            if (not b.in_ports and uname in self._finished_sources
+            # EOS tag when this source just finished (Tag.hpp end_of_stream);
+            # "source" = no CONNECTED inputs (an unconnected optional clk_in
+            # must not suppress the announcement)
+            if (not in_edges[uname] and uname in self._finished_sources
                     and uname not in self._eos_announced):
                 self._eos_announced.add(uname)
                 for p in b.out_ports:

@@ -109,8 +109,12 @@ def dedup(tags: list[Tag]) -> list[Tag]:
     if not tags:
         return tags
     out: list[Tag] = []
+    run_start = 0          # first output tag sharing the current index
     for t in sorted(tags):
-        if any(u.index == t.index and u.map == t.map for u in out):
+        if out and out[-1].index != t.index:
+            run_start = len(out)
+        # only same-index neighbours can be exact duplicates (sorted input)
+        if any(u.map == t.map for u in out[run_start:]):
             continue
         out.append(t)
     return out

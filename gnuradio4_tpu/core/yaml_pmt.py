@@ -166,13 +166,14 @@ _PmtLoader.add_implicit_resolver(
 
 
 def _post(v: Any) -> Any:
-    """Normalize untagged containers/ints to the reference's inference."""
+    """Normalize container keys; scalar typing is fully handled by the
+    constructors + the 0o implicit resolver above (coercing octal-looking
+    STRINGS here would corrupt quoted/!!str values and break the dump→load
+    fixpoint)."""
     if isinstance(v, dict):
         return {str(k): _post(x) for k, x in v.items()}
     if isinstance(v, list):
         return [_post(x) for x in v]
-    if isinstance(v, str) and re.match(r"^[-+]?0o[0-7]+$", v):
-        return int(v, 8)
     return v
 
 

@@ -190,9 +190,15 @@ def _layout_direction(flat, direction: str | None) -> str:
     if pref in ("vertical", "horizontal"):
         return pref
     if pref == "auto" or direction == "auto":
-        # taller than wide → vertical reads better
-        depth = len(flat.topological_order())
-        return "vertical" if depth > 6 else "horizontal"
+        # deep chains read better top-to-bottom; depth = longest forward path
+        order = flat.topological_order()
+        fwd = [e for e in flat.edges if not getattr(e, "feedback", False)]
+        depth: dict[Any, int] = {}
+        for b in order:
+            preds = [e.src for e in fwd if e.dst is b]
+            depth[b] = 1 + max((depth[p] for p in preds), default=-1)
+        return "vertical" if max(depth.values(), default=0) + 1 > 6 \
+            else "horizontal"
     return "horizontal"
 
 

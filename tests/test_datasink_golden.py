@@ -448,3 +448,39 @@ class TestDataSetPolling:
         assert reg.get_dataset_poller(DataSinkQuery.sink("nope")) is None
         assert not reg.register_dataset_callback(DataSinkQuery.sink("nope"),
                                                  lambda ds: None)
+
+
+class TestReviewRegressions:
+    def test_meta_tag_survives_empty_first_chunk(self):
+        # review finding: an n_valid==0 first delivery must not swallow the
+        # one-shot DataSink metadata tag
+        sink = DataSink(name="meta_sink")
+        p = sink.attach(__import__("gnuradio4_tpu.core.datasink",
+                                   fromlist=["StreamingPoller"]
+                                   ).StreamingPoller())
+        sink.consume({"in": np.zeros((4,), np.float32)}, {}, 0, 0)
+        sink.consume({"in": np.arange(4, dtype=np.float32)}, {}, 4, 4)
+        chunk = p.read(timeout=0.1)
+        assert chunk is not None
+        assert any(Keys.SAMPLE_RATE in t.map for t in chunk.tags)
+        sink.stop()
+
+    def test_streaming_callback_var_positional(self):
+        # review finding: fn(*args) must receive all three arguments
+        sink = DataSink(name="vp_sink")
+        got = []
+        reg.register_streaming_callback(DataSinkQuery.sink("vp_sink"), 64,
+                                        lambda *a: got.append(len(a)))
+        sink.consume({"in": np.arange(8, dtype=np.float32)}, {}, 8, 0)
+        assert got == [3]
+        sink.stop()
+
+    def test_streaming_callback_keyword_only(self):
+        sink = DataSink(name="ko_sink")
+        seen = []
+        reg.register_streaming_callback(
+            DataSinkQuery.sink("ko_sink"), 64,
+            lambda data, *, note=None: seen.append(data.shape[-1]))
+        sink.consume({"in": np.arange(8, dtype=np.float32)}, {}, 8, 0)
+        assert seen == [8]
+        sink.stop()

@@ -202,6 +202,27 @@ class TestIndexedNcoSharding:
         np.testing.assert_array_equal(a2.data(), a1.data())
         np.testing.assert_array_equal(b2.data(), b1.data())
 
+    def test_rotator_phase_increment_surface_sharded(self, sp_mesh):
+        """Regression: the _phoff phase offset (phase_increment/initial_phase
+        surface) must be applied exactly ONCE on the sp path — nco_shard_apply
+        re-enters apply() which already multiplies it in."""
+        def build():
+            g = gr.Graph()
+            tone = g.emplace("ComplexToneSource", frequency=777.0,
+                             n_samples=32768)
+            rot = g.emplace("Rotator", phase_increment=np.pi / 2,
+                            initial_phase=0.3)
+            snk = gr.global_registry.create("VectorSink")
+            g.connect_chain(tone, rot, snk)
+            return g, snk
+        g1, s1 = build()
+        gr.Scheduler(g1, block_len=8192, sample_rate=48000.0,
+                     pipeline_depth=1).run_and_wait()
+        g2, s2 = build()
+        gr.Scheduler(g2, block_len=8192, sample_rate=48000.0, mesh=sp_mesh,
+                     pipeline_depth=1).run_and_wait()
+        np.testing.assert_array_equal(s2.data(), s1.data())
+
     def test_no_gather_island_in_program(self, sp_mesh):
         g = gr.Graph()
         src = g.emplace("ComplexToneSource", frequency=777.0, n_samples=0)

@@ -117,3 +117,18 @@ class TestFunctionGeneratorFair:
         g.connect(fg, sink)
         gr.Scheduler(g, block_len=50, sample_rate=FS).run_and_wait()
         assert sink.data().shape[-1] == 200
+
+
+def test_function_generator_announces_eos_with_unconnected_clk():
+    # review finding: EOS announcement keyed on CONNECTED inputs — the
+    # optional clk_in must not suppress a finished generator's
+    # end_of_stream tag
+    from gnuradio4_tpu.core.datasink import (DataSink, StreamingPoller)
+    g = gr.Graph()
+    fg = FunctionGenerator(signal_type="Const", start_value=1.0,
+                           n_samples=64, sample_rate=FS)
+    snk = DataSink(name="eos_sink")
+    p = snk.attach(StreamingPoller())
+    g.connect(fg, snk)
+    gr.Scheduler(g, block_len=64, sample_rate=FS).run_and_wait()
+    assert p.finished        # EOS tag reached the poller mid-stream

@@ -104,3 +104,34 @@ class TestTagAccurateSettings:
         y = snk.data()
         np.testing.assert_array_equal(y[512:], np.full(1536, 4.0))
         assert float(mul.settings.get("value")) == 4.0
+
+
+def test_tag_staged_rate_change_defers_to_next_step():
+    """Review regression: a tag-staged STATIC change that re-solves the rate
+    solution cannot be dispatched mid-step (this step's feeds/validity were
+    sized on the old grid) — the scheduler reverts to the old program for the
+    tagged step and adopts the new solution at the next boundary, without
+    crashing or corrupting totals."""
+    import numpy as np
+    import gnuradio4_tpu as gr
+    from gnuradio4_tpu.blocks.testing import VectorSink, VectorSource
+    from gnuradio4_tpu.core.settings import SettingsCtx
+    from gnuradio4_tpu.core.tags import Keys, Tag
+
+    g = gr.Graph()
+    src = VectorSource(np.arange(4096, dtype=np.float32),
+                       tags=[Tag(1024, {Keys.TRIGGER_NAME: "SWITCH",
+                                        Keys.CONTEXT: "fast"})])
+    dec = g.emplace("Decimator", decim=2)
+    dec.settings.set({"decim": 4}, ctx=SettingsCtx(context="fast"))
+    snk = VectorSink()
+    g.connect_chain(src, dec, snk)
+    gr.Scheduler(g, block_len=1024).run_and_wait()
+    y = snk.data()
+    # steps 0 (factor 2) → 512 out; the tagged step reverts to factor 2 once
+    # more (rate change defers), then factor 4 for the rest
+    assert y.shape[-1] == 512 + 512 + 2 * 256
+    # content stays decimation-consistent throughout (every sample is one of
+    # the source values, strictly increasing)
+    assert np.all(np.diff(y) > 0)
+    assert int(dec.settings.get("decim")) == 4

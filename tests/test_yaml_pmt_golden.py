@@ -298,3 +298,13 @@ class TestDataSetConsistency:
         ds.timing_events = [[], []]
         with pytest.raises(GrError, match="timing_events"):
             ds.check_consistency("bad-events")
+
+
+class TestReviewRegressions:
+    def test_quoted_octal_string_stays_string(self):
+        # review finding: only PLAIN scalars resolve as octal ints; quoted /
+        # !!str values shaped like octal literals must stay strings
+        assert load('a: "0o77"') == {"a": "0o77"}
+        assert load("a: !!str 0o77") == {"a": "0o77"}
+        assert load("a: 0o77") == {"a": 63}
+        assert dump(load(dump({"a": "0o77"}))) == dump({"a": "0o77"})
