@@ -168,7 +168,9 @@ def main() -> None:
                 target=lambda a=(states, sink_ins): jax.block_until_ready(a),
                 daemon=True)
             _s.start()
-            _s.join(timeout=120.0)
+            # once the transport is known-wedged, long waits buy nothing and
+            # blow the parent's hunt budget — bail fast
+            _s.join(timeout=20.0 if wedged else 120.0)
             if _s.is_alive():      # sync wedged: use the pure dispatch time
                 wedged = True
                 best_dt = min(best_dt, dispatch_dt)

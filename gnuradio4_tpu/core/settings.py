@@ -116,6 +116,10 @@ class Settings:
         self._defaults: dict[str, Any] = dict(self._applied)
         self._contexts: dict[SettingsCtx, dict[str, Any]] = {}
         self._active_ctx = SettingsCtx()
+        # stored presets older than now − expiry_time are pruned on the next
+        # set() (≈ CtxSettings::expiry_time, Settings.hpp; seconds here —
+        # the reference counts nanoseconds)
+        self.expiry_time: float = float("inf")
         self._auto_update_keys = set(spec)  # tag keys that auto-stage (Settings.hpp:329)
         self._auto_forward_keys = {"sample_rate", "signal_name", "signal_unit"} & set(spec)
         if init:
@@ -154,7 +158,51 @@ class Settings:
                 unknown[k] = v
                 continue
             target[k] = s.validate(v)
+        if ctx is not None and ctx != self._active_ctx:
+            self._prune_stored(now=None, context=ctx.context)
         return unknown
+
+    def _prune_stored(self, now: float | None, context: str) -> None:
+        """Drop superseded/expired time-multiplexed presets for ``context``
+        (≈ CtxSettings auto-cleanup, qa_Settings.cpp:744 "Expired
+        Parameters"): keep the LATEST past preset plus every future one,
+        minus anything older than ``expiry_time``."""
+        import time as _time
+        now = _time.time() if now is None else now
+        group = sorted((c for c in self._contexts if c.context == context),
+                       key=lambda c: c.time)
+        past = [c for c in group if c.time <= now]
+        keep = set(group) - set(past[:-1])          # all futures + latest past
+        if past and now - past[-1].time > self.expiry_time:
+            keep.discard(past[-1])                  # even the latest expired
+        for c in group:
+            if c not in keep:
+                del self._contexts[c]
+
+    def get_stored(self, keys: str | list[str] | None = None,
+                   ctx: SettingsCtx | None = None):
+        """Time-resolved stored-preset query (≈ CtxSettings::getStored,
+        qa_Settings.cpp:650 "CtxSettings Time"): among presets whose context
+        string matches ``ctx.context``, pick the latest with time ≤
+        ``ctx.time`` (now when ``ctx`` is None). Returns the value (single
+        key), a dict (key list / None = all), or None when every stored
+        preset lies in the future."""
+        import time as _time
+        if ctx is None:
+            ctx = SettingsCtx(time=_time.time())
+        elif ctx.time == 0.0 and not ctx.context:
+            ctx = SettingsCtx(time=_time.time())
+        candidates = [c for c in self._contexts
+                      if c.context == ctx.context and c.time <= ctx.time]
+        if not candidates:
+            return None
+        best = max(candidates, key=lambda c: c.time)
+        params = self._contexts[best]
+        if keys is None:
+            return dict(params)
+        if isinstance(keys, str):
+            return params.get(keys)
+        return {k: params[k] for k in keys if k in params}
 
     def auto_update(self, tag_map: dict[str, Any]) -> dict[str, Any]:
         """Stage settings from an incoming tag map (keys matching setting

@@ -422,3 +422,76 @@ class TestImChartStyles:
         import pytest as _p
         with _p.raises(ValueError):
             ImChart().plot([1.0], style="nope")
+
+
+class TestCtxSettingsTime:
+    """≈ qa_Settings.cpp:650 "CtxSettings Time" and :744 "CtxSettings
+    Expired Parameters": time-multiplexed stored presets resolved by query
+    time, auto-pruned (latest past + all futures), with expiry_time."""
+
+    def _settings(self):
+        from gnuradio4_tpu.core.settings import Setting, Settings
+        return Settings({"scaling_factor": Setting(default=0.0),
+                         "name": Setting(default="")})
+
+    def test_get_stored_time_matrix(self):
+        import time
+        s = self._settings()
+        t0 = time.time()                  # presets at now/now+2/now+4, like
+        # the qa (future presets never prune; only superseded PAST ones do)
+        for dt, val, nm in [(0, 10.0, "TestName10"), (2, 12.0, "TestName12"),
+                            (4, 14.0, "TestName14")]:
+            assert s.set({"scaling_factor": val, "name": nm},
+                         ctx=SettingsCtx(time=t0 + dt)) == {}
+        assert len(s.stored_contexts()) == 3
+        q = lambda dt: s.get_stored("scaling_factor",
+                                    SettingsCtx(time=t0 + dt))
+        assert s.get_stored("scaling_factor",
+                            SettingsCtx(time=t0 - 1)) is None   # all future
+        assert q(0) == 10.0               # exact
+        assert q(1) == 10.0               # previous
+        assert q(2) == 12.0               # exact
+        assert q(3) == 12.0               # previous
+        assert q(4) == 14.0               # exact
+        assert q(5) == 14.0               # latest
+        # ctx=None → "now": only the t0 preset has arrived (the qa's
+        # ctxNull case, qa_Settings.cpp:681)
+        assert s.get_stored("scaling_factor") == 10.0
+        # several keys and the all-keys form
+        d = s.get_stored(["scaling_factor", "name"], SettingsCtx(time=t0 + 3))
+        assert d == {"scaling_factor": 12.0, "name": "TestName12"}
+        assert set(s.get_stored(None, SettingsCtx(time=t0))) == \
+            {"scaling_factor", "name"}
+
+    def test_superseded_past_presets_pruned(self):
+        import time
+        s = self._settings()
+        now = time.time()
+        s.set({"scaling_factor": -20.0}, ctx=SettingsCtx(time=now - 20))
+        assert len(s.stored_contexts()) == 1
+        s.set({"scaling_factor": -10.0}, ctx=SettingsCtx(time=now - 10))
+        assert len(s.stored_contexts()) == 1          # −20 superseded
+        assert s.get_stored("scaling_factor") == -10.0
+        s.set({"scaling_factor": 10.0}, ctx=SettingsCtx(time=now + 10))
+        assert len(s.stored_contexts()) == 2          # past −10 + future +10
+        assert s.get_stored("scaling_factor") == -10.0
+        s.set({"scaling_factor": -5.0}, ctx=SettingsCtx(time=now - 5))
+        assert len(s.stored_contexts()) == 2          # −10 superseded
+        assert s.get_stored("scaling_factor") == -5.0
+
+    def test_expiry_time(self):
+        import time
+        s = self._settings()
+        now = time.time()
+        s.set({"scaling_factor": -5.0}, ctx=SettingsCtx(time=now - 5))
+        s.set({"scaling_factor": 10.0}, ctx=SettingsCtx(time=now + 10))
+        s.expiry_time = 2.0
+        s.set({"scaling_factor": 5.0}, ctx=SettingsCtx(time=now + 5))
+        assert len(s.stored_contexts()) == 2          # −5 expired away
+        assert s.get_stored("scaling_factor") is None  # only futures remain
+        s.set({"scaling_factor": -3.0}, ctx=SettingsCtx(time=now - 3))
+        assert len(s.stored_contexts()) == 2          # −3 expired on arrival
+        assert s.get_stored("scaling_factor") is None
+        s.set({"scaling_factor": -1.0}, ctx=SettingsCtx(time=now - 1))
+        assert len(s.stored_contexts()) == 3          # fresh enough to keep
+        assert s.get_stored("scaling_factor") == -1.0
