@@ -80,6 +80,14 @@ def _force_complete(sink_ins, deadline_s: float) -> dict:
 def main() -> None:
     import os
     import jax
+    # hard child watchdog: on this transport even COMPILE/device_put can hang
+    # with no exception (observed round 3) — no in-band guard can cover that,
+    # so the child self-destructs after its budget and the parent retries /
+    # falls back. rc=7 marks a watchdog kill.
+    import threading as _wd_th
+    _budget = float(os.environ.get("GR4_BENCH_CHILD_BUDGET_S", "240"))
+    _wd_th.Thread(target=lambda: (time.sleep(_budget), os._exit(7)),
+                  daemon=True).start()
     if os.environ.get("GR4_BENCH_FORCE_CPU") == "1":
         # last-resort mode: the TPU transport failed every attempt — measure on
         # CPU instead and SAY SO in the metric (platform tag) rather than
@@ -111,7 +119,7 @@ def main() -> None:
     _w = _th.Thread(target=lambda: jax.block_until_ready((states, sink_ins)),
                     daemon=True)
     _w.start()
-    _w.join(timeout=180.0)
+    _w.join(timeout=60.0)
     wedged = _w.is_alive()   # wedged threads → hard-exit at the end
 
     def _good_check(r: dict) -> bool:
@@ -120,19 +128,31 @@ def main() -> None:
         # certifies is garbage (NaN-poisoned or never-ran)
         return "check" in r and np.isfinite(r["check"]) and r["check"] > 0
 
-    probe = _force_complete(sink_ins, deadline_s=90.0)
+    probe = _force_complete(sink_ins, deadline_s=60.0)
     verified = _good_check(probe)
     wedged = wedged or bool(probe.get("wedged"))
 
     if verified:
         # readback-terminated differential timing: slope between two window
-        # sizes cancels the (large, variable) D2H latency
+        # sizes cancels the (large, variable) D2H latency. Even DISPATCH can
+        # block when the transport applies backpressure — budget the loops.
         walls: dict[int, float] = {}
         for steps in (win_small, win_big):
             t0 = time.perf_counter()
-            for _ in range(steps):
+            for k in range(steps):
                 states, sink_ins = compiled.step(states, params, {})
-            r = _force_complete(sink_ins, deadline_s=300.0)
+                if (k & 7) == 7 and time.perf_counter() - t0 > 150.0:
+                    print(f"# dispatch window stalled at step {k}/{steps} — "
+                          f"transport backpressure; falling back",
+                          file=sys.stderr)
+                    verified = False
+                    break
+            if not verified:
+                break
+            # a healthy window completes in seconds; a sync that
+            # needs minutes IS an outage — bail to the labeled
+            # fallback instead of blowing the hunt budget
+            r = _force_complete(sink_ins, deadline_s=120.0)
             wedged = wedged or bool(r.get("wedged"))
             if not _good_check(r):
                 verified = False
@@ -158,11 +178,14 @@ def main() -> None:
         # NOT a device-compute measurement); every sync is deadline-guarded —
         # a wedged transport must never hang the round's bench
         steps = win_small
-        best_dt = float("inf")
-        for _ in range(3):
+        best_rate = 0.0
+        for _ in range(2):
             t0 = time.perf_counter()
-            for _ in range(steps):
+            done = 0
+            for done in range(1, steps + 1):
                 states, sink_ins = compiled.step(states, params, {})
+                if (done & 7) == 0 and time.perf_counter() - t0 > 120.0:
+                    break          # backpressured dispatch — rate over what ran
             dispatch_dt = time.perf_counter() - t0
             _s = _th.Thread(
                 target=lambda a=(states, sink_ins): jax.block_until_ready(a),
@@ -173,10 +196,11 @@ def main() -> None:
             _s.join(timeout=20.0 if wedged else 120.0)
             if _s.is_alive():      # sync wedged: use the pure dispatch time
                 wedged = True
-                best_dt = min(best_dt, dispatch_dt)
+                dt = dispatch_dt
             else:
-                best_dt = min(best_dt, time.perf_counter() - t0)
-        msps = steps * block_len / best_dt / 1e6
+                dt = time.perf_counter() - t0
+            best_rate = max(best_rate, done * block_len / dt)
+        msps = best_rate / 1e6
         print(f"# UNVERIFIED: D2H outage ({probe.get('error', '?')}) — this is "
               f"the host dispatch rate, not measured device compute",
               file=sys.stderr)
@@ -311,6 +335,7 @@ def _main_with_retry() -> None:
         os.environ.get("GR4_BENCH_DEADLINE_S", "420"))
     child_cost = 120.0                  # compile + windows, worst case
     last_unverified = None
+    kills = 0
     for attempt in range(6):
         r = _run_child()
         out_of_time = time.monotonic() + child_cost + 45 > deadline
@@ -332,6 +357,12 @@ def _main_with_retry() -> None:
         if out_of_time and last_unverified is not None:
             _emit(last_unverified)
             return
+        if r.returncode == 7:
+            kills = kills + 1
+            if kills >= 2:        # transport hard-down: stop burning budget
+                print("# two watchdog-killed children — transport hard-down; "
+                      "going to CPU fallback", file=sys.stderr)
+                break
         wait = 30 * (attempt + 1)
         print(f"# bench attempt {attempt + 1} failed (rc={r.returncode}); "
               f"fresh-process retry in {wait} s", file=sys.stderr)
