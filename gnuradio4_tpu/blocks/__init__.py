@@ -3,7 +3,7 @@ blocks with the global registry."""
 
 from . import (acquisition, adsb, ais, alsa, apt, audio, ax25, basic,  # noqa: F401
                channelizer,
-               digital, dsp_extras, electrical, equalizer, fec, fileio,
+               dcf77, digital, dsp_extras, electrical, equalizer, fec, fileio,
                filter, fourier, gnss, http, math,
                misc, monitor, network, pocsag, python_block, rds, rtl2832, sdr,
                uncertain,
