@@ -331,7 +331,12 @@ class FrequencyEstimator(Block):
     OUT = (Port("out", dtype="float32"),)
     chunk = Setting(default=1024, kind="static", limits=(8, 1 << 24))
     method = Setting(default="fft", kind="static",
-                     choices=("fft", "zero_crossing"))
+                     choices=("fft", "zero_crossing", "period"))
+    # grid-frequency band (≈ FrequencyEstimator.hpp f_min/f_expected/f_max):
+    # 'period' estimates outside [f_min, f_max] fall back to f_expected
+    f_min = Setting(default=0.0)
+    f_max = Setting(default=0.0, description="0 = unbounded")
+    f_expected = Setting(default=0.0)
 
     @property
     def ratio(self):
@@ -370,6 +375,28 @@ class FrequencyEstimator(Block):
             denom = a - 2 * b + c
             d = jnp.where(jnp.abs(denom) > 1e-20, 0.5 * (a - c) / denom, 0.0)
             freq = (km.astype(jnp.float32) + d + bin0) * (fs / n)
+        elif self.settings.get("method") == "period":
+            # zero-crossing period regression — the reference's grid-frequency
+            # time-domain estimator (FrequencyEstimator.hpp TimeDomain):
+            # linear-interpolated rising crossings; f = (k−1)/(t_last−t_first).
+            # All static-shape: first/last crossings via masked min/max.
+            a = jnp.real(xw[..., :-1])
+            b = jnp.real(xw[..., 1:])
+            rising = (a < 0) & (b >= 0)
+            base = jnp.arange(n - 1, dtype=jnp.float32)
+            frac = a / jnp.where(a - b == 0, 1.0, a - b)
+            pos = base + frac
+            big = jnp.float32(1e12)
+            first = jnp.min(jnp.where(rising, pos, big), axis=-1)
+            last = jnp.max(jnp.where(rising, pos, -big), axis=-1)
+            k = jnp.sum(rising, axis=-1).astype(jnp.float32)
+            span = jnp.maximum(last - first, 1e-9)
+            freq = jnp.where(k >= 2, (k - 1.0) * fs / span, 0.0)
+            f_lo = jnp.asarray(ctx.p("f_min", 0.0), jnp.float32)
+            f_hi = jnp.asarray(ctx.p("f_max", 0.0), jnp.float32)
+            f_exp = jnp.asarray(ctx.p("f_expected", 0.0), jnp.float32)
+            out_of_band = (freq < f_lo) | ((f_hi > 0) & (freq > f_hi))
+            freq = jnp.where(out_of_band, f_exp, freq).astype(jnp.float32)
         elif is_complex:
             # phase-slope (Kay) estimator: signed, sub-bin, one arg per chunk
             acc = jnp.sum(xw[..., 1:] * jnp.conj(xw[..., :-1]), axis=-1)
