@@ -219,6 +219,69 @@ class IQDemodulator(FreqXlatingFir):
         return self._auto_taps
 
 
+@register_block("LockInDemodulator")
+class LockInDemodulator(Block):
+    """Dual-channel lock-in / transfer-function analyzer (≈ the reference's
+    two-input ``IQDemodulator``, blocks/filter FrequencyEstimator.hpp:
+    Resampling<1024,1> with amp/phase/frequency outputs — our single-input
+    heterodyne block keeps the ``IQDemodulator`` name, so the reference's
+    dual-input instantiation lives here).
+
+    Per ``chunk`` input samples, one sample on each output: the response/
+    reference amplitude ratio, their phase difference (radians or degrees,
+    optionally inverted) and the reference frequency. TPU-native math: both
+    chunks FFT together; the reference's dominant (non-DC) bin carries both
+    complex coefficients, so window scalloping and DC offsets cancel in the
+    ratio — |S_k|/|R_k| and arg(S_k R̄_k) need no HP/LP settling, and the
+    frequency comes from parabolic interpolation around k."""
+
+    IN = (Port("ref", dtype="float32"), Port("resp", dtype="float32"))
+    OUT = (Port("amp", dtype="float32"), Port("phase", dtype="float32"),
+           Port("freq", dtype="float32"))
+    chunk = Setting(default=1024, kind="static", limits=(8, 1 << 24))
+    phase_unit = Setting(default="radians", kind="static",
+                         choices=("radians", "degrees"))
+    invert_phase = Setting(default=False, kind="static")
+
+    @property
+    def ratio(self):
+        return Fraction(1, int(self.settings.get("chunk")))
+
+    @property
+    def alignment(self):
+        return int(self.settings.get("chunk"))
+
+    def apply(self, state, ins, ctx):
+        n = int(self.settings.get("chunk"))
+        fs = ctx.sample_rate
+        ref = ins["ref"].reshape(*ins["ref"].shape[:-1], -1, n)
+        resp = ins["resp"].reshape(*ins["resp"].shape[:-1], -1, n)
+        r = jnp.fft.rfft(ref, axis=-1)
+        s = jnp.fft.rfft(resp, axis=-1)
+        mag = jnp.abs(r).at[..., 0].set(0.0)      # ignore DC
+        k = jnp.argmax(mag, axis=-1)
+        km = jnp.clip(k, 1, n // 2 - 1)
+        take = lambda a, idx: jnp.take_along_axis(a, idx[..., None],
+                                                  axis=-1)[..., 0]
+        rk, sk = take(r, km), take(s, km)
+        amp = jnp.abs(sk) / jnp.maximum(jnp.abs(rk), 1e-30)
+        ph = jnp.angle(sk * jnp.conj(rk))
+        if bool(self.settings.get("invert_phase")):
+            ph = -ph
+        if str(self.settings.get("phase_unit")) == "degrees":
+            ph = ph * jnp.float32(180.0 / np.pi)
+        # parabolic peak interpolation for the reference frequency
+        a = take(mag, km - 1)
+        b = take(mag, km)
+        c = take(mag, km + 1)
+        denom = a - 2 * b + c
+        d = jnp.where(jnp.abs(denom) > 1e-20, 0.5 * (a - c) / denom, 0.0)
+        freq = (km.astype(jnp.float32) + d) * (fs / n)
+        return state, {"amp": amp.astype(jnp.float32),
+                       "phase": ph.astype(jnp.float32),
+                       "freq": freq.astype(jnp.float32)}
+
+
 @register_block("Decimator")
 class Decimator(Block):
     """Keep every N-th sample (≈ Decimator, time_domain_filter.hpp:216)."""

@@ -80,3 +80,55 @@ class TestFrequencyDomain:
         np.testing.assert_allclose(est, 50.5, atol=1.0)
         # parabolic interpolation beats the raw 0.244 Hz bin width
         np.testing.assert_allclose(est, 50.5, atol=0.1)
+
+
+class TestLockInDemodulator:
+    """≈ qa_FrequencyEstimator.cpp:226-430 "IQDemodulator" (the reference's
+    dual-input lock-in): amplitude ratio within 5%, phase within 0.1 rad
+    (3° in degrees mode), frequency within 5%, across both sweep cases and
+    both phase units, plus phase inversion."""
+
+    def _run(self, freq, fs, *, phase_unit="radians", invert=False,
+             phase_shift=0.5, amp_ratio=0.8, chunk=1024, n_chunks=40,
+             seed=3):
+        rng = np.random.default_rng(seed)
+        n = chunk * n_chunks
+        t = np.arange(n)
+        omega = 2 * np.pi * freq / fs
+        ref = (np.sin(omega * t)
+               + 0.01 * rng.standard_normal(n)).astype(np.float32)
+        resp = (amp_ratio * np.sin(omega * t + phase_shift) + 0.1
+                + 0.01 * rng.standard_normal(n)).astype(np.float32)
+        g = gr.Graph()
+        demod = g.emplace("LockInDemodulator", chunk=chunk,
+                          phase_unit=phase_unit, invert_phase=invert)
+        g.connect(VectorSource(ref), demod, dst_port="ref")
+        g.connect(VectorSource(resp), demod, dst_port="resp")
+        sinks = {p: VectorSink() for p in ("amp", "phase", "freq")}
+        for p, s in sinks.items():
+            g.connect(demod, s, src_port=p)
+        gr.Scheduler(g, block_len=n, sample_rate=fs).run_and_wait()
+        return {p: s.data() for p, s in sinks.items()}
+
+    @pytest.mark.parametrize("freq,fs", [(100e3, 1e6), (5e6, 62.5e6)])
+    @pytest.mark.parametrize("phase_unit", ["radians", "degrees"])
+    def test_sweep_cases(self, freq, fs, phase_unit):
+        out = self._run(freq, fs, phase_unit=phase_unit)
+        amp = float(np.mean(out["amp"]))
+        ph = float(np.mean(out["phase"]))
+        fq = float(np.mean(out["freq"]))
+        assert abs(amp - 0.8) < 0.05 * 0.8 + 0.05, amp
+        if phase_unit == "degrees":
+            assert abs(ph - 0.5 * 180 / np.pi) < 3.0, ph
+        else:
+            assert abs(ph - 0.5) < 0.1, ph
+        assert abs(fq - freq) < 0.05 * freq, fq
+
+    def test_phase_inversion(self):
+        # ≈ cpp:290: invert_phase flips the sign of the measured shift
+        out_n = self._run(150e3, 1e6, phase_shift=0.3, chunk=256,
+                          n_chunks=100)
+        out_i = self._run(150e3, 1e6, phase_shift=0.3, chunk=256,
+                          n_chunks=100, invert=True)
+        assert abs(float(np.mean(out_n["phase"])) - 0.3) < 0.1
+        assert abs(float(np.mean(out_i["phase"])) + 0.3) < 0.1
