@@ -136,11 +136,46 @@ def config5_scheduler(block_len, steps):
     return done_steps * block_len / dt / 1e6
 
 
+def config6_cascade(block_len, steps):
+    """The reference's bm_Scheduler shape (core/benchmarks/bm_Scheduler.cpp:
+    20-26): a deep linear MultiplyConst/DivideConst cascade (40 blocks) —
+    measures per-step scheduler overhead, not FLOPs. Returns Msps through
+    the real scheduler loop."""
+    import gnuradio4_tpu as gr
+
+    g = gr.Graph()
+    src = g.emplace("CountingSource", n_samples=steps * block_len,
+                    dtype="float32")
+    prev = src
+    for _ in range(20):
+        m = g.emplace("MultiplyConst", value=2.0)
+        d = g.emplace("DivideConst", value=2.0)
+        g.connect(prev, m)
+        g.connect(m, d)
+        prev = d
+    snk = g.emplace("CountingSink")
+    g.connect(prev, snk)
+    sched = gr.Scheduler(g, block_len=block_len, sample_rate=1e9,
+                         pipeline_depth=2)
+    sched.init()
+    sched._pump_once()
+    import jax
+    jax.block_until_ready(sched._states)
+    t0 = time.perf_counter()
+    n0 = sched._step
+    while sched._pump_once():
+        pass
+    sched._drain()
+    jax.block_until_ready(sched._states)
+    dt = time.perf_counter() - t0
+    return (sched._step - n0) * block_len / dt / 1e6
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--block-len", type=int, default=1 << 20)
     ap.add_argument("--steps", type=int, default=20)
-    ap.add_argument("--configs", default="1,2,3,4,5")
+    ap.add_argument("--configs", default="1,2,3,4,5,6")
     args = ap.parse_args()
     import jax
     platform = jax.devices()[0].platform
@@ -160,6 +195,21 @@ def main():
                                   "msps": round(msps, 1)}), flush=True)
             except Exception as e:
                 print(json.dumps({"config": "5",
+                                  "error": f"{type(e).__name__}: {e}"}),
+                      flush=True)
+            continue
+        if key == "6":
+            bl6 = min(args.block_len, 1 << 16)   # overhead shows at small blocks
+            try:
+                msps = config6_cascade(bl6, max(args.steps, 200))
+                print(json.dumps({"config": "6",
+                                  "name": "scheduler overhead: 40-block cascade"
+                                          " (bm_Scheduler mirror)",
+                                  "platform": platform,
+                                  "block_len": bl6,
+                                  "msps": round(msps, 1)}), flush=True)
+            except Exception as e:
+                print(json.dumps({"config": "6",
                                   "error": f"{type(e).__name__}: {e}"}),
                       flush=True)
             continue

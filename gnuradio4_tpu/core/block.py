@@ -275,6 +275,8 @@ class Block:
     def process_tags(self, in_tags: dict[str, list[Tag]], ctx: "HostCtx"
                      ) -> dict[str, list[Tag]]:
         """Host-side tag forwarding; indices are step-relative. Default: policy."""
+        if not any(in_tags.values()):       # steady state: nothing to forward
+            return {p.name: [] for p in self.out_ports}
         return propagate(
             in_tags,
             policy=self.tag_policy,

@@ -93,6 +93,46 @@ class CompiledGraph:
             self._zero_feeds_cache = feeds
         return self._zero_feeds_cache
 
+    _ratio_cache: Any = None
+
+    def ratio_cache(self, b) -> tuple[int, int]:
+        """``b.ratio`` as a static (numerator, denominator) pair — the ratio is
+        settings-derived, so it is fixed for the lifetime of one compile (any
+        change marks the scheduler dirty and produces a new CompiledProgram)."""
+        if self._ratio_cache is None:
+            self._ratio_cache = {}
+        got = self._ratio_cache.get(b.unique_name)
+        if got is None:
+            r = b.ratio
+            got = (r.numerator, r.denominator)
+            self._ratio_cache[b.unique_name] = got
+        return got
+
+    _tag_plan: Any = None
+
+    def tag_plan(self):
+        """Static per-block tag-walk plan: (block, uname, [(src_key,
+        dst_port)], fast, is_sink, out_port_names, is_source). ``fast`` marks
+        blocks with stock propagation and no host tag emission — with no
+        incoming tags they can be skipped wholesale each step."""
+        if self._tag_plan is None:
+            from .block import Block
+            in_edges = self.in_edges_by_dst()
+            plan = []
+            for b in self.order:
+                uname = b.unique_name
+                in_keys = [((e.src.unique_name, e.src_port), e.dst_port)
+                           for e in in_edges[uname]]
+                fast = (type(b).emit_tags is Block.emit_tags
+                        and type(b).process_tags is Block.process_tags
+                        and not getattr(b, "WANTS_TAG_ARRAYS", False))
+                plan.append((b, uname, in_keys, fast,
+                             uname in self.sink_names,
+                             [p.name for p in b.out_ports],
+                             not in_edges[uname]))
+            self._tag_plan = plan
+        return self._tag_plan
+
     def in_edges_by_dst(self) -> dict[str, list]:
         if not hasattr(self, "_in_edges_cache") or self._in_edges_cache is None:
             m: dict[str, list] = {b.unique_name: [] for b in self.order}

@@ -434,8 +434,10 @@ class Scheduler:
             if ins:
                 nv_in = min(n_valid.get(e.src.unique_name, c.out_len[e.src.unique_name])
                             for e in ins)
-                r = b.ratio
-                nv_out = int(Fraction(nv_in) * r)
+                # static per-compile ratio as an int pair — Fraction churn
+                # here dominated the per-step host budget on deep graphs
+                num, den = c.ratio_cache(b)
+                nv_out = nv_in if num == den else (nv_in * num) // den
             else:
                 nv_out = n_valid.get(uname, c.out_len[uname])
             # mid-graph valid clamp (HeadBlock-style truncation, ≈ reference
@@ -686,17 +688,42 @@ class Scheduler:
         edge_tags: dict[tuple[str, str], list[Tag]] = {}
         sink_tags: dict[str, dict[str, list[Tag]]] = {}
         in_edges = c.in_edges_by_dst()
-        for b in c.order:
-            uname = b.unique_name
+        # one-shot per-step work that can inject tags outside the propagation
+        # walk: pending forward-on-apply publishes and fresh source EOS
+        pending = self._pending_out_tags
+        new_eos = [u for u in self._finished_sources
+                   if u not in self._eos_announced]
+        for b, uname, in_keys, fast, is_sink, out_names, is_src in c.tag_plan():
+            in_tags: dict[str, list[Tag]] = {}
+            any_in = False
+            for sk, dp in in_keys:
+                ts = edge_tags.get(sk)
+                in_tags[dp] = list(ts) if ts else []
+                any_in = any_in or bool(ts)
+            # steady-state fast path: no incoming tags, stock propagation, no
+            # host tag emission — nothing below can produce output tags, so
+            # skip the HostCtx/auto-update machinery (it dominated the
+            # per-step host budget on deep tag-quiet graphs)
+            if fast and not any_in:
+                if pending:
+                    for pn in out_names:
+                        pend = pending.pop((uname, pn), None)
+                        if pend:
+                            edge_tags[(uname, pn)] = list(pend)
+                if is_src and new_eos and uname in new_eos:
+                    self._eos_announced.add(uname)
+                    t = Tag(n_valid.get(uname, 0),
+                            {Keys.END_OF_STREAM: True})
+                    for pn in out_names:
+                        edge_tags.setdefault((uname, pn), []).append(t)
+                if is_sink:
+                    sink_tags[uname] = in_tags
+                continue
             hc = HostCtx(step=self._step,
                          in_len={p.name: c.in_len[uname] for p in b.in_ports},
                          out_len={p.name: c.out_len[uname] for p in b.out_ports},
                          sample_rate=c.block_ctx[uname].sample_rate,
                          abs_index=self._abs_in[uname])
-            in_tags: dict[str, list[Tag]] = {}
-            for e in in_edges[uname]:
-                in_tags[e.dst_port] = list(
-                    edge_tags.get((e.src.unique_name, e.src_port), []))
             # auto-update settings from incoming tag maps (Settings.hpp:329);
             # changes to SAMPLE_ACCURATE dynamic params additionally become
             # per-sample ramps applied at the exact tag index THIS step

@@ -171,3 +171,32 @@ def test_ctx_time_tag_activates_timed_preset():
     assert y[0] == 1.0
     assert 5.0 in y and 9.0 in y
     assert y[-1] == 9.0
+
+
+def test_tags_traverse_deep_fast_path_cascade():
+    """Steady-state fast path (compiler.tag_plan): tag-passive mid-graph
+    blocks are skipped wholesale when no tags are in flight — but tags that
+    DO enter (source tags, EOS) must still walk the full 40-block cascade
+    with exact index rescaling."""
+    import gnuradio4_tpu as gr
+    from gnuradio4_tpu.blocks.testing import TagSource, TagSink
+    from gnuradio4_tpu.core.tags import Tag, Keys
+
+    g = gr.Graph()
+    src = g.add(TagSource(n_samples=4096, tags=[
+        Tag(100, {"hello": 1}), Tag(2000, {"hello": 2})]))
+    prev = src
+    for _ in range(20):
+        m = g.emplace("MultiplyConst", value=2.0)
+        d = g.emplace("DivideConst", value=2.0)
+        g.connect(prev, m)
+        g.connect(m, d)
+        prev = d
+    snk = g.add(TagSink())
+    g.connect(prev, snk)
+    gr.Scheduler(g, block_len=1024, sample_rate=1e6).run_and_wait()
+    got = {int(t.index): t.map for t in snk.tags if "hello" in t.map}
+    assert got[100]["hello"] == 1 and got[2000]["hello"] == 2
+    # EOS announced from a fast-path source still reaches the sink
+    eos = [t for t in snk.tags if t.map.get(Keys.END_OF_STREAM)]
+    assert eos and int(eos[-1].index) == 4096
