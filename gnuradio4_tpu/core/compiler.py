@@ -108,6 +108,30 @@ class CompiledGraph:
             self._ratio_cache[b.unique_name] = got
         return got
 
+    _pump_plan: Any = None
+
+    def pump_plan(self):
+        """Static per-block record for the scheduler's per-step validity
+        passes: (block, uname, is_feed, has_ins, srcs=((src_uname,
+        src_out_len)...), ratio_num, ratio_den, stock_clamp, allow_underrun).
+        Everything here is settings/graph-derived and fixed per compile."""
+        if self._pump_plan is None:
+            from .block import Block
+            in_edges = self.in_edges_by_dst()
+            plan = []
+            for b in self.order:
+                uname = b.unique_name
+                srcs = tuple(
+                    (e.src.unique_name, self.out_len[e.src.unique_name])
+                    for e in in_edges[uname])
+                num, den = self.ratio_cache(b)
+                plan.append((b, uname, bool(getattr(b, "FEED", False)),
+                             bool(srcs), srcs, num, den,
+                             type(b).clamp_valid is Block.clamp_valid,
+                             bool(getattr(b, "ALLOW_UNDERRUN", False))))
+            self._pump_plan = plan
+        return self._pump_plan
+
     _tag_plan: Any = None
 
     def tag_plan(self):

@@ -380,15 +380,16 @@ class Scheduler:
         # inputs: a block with only unconnected optional ports, e.g. a
         # FunctionGenerator without its clk_in, still self-terminates)
         in_edges = c.in_edges_by_dst()
+        plan = c.pump_plan()
         feeds: dict[str, dict[str, np.ndarray]] = {}
         n_valid: dict[str, int] = {}
-        for b in c.order:
-            uname = b.unique_name
+        for b, uname, is_feed, has_ins, srcs, num, den, stock_clamp, \
+                allow_underrun in plan:
             if uname in self._finished_sources:
                 n_valid[uname] = 0
-                if getattr(b, "FEED", False):
+                if is_feed:
                     feeds[uname] = c.zero_feeds()[uname]
-            elif getattr(b, "FEED", False):
+            elif is_feed:
                 try:
                     got = b.host_feed(c.out_len[uname], self._abs_out[uname])
                 except Exception as err:
@@ -410,10 +411,9 @@ class Scheduler:
                     # ALLOW_UNDERRUN feeds (live sources, subgraph bridges
                     # warming up) signal EOS only by returning None; a partial
                     # block is a transient underrun, not the end of the stream
-                    if nv < c.out_len[uname] and \
-                            not getattr(b, "ALLOW_UNDERRUN", False):
+                    if nv < c.out_len[uname] and not allow_underrun:
                         self._finished_sources.add(uname)
-            elif not in_edges[uname]:  # pure device source
+            elif not has_ins:  # pure device source
                 done = b.host_done(self._abs_out[uname], c.out_len[uname])
                 if done is not None and done <= c.out_len[uname]:
                     n_valid[uname] = max(0, done)
@@ -422,36 +422,36 @@ class Scheduler:
                     n_valid[uname] = c.out_len[uname]
 
         # 2. propagate valid counts through the DAG (host-side bookkeeping)
-        in_edges = c.in_edges_by_dst()
         graph_done = False
-        for b in c.order:
-            uname = b.unique_name
-            if uname in n_valid and (not in_edges[uname]
-                                     or getattr(b, "FEED", False)):
+        nv_get = n_valid.get
+        for b, uname, is_feed, has_ins, srcs, num, den, stock_clamp, _au \
+                in plan:
+            if (not has_ins or is_feed) and uname in n_valid:
                 # sources and host-fed bridges: validity comes from the feed
                 continue
-            ins = in_edges[uname]
-            if ins:
-                nv_in = min(n_valid.get(e.src.unique_name, c.out_len[e.src.unique_name])
-                            for e in ins)
-                # static per-compile ratio as an int pair — Fraction churn
-                # here dominated the per-step host budget on deep graphs
-                num, den = c.ratio_cache(b)
+            if has_ins:
+                nv_in = None
+                for s, dflt in srcs:
+                    v = nv_get(s, dflt)
+                    if nv_in is None or v < nv_in:
+                        nv_in = v
                 nv_out = nv_in if num == den else (nv_in * num) // den
             else:
-                nv_out = n_valid.get(uname, c.out_len[uname])
+                nv_out = nv_get(uname, c.out_len[uname])
             # mid-graph valid clamp (HeadBlock-style truncation, ≈ reference
             # disconnect_on_done): the block may pass fewer samples and signal
             # that the whole graph should wind down once it has
-            clamp = b.clamp_valid(nv_out, self._abs_out[uname])
-            if clamp is not None:
-                nv_out = min(nv_out, clamp)
-                if clamp <= 0 and b.terminate_graph_when_done:
-                    graph_done = True
+            if not stock_clamp:
+                clamp = b.clamp_valid(nv_out, self._abs_out[uname])
+                if clamp is not None:
+                    nv_out = min(nv_out, clamp)
+                    if clamp <= 0 and b.terminate_graph_when_done:
+                        graph_done = True
             n_valid[uname] = nv_out
 
-        produced_any = any(n_valid.get(b.unique_name, 0) > 0 for b in c.order
-                           if not in_edges[b.unique_name])
+        produced_any = any(nv_get(uname, 0) > 0
+                           for _b, uname, _f, has_ins, *_ in plan
+                           if not has_ins)
 
         # delivery-side validity: a FEED block WITH inputs (subgraph bridge) has
         # its n_valid set by its own feed (output side); what its consume()
@@ -461,18 +461,16 @@ class Scheduler:
         # independently (e.g. SyncBlock.hpp:124 PortIn<T, Async>)
         n_valid_deliver = dict(n_valid)
         n_valid_ports: dict[str, dict[str, int]] = {}
-        for b in c.order:
-            uname = b.unique_name
-            ins = in_edges[uname]
-            if ins and getattr(b, "FEED", False):
-                n_valid_deliver[uname] = min(
-                    n_valid.get(e.src.unique_name,
-                                c.out_len[e.src.unique_name]) for e in ins)
-            if ins and getattr(b, "PER_PORT_VALID", False):
+        for b, uname, is_feed, has_ins, srcs, *_ in plan:
+            if not has_ins:
+                continue
+            if is_feed:
+                n_valid_deliver[uname] = min(nv_get(s, d) for s, d in srcs)
+            if getattr(b, "PER_PORT_VALID", False):
                 n_valid_ports[uname] = {
-                    e.dst_port: n_valid.get(e.src.unique_name,
-                                            c.out_len[e.src.unique_name])
-                    for e in ins}
+                    e.dst_port: nv_get(e.src.unique_name,
+                                       c.out_len[e.src.unique_name])
+                    for e in in_edges[uname]}
 
         # multi-host: every process computed the full (global) feed blocks —
         # slice out this process's time shard and assemble global jax.Arrays
@@ -583,10 +581,10 @@ class Scheduler:
         # a completed terminate-graph block (HeadBlock) also ends the run.
         # Mid-graph FEED bridges (ScheduledSubgraph) count as sources: the
         # graph is not done while their inner pipeline still holds data.
-        sources = [b for b in c.order
-                   if not in_edges[b.unique_name] or getattr(b, "FEED", False)]
-        all_done = sources and all(b.unique_name in self._finished_sources
-                                   for b in sources)
+        sources = [uname for _b, uname, is_feed, has_ins, *_ in plan
+                   if not has_ins or is_feed]
+        all_done = sources and all(u in self._finished_sources
+                                   for u in sources)
         if (all_done and not produced_any) or graph_done:
             return False
         return True
