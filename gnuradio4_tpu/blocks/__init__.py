@@ -3,9 +3,9 @@ blocks with the global registry."""
 
 from . import (acquisition, adsb, ais, alsa, apt, audio, ax25, basic,  # noqa: F401
                channelizer,
-               dcf77, digital, dsp_extras, electrical, equalizer, fec, fileio,
+               cw, dcf77, digital, dsp_extras, electrical, equalizer, fec, fileio,
                filter, fourier, gnss, http, math,
-               misc, monitor, network, pocsag, python_block, rds, rtl2832, sdr, sstv,
+               misc, monitor, network, pocsag, python_block, rds, rtl2832, rtty, sdr, sstv,
                uncertain,
                soapy,
                testing, timing, usb, util_blocks)
