@@ -8,6 +8,6 @@ from . import (acquisition, adsb, ais, alsa, apt, audio, ax25, basic,  # noqa: F
                misc, monitor, network, pocsag, python_block, rds, rtl2832, rtty, sdr, sstv,
                uncertain,
                soapy,
-               testing, timing, usb, util_blocks)
+               testing, timing, usb, util_blocks, wefax)
 from . import ref_aliases  # noqa: F401  (after all targets are registered)
 from ..core import datasink as _datasink  # noqa: F401  (registers DataSink)
