@@ -128,3 +128,11 @@ def test_ais_receiver_example_decodes_vessels():
     tracker = [b for b in sched.graph.blocks if b.name == "tracker"][0]
     assert set(tracker.vessels) == {477553000, 211234560}
     assert tracker.vessels[477553000]["nav_status"] == 5
+
+
+def test_rtty_teletype_example_prints_text():
+    src = Path("/root/repo/examples/rtty_teletype.yaml").read_text()
+    from gnuradio4_tpu.core.yaml_io import run_grc
+    sched = run_grc(src)
+    printer = [b for b in sched.graph.blocks if b.name == "printer"][0]
+    assert printer.text == "CQ CQ CQ DE GR4TPU GR4TPU K"
