@@ -174,11 +174,17 @@ class CwDecoder(SinkBlock):
 
     IN = (Port("in", dtype="float32"),)
     sample_rate = Setting(default=48000.0, kind="static")
+    max_buffer_s = Setting(default=60.0, kind="static",
+                           description="history bound for a continuous "
+                                       "stream: once exceeded, decoded text "
+                                       "is archived and the buffer flushes "
+                                       "at the next key-up silence")
 
     def __init__(self, name=None, **settings):
         super().__init__(name=name, **settings)
         self._buf = np.zeros(0, np.float32)
         self._pending = 0
+        self._done = ""
         self.text = ""
 
     def consume(self, arrays, tags, n_valid, abs_index):
@@ -202,4 +208,16 @@ class CwDecoder(SinkBlock):
         k = max(1, int(round(0.005 * fs)))
         env = np.convolve(np.abs(self._buf), np.full(k, 1.0 / k),
                           mode="same")
-        self.text = decode_envelope(env, fs)
+        txt = decode_envelope(env, fs)
+        cap = int(float(self.settings.get("max_buffer_s")) * fs)
+        if len(self._buf) > cap:
+            # flush at key-up (last 0.5 s quiet) so no element straddles the
+            # cut; past 2×cap flush unconditionally (≤1 letter at risk)
+            tail = env[-int(0.5 * fs):]
+            quiet = (not len(tail)
+                     or float(tail.max()) < 0.1 * float(env.max()))
+            if quiet or len(self._buf) > 2 * cap:
+                self._done += txt + " "
+                txt = ""
+                self._buf = np.zeros(0, np.float32)
+        self.text = (self._done + txt).strip()

@@ -181,11 +181,17 @@ class RttyDecoder(SinkBlock):
     IN = (Port("in", dtype="float32"),)
     sample_rate = Setting(default=48000.0, kind="static")
     baud = Setting(default=BAUD, kind="static")
+    max_buffer_s = Setting(default=60.0, kind="static",
+                           description="history bound for a continuous "
+                                       "stream: once exceeded, decoded text "
+                                       "is archived and the buffer flushes "
+                                       "at the next idle (all-mark) seam")
 
     def __init__(self, name=None, **settings):
         super().__init__(name=name, **settings)
         self._buf = np.zeros(0, np.float32)
         self._pending = 0
+        self._done = ""
         self.text = ""
 
     def consume(self, arrays, tags, n_valid, abs_index):
@@ -211,4 +217,16 @@ class RttyDecoder(SinkBlock):
         k = max(1, int(round(fs / baud / 4.0)))
         if k > 1:
             freq = np.convolve(freq, np.full(k, 1.0 / k), mode="same")
-        self.text = baudot_decode(demod_bits(freq, fs, baud=baud))
+        txt = baudot_decode(demod_bits(freq, fs, baud=baud))
+        cap = int(float(self.settings.get("max_buffer_s")) * fs)
+        if len(self._buf) > cap:
+            # flush at an idle seam (line idles at mark between characters)
+            # so no in-flight character straddles the cut; past 2×cap flush
+            # unconditionally (worst case: one character lost)
+            tail = freq[-int(8 * fs / baud):]
+            idle = np.all(np.abs(tail - F_MARK) < 60.0) if len(tail) else True
+            if idle or len(self._buf) > 2 * cap:
+                self._done += txt
+                txt = ""
+                self._buf = np.zeros(0, np.float32)
+        self.text = self._done + txt

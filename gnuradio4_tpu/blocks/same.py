@@ -171,11 +171,17 @@ class SameDecoder(SinkBlock):
 
     IN = (Port("in", dtype="float32"),)
     sample_rate = Setting(default=48000.0, kind="static")
+    max_buffer_s = Setting(default=60.0, kind="static",
+                           description="history bound for a continuous "
+                                       "stream: once exceeded, validated "
+                                       "headers are archived and the buffer "
+                                       "flushes at the next quiet second")
 
     def __init__(self, name=None, **settings):
         super().__init__(name=name, **settings)
         self._buf = np.zeros(0, np.float32)
         self._pending = 0
+        self._archived: list[str] = []
         self.headers: list[str] = []
         self.eom = False
 
@@ -205,7 +211,11 @@ class SameDecoder(SinkBlock):
         # channel noise raises the floor well above zero
         lo, hi = np.percentile(env, [10.0, 90.0])
         if hi <= 1.5 * lo:
-            return                                # no bursts present
+            # no bursts present — drop dead air so silence can't grow the
+            # buffer unboundedly (keep a second for a burst straddling it)
+            if len(self._buf) > 2 * fs:
+                self._buf = self._buf[-int(fs):]
+            return
         act = env > (lo + hi) / 2.0
         edges = np.flatnonzero(np.diff(act.astype(np.int8)))
         starts = [int(e) + 1 for e in edges[::2]] if act[0] is np.True_ \
@@ -260,7 +270,17 @@ class SameDecoder(SinkBlock):
             group.append(t)
             kind = this
         _flush()
-        if headers:
-            self.headers = headers
+        if headers or self._archived:
+            self.headers = self._archived + headers
         if eom:
             self.eom = True
+        cap = int(float(self.settings.get("max_buffer_s")) * fs)
+        if len(self._buf) > cap:
+            # flush at a quiet tail (no burst in flight); past 2×cap flush
+            # unconditionally
+            lo2, hi2 = np.percentile(env, [10.0, 90.0])
+            tail_quiet = (hi2 <= 1.5 * lo2
+                          or not act[-int(0.5 * fs):].any())
+            if tail_quiet or len(self._buf) > 2 * cap:
+                self._archived = list(self.headers)
+                self._buf = np.zeros(0, np.float32)

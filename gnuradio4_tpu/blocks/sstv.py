@@ -188,6 +188,11 @@ class SstvDecoder(SinkBlock):
     IN = (Port("in", dtype="float32"),)
     sample_rate = Setting(default=48000.0, kind="static")
     max_lines = Setting(default=256, kind="static")
+    max_buffer_s = Setting(default=300.0, kind="static",
+                           description="history bound (a full Martin M1 "
+                                       "frame is ~114 s); the buffer freezes "
+                                       "once full — one transmission is "
+                                       "bounded by construction")
 
     def __init__(self, name=None, **settings):
         super().__init__(name=name, **settings)
@@ -205,8 +210,12 @@ class SstvDecoder(SinkBlock):
     def consume(self, arrays, tags, n_valid, abs_index):
         if n_valid <= 0:
             return
+        cap = int(float(self.settings.get("max_buffer_s"))
+                  * float(self.settings.get("sample_rate")))
+        if len(self._buf) >= cap:
+            return
         x = np.asarray(arrays["in"][..., :n_valid], np.float32).reshape(-1)
-        self._buf = np.concatenate([self._buf, x])
+        self._buf = np.concatenate([self._buf, x])[:cap]
         self._pending += n_valid
         fs = float(self.settings.get("sample_rate"))
         if self._pending >= int(fs):               # re-decode every ~second

@@ -139,6 +139,10 @@ class WefaxDecoder(SinkBlock):
     lpm = Setting(default=LPM, kind="static")
     width = Setting(default=800, kind="static")
     max_lines = Setting(default=1200, kind="static")
+    max_buffer_s = Setting(default=900.0, kind="static",
+                           description="history bound (a 1200-line chart "
+                                       "is 600 s); the buffer freezes once "
+                                       "full")
 
     def __init__(self, name=None, **settings):
         super().__init__(name=name, **settings)
@@ -156,10 +160,13 @@ class WefaxDecoder(SinkBlock):
     def consume(self, arrays, tags, n_valid, abs_index):
         if n_valid <= 0:
             return
-        x = np.asarray(arrays["in"][..., :n_valid], np.float32).reshape(-1)
-        self._buf = np.concatenate([self._buf, x])
-        self._pending += n_valid
         fs = float(self.settings.get("sample_rate"))
+        cap = int(float(self.settings.get("max_buffer_s")) * fs)
+        if len(self._buf) >= cap:
+            return
+        x = np.asarray(arrays["in"][..., :n_valid], np.float32).reshape(-1)
+        self._buf = np.concatenate([self._buf, x])[:cap]
+        self._pending += n_valid
         if self._pending >= int(fs):
             self._pending = 0
             self._decode()

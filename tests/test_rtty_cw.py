@@ -143,3 +143,35 @@ class TestCwLoopback:
         d.consume({"in": audio}, {}, len(audio), 0)
         d.stop()
         assert d.text == "QTH = 50.1, 8.6 ?"
+
+
+class TestBoundedHistory:
+    """Continuous-stream decoders must not grow their history unboundedly:
+    past max_buffer_s the decoded text archives and the buffer flushes at
+    an idle seam, with the rolling text preserved across the cut."""
+
+    def test_rtty_archives_across_flush(self):
+        msgs = ["MSG ONE X", "MSG TWO Y", "MSG THREE Z"]
+        d = RttyDecoder(max_buffer_s=4.0)
+        for m in msgs:
+            audio = rtty_modulate(m, fs=FS, lead_s=0.3)
+            for i in range(0, len(audio), 24000):
+                c = audio[i:i + 24000]
+                d.consume({"in": c}, {}, len(c), 0)
+        d.stop()
+        assert d.text.replace(" ", "") == "".join(msgs).replace(" ", "")
+        # the internal buffer actually flushed (history stayed bounded)
+        assert len(d._buf) < 2 * 4.0 * FS
+
+    def test_cw_archives_across_flush(self):
+        d = CwDecoder(max_buffer_s=4.0)
+        for m in ("ABC", "DEF"):
+            audio = cw_modulate(m, wpm=25.0)
+            pad = np.zeros(int(1.0 * FS), np.float32)
+            x = np.concatenate([audio, pad])
+            for i in range(0, len(x), 48000):
+                c = x[i:i + 48000]
+                d.consume({"in": c}, {}, len(c), 0)
+        d.stop()
+        assert d.text.split() == ["ABC", "DEF"]
+        assert len(d._buf) < 2 * 4.0 * FS
