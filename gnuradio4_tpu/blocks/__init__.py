@@ -4,7 +4,7 @@ blocks with the global registry."""
 from . import (acquisition, adsb, ais, alsa, apt, audio, ax25, basic,  # noqa: F401
                channelizer,
                cw, dcf77, digital, dsp_extras, electrical, equalizer, fec, fileio,
-               filter, fourier, gnss, http, math,
+               filter, fourier, gnss, http, lora, math,
                misc, monitor, network, pocsag, python_block, rds, rtl2832, rtty, same, sdr, sstv,
                uncertain,
                soapy,
