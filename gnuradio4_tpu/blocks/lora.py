@@ -206,8 +206,10 @@ class LoRaSource(SourceBlock):
     cr = Setting(default=4, kind="static")
     gap_symbols = Setting(default=4, kind="static")
 
-    def __init__(self, payload: bytes = b"", name=None, **settings):
+    def __init__(self, payload: bytes | str = b"", name=None, **settings):
         super().__init__(name=name, **settings)
+        if isinstance(payload, str):              # YAML flows pass text
+            payload = payload.encode("utf-8")
         sf = int(self.settings.get("sf"))
         gap = np.zeros((1 << sf) * int(self.settings.get("gap_symbols")),
                        np.complex64)

@@ -136,3 +136,11 @@ def test_rtty_teletype_example_prints_text():
     sched = run_grc(src)
     printer = [b for b in sched.graph.blocks if b.name == "printer"][0]
     assert printer.text == "CQ CQ CQ DE GR4TPU GR4TPU K"
+
+
+def test_lora_link_example_decodes_frame():
+    src = Path("/root/repo/examples/lora_link.yaml").read_text()
+    from gnuradio4_tpu.core.yaml_io import run_grc
+    sched = run_grc(src)
+    rx = [b for b in sched.graph.blocks if b.name == "rx"][0]
+    assert rx.frames == [b"LoRa over TPU"]
