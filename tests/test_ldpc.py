@@ -134,3 +134,36 @@ class TestBlocks:
         dec = gr.Graph().emplace("LdpcDecoder", n=96, m=48, seed=1)
         assert enc.alignment == enc.k and dec.alignment == 96
         assert float(enc.ratio) * float(dec.ratio) == 1.0
+
+
+def test_decoder_sp_sharded_bit_exact():
+    """Framewise device blocks must survive the unified sp lowering
+    unchanged (alignment-aware islanding): sharded == unsharded bits."""
+    import jax
+    from jax.sharding import Mesh
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    cpu_mesh8 = Mesh(np.asarray(devs[:8]), ("sp",))
+    H, G = make_ldpc(256, 128, wc=3, seed=0)
+    k = G.shape[0]
+    rng = np.random.default_rng(4)
+    u = rng.integers(0, 2, 8 * k).astype(np.float32)
+    c = encode(G, u.reshape(-1, k).astype(np.uint8)).reshape(-1)
+    y = 1.0 - 2.0 * c + 0.6 * rng.standard_normal(len(c))
+    llr = (2 * y / 0.36).astype(np.float32)
+
+    def run(mesh):
+        g = gr.Graph()
+        src = g.add(VectorSource(llr))
+        dec = g.emplace("LdpcDecoder", n=256, m=128, seed=0)
+        snk = g.add(VectorSink())
+        g.connect_chain(src, dec, snk)
+        gr.Scheduler(g, block_len=1024, sample_rate=1e6,
+                     mesh=mesh).run_and_wait()
+        return np.asarray(snk.data())
+
+    un = run(None)
+    sh = run(cpu_mesh8)
+    np.testing.assert_array_equal(un, sh)
+    np.testing.assert_array_equal(un, u)
