@@ -868,3 +868,150 @@ class OfdmSyncSink(SinkBlock):
                     self.detections[-1] = rec
             else:
                 self.detections.append(rec)
+
+
+@register_block("OfdmPilotInserter")
+class OfdmPilotInserter(Block):
+    """Insert comb-type pilots into the occupied-subcarrier stream: every
+    ``pilot_spacing``-th occupied subcarrier carries a known BPSK pilot
+    (sign alternates by pilot index), the rest carry data. Pairs with
+    :class:`OfdmChannelEqualizer` on the receive side; sits between the
+    symbol mapper and :class:`OfdmModulator`."""
+
+    IN = (Port("in", dtype="complex64"),)
+    OUT = (Port("out", dtype="complex64"),)
+    n_occupied = Setting(default=48, kind="static")
+    pilot_spacing = Setting(default=8, kind="static", limits=(2, 1 << 10))
+
+    def _pilot_mask(self):
+        n_occ = int(self.settings.get("n_occupied"))
+        sp = int(self.settings.get("pilot_spacing"))
+        idx = np.arange(0, n_occ, sp)
+        mask = np.zeros(n_occ, bool)
+        mask[idx] = True
+        vals = np.where(np.arange(len(idx)) % 2 == 0, 1.0, -1.0)
+        return mask, idx, vals.astype(np.complex64)
+
+    @property
+    def n_data(self):
+        mask, _, _ = self._pilot_mask()
+        return int((~mask).sum())
+
+    @property
+    def ratio(self):
+        return Fraction(int(self.settings.get("n_occupied")), self.n_data)
+
+    @property
+    def alignment(self):
+        return self.n_data
+
+    def apply(self, state, ins, ctx):
+        x = ins["in"]
+        mask, idx, vals = self._pilot_mask()
+        n_occ, nd = len(mask), self.n_data
+        frames = x.reshape(*x.shape[:-1], -1, nd)
+        out = jnp.zeros(frames.shape[:-1] + (n_occ,), jnp.complex64)
+        out = out.at[..., np.flatnonzero(~mask)].set(frames)
+        out = out.at[..., idx].set(jnp.asarray(vals))
+        return state, {"out": out.reshape(*x.shape[:-1],
+                                          x.shape[-1] // nd * n_occ)}
+
+
+@register_block("OfdmChannelEqualizer")
+class OfdmChannelEqualizer(Block):
+    """Pilot-based per-subcarrier channel estimation + equalization on the
+    demodulated occupied-subcarrier stream (the output of
+    :class:`OfdmDemodulator`).
+
+    LS estimate at the comb pilots (known BPSK pattern, matching
+    :class:`OfdmPilotInserter`), linear interpolation across subcarriers,
+    optional EMA smoothing across OFDM symbols (``smoothing`` 0..1, carried
+    in state so it spans scheduler steps), then zero-forcing or MMSE
+    equalization; pilots are stripped from the output (ratio
+    n_data/n_occupied)."""
+
+    IN = (Port("in", dtype="complex64"),)
+    OUT = (Port("out", dtype="complex64"),)
+    fft_size = Setting(default=64, kind="static",
+                       description="FFT size of the upstream demodulator — "
+                                   "needed to interpolate in true (signed) "
+                                   "frequency, not occupied-array order")
+    n_occupied = Setting(default=48, kind="static")
+    pilot_spacing = Setting(default=8, kind="static", limits=(2, 1 << 10))
+    mode = Setting(default="zf", kind="static", choices=("zf", "mmse"))
+    noise_var = Setting(default=0.0, description="MMSE noise variance")
+    smoothing = Setting(default=0.0, kind="static", limits=(0.0, 0.999),
+                        description="EMA factor across OFDM symbols "
+                                    "(0 = per-symbol estimates)")
+
+    def _pilot_mask(self):
+        n_occ = int(self.settings.get("n_occupied"))
+        sp = int(self.settings.get("pilot_spacing"))
+        idx = np.arange(0, n_occ, sp)
+        mask = np.zeros(n_occ, bool)
+        mask[idx] = True
+        vals = np.where(np.arange(len(idx)) % 2 == 0, 1.0, -1.0)
+        return mask, idx, vals.astype(np.complex64)
+
+    @property
+    def n_data(self):
+        mask, _, _ = self._pilot_mask()
+        return int((~mask).sum())
+
+    @property
+    def ratio(self):
+        return Fraction(self.n_data, int(self.settings.get("n_occupied")))
+
+    @property
+    def alignment(self):
+        return int(self.settings.get("n_occupied"))
+
+    def init_state(self, ctx):
+        n_occ = int(self.settings.get("n_occupied"))
+        # carried channel estimate (EMA) + a has-history flag
+        return {"h": jnp.ones(n_occ, jnp.complex64),
+                "warm": jnp.zeros((), jnp.bool_)}
+
+    def apply(self, state, ins, ctx):
+        x = ins["in"]
+        mask, pidx, pvals = self._pilot_mask()
+        n_occ, nd = len(mask), self.n_data
+        didx = np.flatnonzero(~mask)
+        frames = x.reshape(-1, n_occ)
+        # LS at pilots, per symbol
+        h_p = frames[:, pidx] / jnp.asarray(pvals)
+        # linear interpolation in SIGNED frequency: the occupied map is
+        # [+1..+half, -half..-1] in FFT-bin order, so array position is not
+        # monotonic in frequency — interpolating over it would bridge the
+        # band edges straight across DC
+        fft = int(self.settings.get("fft_size"))
+        occ = default_occupied(fft, n_occ)
+        freq = np.where(occ < fft // 2, occ, occ - fft).astype(np.float32)
+        xp_f = freq[pidx]
+        psort = np.argsort(xp_f)
+        xs = jnp.asarray(freq)
+        xp = jnp.asarray(xp_f[psort])
+        h_p = h_p[:, psort]
+        interp = jax.vmap(lambda hp: jnp.interp(xs, xp, hp.real)
+                          + 1j * jnp.interp(xs, xp, hp.imag))
+        h_sym = interp(h_p).astype(jnp.complex64)   # [n_sym, n_occ]
+        a = float(self.settings.get("smoothing"))
+        if a > 0.0:
+            def ema(carry, h):
+                h_prev, warm = carry
+                h_new = jnp.where(warm, a * h_prev + (1 - a) * h, h)
+                return (h_new, jnp.ones((), jnp.bool_)), h_new
+            (h_last, warm), h_sym = jax.lax.scan(
+                ema, (state["h"], state["warm"]), h_sym)
+            new_state = {"h": h_last, "warm": warm}
+        else:
+            new_state = state
+        if str(self.settings.get("mode")) == "mmse":
+            nv = jnp.asarray(ctx.p("noise_var", 0.0), jnp.float32)
+            w = jnp.conj(h_sym) / (jnp.abs(h_sym) ** 2 + nv)
+            eq = frames * w
+        else:
+            eq = frames / h_sym
+        out = eq[:, didx].astype(jnp.complex64)
+        return new_state, {"out": out.reshape(*x.shape[:-1],
+                                              x.shape[-1] // n_occ * nd)}
