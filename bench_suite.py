@@ -171,11 +171,50 @@ def config6_cascade(block_len, steps):
     return (sched._step - n0) * block_len / dt / 1e6
 
 
+def config7_ldpc(block_len, steps):
+    """Device LDPC min-sum decode throughput (n=256, R=1/2, 25 iters):
+    coded Mbits/s through the real scheduler loop."""
+    import numpy as np
+    import gnuradio4_tpu as gr
+    from gnuradio4_tpu.ops.ldpc import make_ldpc, encode
+    from gnuradio4_tpu.blocks.testing import VectorSink
+
+    H, G = make_ldpc(256, 128, wc=3, seed=0)
+    k = G.shape[0]
+    bl = (block_len // 256) * 256
+    rng = np.random.default_rng(0)
+    n_total = steps * bl
+    u = rng.integers(0, 2, (n_total // 256) * k).astype(np.uint8)
+    c = encode(G, u.reshape(-1, k)).reshape(-1)
+    y = 1.0 - 2.0 * c + 0.6 * rng.standard_normal(len(c))
+    llr = (2 * y / 0.36).astype(np.float32)
+    g = gr.Graph()
+    src = g.emplace("VectorSource")
+    src.data = llr
+    dec = g.emplace("LdpcDecoder", n=256, m=128, seed=0)
+    snk = g.add(VectorSink())
+    g.connect_chain(src, dec, snk)
+    sched = gr.Scheduler(g, block_len=bl, sample_rate=1e9,
+                         pipeline_depth=2)
+    sched.init()
+    sched._pump_once()
+    import jax
+    jax.block_until_ready(sched._states)
+    t0 = time.perf_counter()
+    n0 = sched._step
+    while sched._pump_once():
+        pass
+    sched._drain()
+    jax.block_until_ready(sched._states)
+    dt = time.perf_counter() - t0
+    return (sched._step - n0) * bl / dt / 1e6
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--block-len", type=int, default=1 << 20)
     ap.add_argument("--steps", type=int, default=20)
-    ap.add_argument("--configs", default="1,2,3,4,5,6")
+    ap.add_argument("--configs", default="1,2,3,4,5,6,7")
     args = ap.parse_args()
     import jax
     platform = jax.devices()[0].platform
@@ -210,6 +249,21 @@ def main():
                                   "msps": round(msps, 1)}), flush=True)
             except Exception as e:
                 print(json.dumps({"config": "6",
+                                  "error": f"{type(e).__name__}: {e}"}),
+                      flush=True)
+            continue
+        if key == "7":
+            bl7 = min(args.block_len, 1 << 17)
+            try:
+                msps = config7_ldpc(bl7, max(args.steps, 40))
+                print(json.dumps({"config": "7",
+                                  "name": "LDPC min-sum decode (n=256 R=1/2"
+                                          " 25 iters), coded Mbit/s",
+                                  "platform": platform,
+                                  "block_len": bl7,
+                                  "msps": round(msps, 1)}), flush=True)
+            except Exception as e:
+                print(json.dumps({"config": "7",
                                   "error": f"{type(e).__name__}: {e}"}),
                       flush=True)
             continue
