@@ -222,3 +222,54 @@ class SelectiveFadingModel(Block):
         new_hist = ext[-dmax:] if dmax else state["hist"]
         return ({"arg": jnp.stack(args), "hist": new_hist},
                 {"out": y.astype(jnp.complex64)})
+
+
+@register_block("PhaseNoise")
+class PhaseNoise(Block):
+    """Oscillator phase noise (≈ gr::channels::phase_noise_gen): a Wiener
+    random walk, φ[n] = φ[n−1] + N(0, std²), applied as e^{jφ}. The walk
+    value and PRNG key carry in state, so the trajectory is continuous
+    across steps and reproducible by seed."""
+
+    IN = (Port("in", dtype="complex64"),)
+    OUT = (Port("out", dtype="complex64"),)
+    std = Setting(default=0.001,
+                  description="per-sample phase-increment std (radians)")
+    seed = Setting(default=0, kind="static")
+
+    def init_state(self, ctx):
+        return {"key": noise_init_state(int(self.settings.get("seed"))),
+                "phi": jnp.zeros((), jnp.float32)}
+
+    def apply(self, state, ins, ctx):
+        x = ins["in"]
+        std = jnp.asarray(ctx.p("std", 0.0), jnp.float32)
+        dphi, key = gaussian(state["key"], x.shape[-1:])
+        walk = state["phi"] + jnp.cumsum(std * dphi)
+        y = x * jnp.exp(1j * walk).astype(jnp.complex64)
+        # wrap the carried phase so an unbounded stream never loses precision
+        new_phi = jnp.mod(walk[-1], jnp.float32(2.0 * np.pi))
+        return {"key": key, "phi": new_phi}, {"out": y}
+
+
+@register_block("IqImbalanceGen")
+class IqImbalanceGen(Block):
+    """Transmit-side IQ imbalance (≈ gr::channels::iqbal_gen): amplitude
+    skew ``magnitude`` (dB) and ``phase`` (degrees) applied to the I rail —
+    the standard image-generating impairment the RX-side IqImbalance
+    corrector (blocks/dsp_extras.py) undoes."""
+
+    IN = (Port("in", dtype="complex64"),)
+    OUT = (Port("out", dtype="complex64"),)
+    magnitude = Setting(default=0.0, description="amplitude skew (dB)")
+    phase = Setting(default=0.0, description="phase skew (degrees)")
+
+    def apply(self, state, ins, ctx):
+        x = ins["in"]
+        mag = 10.0 ** (jnp.asarray(ctx.p("magnitude", 0.0),
+                                   jnp.float32) / 20.0)
+        ph = jnp.asarray(ctx.p("phase", 0.0), jnp.float32) * (np.pi / 180.0)
+        # gr iqbal_gen convention: I' = mag·(I·cosφ − Q·sinφ... applied to I)
+        i = x.real * mag
+        q = x.imag + x.real * jnp.tan(ph) * mag
+        return state, {"out": (i + 1j * q).astype(jnp.complex64)}

@@ -133,3 +133,49 @@ class TestReceiverUnderImpairment:
         dec = np.sign(tail.real)
         agree = np.mean(dec == np.sign(ref.real))
         assert max(agree, 1 - agree) > 0.95
+
+
+class TestPhaseNoiseAndIq:
+    def test_phase_noise_broadens_linewidth(self):
+        t = np.arange(65536)
+        tone = np.exp(2j * np.pi * (3277 / 65536) * t).astype(np.complex64)
+        y = _through("PhaseNoise", data=tone, std=0.03, seed=1)[:65536]
+        # the Wiener walk smears the carrier: the peak bin's share of the
+        # total energy collapses vs the pure tone
+        def peak_frac(z):
+            p = np.abs(np.fft.fft(z)) ** 2
+            return float(p.max() / p.sum())
+        # coherence length 2/std^2 ≈ 2.2k samples « 65k window
+        assert peak_frac(tone[:65536]) > 0.9
+        assert peak_frac(y) < 0.2
+
+    def test_phase_noise_unit_envelope_and_reproducible(self):
+        t = np.arange(65536)
+        tone = np.exp(2j * np.pi * 0.01 * t).astype(np.complex64)
+        a = _through("PhaseNoise", data=tone, std=0.02, seed=5)
+        b = _through("PhaseNoise", data=tone, std=0.02, seed=5)
+        np.testing.assert_array_equal(a, b)      # same seed, same chunking
+        np.testing.assert_allclose(np.abs(a), 1.0, atol=1e-5)  # pure phase
+
+    def test_phase_walk_continuous_across_steps(self):
+        # the carried phase must not jump at step boundaries: successive
+        # phase increments stay small everywhere (std=0.02 → ~5 sigma cap)
+        t = np.arange(65536)
+        tone = np.ones(65536, np.complex64)
+        y = _through("PhaseNoise", data=tone, std=0.02, seed=5,
+                     block_len=4096)
+        dphi = np.angle(y[1:] * np.conj(y[:-1]))
+        assert np.max(np.abs(dphi)) < 0.15
+
+    def test_iq_imbalance_creates_image(self):
+        t = np.arange(65536)
+        tone = np.exp(2j * np.pi * 0.05 * t).astype(np.complex64)
+        y = _through("IqImbalanceGen", data=tone, magnitude=1.0,
+                     phase=5.0)[:65536]
+        sp = np.abs(np.fft.fft(y))
+        k = round(0.05 * 65536)
+        image_db = 20 * np.log10(sp[65536 - k] / sp[k])
+        assert -35.0 < image_db < -15.0
+        # and disabled imbalance is transparent
+        y0 = _through("IqImbalanceGen", data=tone)[:65536]
+        np.testing.assert_allclose(y0, tone, atol=1e-5)
