@@ -5,7 +5,7 @@ from . import (acquisition, adsb, ais, alsa, apt, audio, ax25, basic,  # noqa: F
                channelizer, channels,
                cw, dcf77, digital, dsp_extras, electrical, equalizer, fec, fileio,
                filter, fourier, gnss, http, ldpc, lora, math,
-               misc, monitor, network, pocsag, reed_solomon, python_block, rds, rtl2832, rtty, same, sdr, sigmf, sstv,
+               misc, monitor, network, pocsag, polar, reed_solomon, python_block, rds, rtl2832, rtty, same, sdr, sigmf, sstv,
                uncertain,
                soapy,
                testing, timing, usb, util_blocks, wefax)
