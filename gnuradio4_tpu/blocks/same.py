@@ -217,10 +217,7 @@ class SameDecoder(SinkBlock):
                 self._buf = self._buf[-int(fs):]
             return
         act = env > (lo + hi) / 2.0
-        edges = np.flatnonzero(np.diff(act.astype(np.int8)))
-        starts = [int(e) + 1 for e in edges[::2]] if act[0] is np.True_ \
-            else None
-        # robust burst segmentation: rising/falling pairs
+        # burst segmentation: rising/falling pairs
         rises = np.flatnonzero(act[1:] & ~act[:-1]) + 1
         falls = np.flatnonzero(~act[1:] & act[:-1]) + 1
         if act[0]:

@@ -217,10 +217,16 @@ class SigmfSource(SourceBlock):
     def out_dtype(self, port, in_dtypes):
         base = str(self.settings.get("path"))
         if base:
-            try:
-                x, _ = read_sigmf(base)
-                return str(x.dtype)
-            except (OSError, GrError, KeyError, ValueError):
+            try:                        # meta only — never scan the data
+                _, meta_p = _paths(base)
+                meta = json.loads(meta_p.read_text())
+                name = meta["global"]["core:datatype"]
+                dt = _DTYPES.get(name)
+                if dt is None and name in ("ci16_le", "ci8"):
+                    return "complex64"
+                if dt is not None:
+                    return str(np.dtype(dt))
+            except (OSError, KeyError, ValueError):
                 pass
         return "float32"
 

@@ -77,10 +77,7 @@ def make_ldpc(n: int, m: int, *, wc: int = 3, seed: int = 0
     # Hw = [A | B] with B (m x m) = permuted identity from elimination; make
     # it exactly I by row permutation
     B = Hw[:, k:]
-    order = np.argmax(B, axis=0)
-    inv_order = np.empty(m, np.int64)
-    inv_order[np.argmax(B[:, :], axis=1)] = np.arange(m)
-    # rows of Hw already reduced: B should be a permutation of I
+    # rows of Hw already reduced: B is a permutation of I — reorder rows
     row_for_col = np.argmax(B, axis=0)
     Hw = Hw[row_for_col]
     A = Hw[:, :k]
