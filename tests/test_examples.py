@@ -144,3 +144,16 @@ def test_lora_link_example_decodes_frame():
     sched = run_grc(src)
     rx = [b for b in sched.graph.blocks if b.name == "rx"][0]
     assert rx.frames == [b"LoRa over TPU"]
+
+
+def test_coded_link_example_zero_ber():
+    src = Path("/root/repo/examples/coded_link.yaml").read_text()
+    from gnuradio4_tpu.core.yaml_io import run_grc
+    import numpy as np
+    sched = run_grc(src)
+    blocks = {b.name: b for b in sched.graph.blocks}
+    tx = np.asarray(blocks["tx_bits"].data())
+    rx = np.asarray(blocks["rx_bits"].data())
+    n = min(len(tx), len(rx))
+    assert n >= 8000
+    assert np.mean(tx[:n] != rx[:n]) == 0.0
