@@ -8,6 +8,6 @@ from . import (acquisition, adsb, ais, alsa, apt, audio, ax25, basic,  # noqa: F
                misc, monitor, network, pocsag, polar, reed_solomon, python_block, rds, rtl2832, rtty, same, sdr, sigmf, sstv,
                uncertain,
                soapy,
-               testing, timing, usb, util_blocks, wefax)
+               testing, timing, usb, util_blocks, wefax, zeromq)
 from . import ref_aliases  # noqa: F401  (after all targets are registered)
 from ..core import datasink as _datasink  # noqa: F401  (registers DataSink)
