@@ -147,3 +147,126 @@ class MuteSwitch(Block):
         x = ins["in"]
         gate = jnp.where(jnp.asarray(ctx.p("mute", False)), 0.0, 1.0)
         return state, {"out": x * gate.astype(jnp.real(x).dtype)}
+
+
+@register_block("KeepOneInN")
+class KeepOneInN(Block):
+    """Every N-th sample (≈ gr keep_one_in_n): ratio 1/N, the kept sample
+    is the one at ``offset`` within each group."""
+
+    IN = (Port("in"),)
+    OUT = (Port("out"),)
+    n = Setting(default=2, kind="static", limits=(1, 1 << 20))
+    offset = Setting(default=0, kind="static")
+
+    @property
+    def ratio(self):
+        from fractions import Fraction
+        return Fraction(1, int(self.settings.get("n")))
+
+    @property
+    def alignment(self):
+        return int(self.settings.get("n"))
+
+    def apply(self, state, ins, ctx):
+        x = ins["in"]
+        n = int(self.settings.get("n"))
+        off = int(self.settings.get("offset")) % n
+        frames = x.reshape(x.shape[:-1] + (-1, n))
+        return state, {"out": frames[..., off]}
+
+
+@register_block("Repeat")
+class Repeat(Block):
+    """Repeat each sample N times (≈ gr repeat): ratio N/1."""
+
+    IN = (Port("in"),)
+    OUT = (Port("out"),)
+    n = Setting(default=2, kind="static", limits=(1, 1 << 20))
+
+    @property
+    def ratio(self):
+        from fractions import Fraction
+        return Fraction(int(self.settings.get("n")), 1)
+
+    def apply(self, state, ins, ctx):
+        return state, {"out": jnp.repeat(ins["in"],
+                                         int(self.settings.get("n")),
+                                         axis=-1)}
+
+
+@register_block("Integrate")
+class Integrate(Block):
+    """Sum groups of N samples into one (≈ gr integrate): ratio 1/N."""
+
+    IN = (Port("in"),)
+    OUT = (Port("out"),)
+    n = Setting(default=2, kind="static", limits=(1, 1 << 20))
+
+    @property
+    def ratio(self):
+        from fractions import Fraction
+        return Fraction(1, int(self.settings.get("n")))
+
+    @property
+    def alignment(self):
+        return int(self.settings.get("n"))
+
+    def apply(self, state, ins, ctx):
+        x = ins["in"]
+        n = int(self.settings.get("n"))
+        return state, {"out": x.reshape(x.shape[:-1] + (-1, n)).sum(axis=-1)}
+
+
+@register_block("PeakDetector")
+class PeakDetector(Block):
+    """1.0 at strict local maxima above ``threshold``, else 0.0 (≈ gr
+    peak_detector's steady-state behavior). The one-sample halo at each
+    step boundary is carried in state so peaks at seams are not missed."""
+
+    IN = (Port("in", dtype="float32"),)
+    OUT = (Port("out", dtype="float32"),)
+    threshold = Setting(default=0.0)
+
+    def init_state(self, ctx):
+        ch = ctx.channels.get("in", 0)
+        shape = (2,) if ch == 0 else (ch, 2)
+        return jnp.full(shape, -jnp.inf, jnp.float32)
+
+    def apply(self, state, ins, ctx):
+        x = ins["in"]
+        ext = jnp.concatenate([state, x], axis=-1)
+        left = ext[..., :-2]
+        mid = ext[..., 1:-1]
+        right = ext[..., 2:]
+        thr = jnp.asarray(ctx.p("threshold", 0.0), jnp.float32)
+        peak = (mid > left) & (mid > right) & (mid > thr)
+        # output is aligned one sample behind the input (the last sample's
+        # peak-ness needs its right neighbor — it resolves next step)
+        return ext[..., -2:], {"out": peak.astype(jnp.float32)}
+
+
+@register_block("SampleAndHold")
+class SampleAndHold(Block):
+    """y[n] = x[n] while ctrl[n] > 0, else the last sampled value (≈ gr
+    sample_and_hold); the held value carries across steps."""
+
+    IN = (Port("in"), Port("ctrl", dtype="float32"))
+    OUT = (Port("out"),)
+
+    def init_state(self, ctx):
+        ch = ctx.channels.get("in", 0)
+        return jnp.zeros(() if ch == 0 else (ch,), jnp.float32)
+
+    def apply(self, state, ins, ctx):
+        x = ins["in"]
+        gate = ins["ctrl"] > 0.0
+
+        def step_fn(held, xg):
+            xi, gi = xg
+            held = jnp.where(gi, xi, held)
+            return held, held
+
+        held, y = jax.lax.scan(step_fn, state.astype(x.dtype),
+                               (x, gate))
+        return held.astype(jnp.float32), {"out": y}

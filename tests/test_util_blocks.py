@@ -89,3 +89,56 @@ class TestThrottle:
         gr.Scheduler(g, block_len=2000).run_and_wait()
         dt = time.monotonic() - t0
         assert dt >= 0.4  # 8000 samples @ 16 kHz ≈ 0.5 s
+
+
+class TestGrBlocksUtilities:
+    """The gr-blocks odds and ends added in round 3: KeepOneInN, Repeat,
+    Integrate, PeakDetector (seam-safe), SampleAndHold (cross-step hold)."""
+
+    def _run(self, block, data, ctrl=None, block_len=64, **kw):
+        import gnuradio4_tpu as gr
+        from gnuradio4_tpu.blocks.testing import VectorSink, VectorSource
+        g = gr.Graph()
+        s = g.add(VectorSource(data))
+        b = g.emplace(block, **kw)
+        v = g.add(VectorSink())
+        if ctrl is not None:
+            c = g.add(VectorSource(ctrl))
+            g.connect(s, b, dst_port="in")
+            g.connect(c, b, dst_port="ctrl")
+            g.connect(b, v)
+        else:
+            g.connect_chain(s, b, v)
+        gr.Scheduler(g, block_len=block_len,
+                     sample_rate=1e6).run_and_wait()
+        return np.asarray(v.data())
+
+    def test_keep_one_in_n(self):
+        x = np.arange(256, dtype=np.float32)
+        np.testing.assert_array_equal(
+            self._run("KeepOneInN", x, n=4, offset=1), x[1::4])
+
+    def test_repeat_inverts_keep(self):
+        x = np.arange(64, dtype=np.float32)
+        y = self._run("Repeat", x, n=3, block_len=16)
+        np.testing.assert_array_equal(y, np.repeat(x, 3))
+
+    def test_integrate(self):
+        x = np.arange(256, dtype=np.float32)
+        np.testing.assert_array_equal(
+            self._run("Integrate", x, n=4), x.reshape(-1, 4).sum(axis=1))
+
+    def test_peak_detector_seam_safe(self):
+        sig = np.zeros(256, np.float32)
+        sig[[10, 63, 200]] = 5.0          # 63 sits AT a 64-sample seam
+        pk = self._run("PeakDetector", sig, threshold=1.0)
+        np.testing.assert_array_equal(np.flatnonzero(pk == 1.0),
+                                      [11, 64, 201])  # 1-sample latency
+
+    def test_sample_and_hold_across_steps(self):
+        x = np.arange(256, dtype=np.float32)
+        ctrl = np.zeros(256, np.float32)
+        ctrl[[5, 100, 130]] = 1.0
+        y = self._run("SampleAndHold", x, ctrl=ctrl, block_len=32)
+        assert y[4] == 0.0 and y[5] == 5.0 and y[99] == 5.0
+        assert y[100] == 100.0 and y[129] == 100.0 and y[130] == 130.0
