@@ -384,3 +384,60 @@ class FllBandEdge(Block):
     def estimated_freq(self, state) -> float:
         """Current frequency estimate, rad/sample (for tests/monitoring)."""
         return float(state["freq"])
+
+
+@register_block("SnrEstimator")
+class SnrEstimator(Block):
+    """M2M4 moments SNR estimator (≈ GNU Radio's mpsk_snr_est_cc, the
+    blind/non-data-aided default): for constant-modulus constellations,
+    S = sqrt(2·M2² − M4) and N = M2 − S with M2 = E|x|², M4 = E|x|⁴.
+    Decimating probe: one SNR (dB) estimate per ``chunk`` samples; running
+    moments carry in state with an EMA (``alpha``) across chunks."""
+
+    IN = (Port("in", dtype="complex64"),)
+    OUT = (Port("out", dtype="float32"),)
+    chunk = Setting(default=1024, kind="static")
+    alpha = Setting(default=0.0, kind="static",
+                    description="EMA across chunks (0 = independent)")
+
+    @property
+    def ratio(self):
+        from fractions import Fraction
+        return Fraction(1, int(self.settings.get("chunk")))
+
+    @property
+    def alignment(self):
+        return int(self.settings.get("chunk"))
+
+    def init_state(self, ctx):
+        return {"m2": jnp.zeros((), jnp.float32),
+                "m4": jnp.zeros((), jnp.float32),
+                "warm": jnp.zeros((), jnp.bool_)}
+
+    def apply(self, state, ins, ctx):
+        x = ins["in"]
+        n = int(self.settings.get("chunk"))
+        frames = x.reshape(x.shape[:-1] + (-1, n))
+        p = (frames.real ** 2 + frames.imag ** 2).astype(jnp.float32)
+        m2 = p.mean(axis=-1)
+        m4 = (p * p).mean(axis=-1)
+        a = float(self.settings.get("alpha"))
+        if a > 0.0:
+            def ema(carry, mm):
+                m2p, m4p, warm = carry
+                m2c, m4c = mm
+                m2n = jnp.where(warm, a * m2p + (1 - a) * m2c, m2c)
+                m4n = jnp.where(warm, a * m4p + (1 - a) * m4c, m4c)
+                return (m2n, m4n, jnp.ones((), jnp.bool_)), (m2n, m4n)
+            (m2l, m4l, warm), (m2, m4) = jax.lax.scan(
+                ema, (state["m2"], state["m4"], state["warm"]),
+                (m2.reshape(-1), m4.reshape(-1)))
+            new_state = {"m2": m2l, "m4": m4l, "warm": warm}
+            m2 = m2.reshape(frames.shape[:-1])
+            m4 = m4.reshape(frames.shape[:-1])
+        else:
+            new_state = state
+        s = jnp.sqrt(jnp.maximum(2.0 * m2 * m2 - m4, 1e-20))
+        noise = jnp.maximum(m2 - s, 1e-20)
+        snr_db = 10.0 * jnp.log10(s / noise)
+        return new_state, {"out": snr_db.astype(jnp.float32)}

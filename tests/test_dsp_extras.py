@@ -268,3 +268,39 @@ class TestFllBandEdge:
         f = np.fft.fftshift(np.fft.fftfreq(len(y)))
         resid = abs(f[np.argmax(S)] * 2 * np.pi / 4)
         assert resid < 1e-3
+
+
+class TestSnrEstimator:
+    """M2M4 blind SNR estimation on QPSK: accuracy across the SNR range,
+    decimation geometry, and the cross-chunk EMA state."""
+
+    def _run(self, snr_db, chunk=4096, alpha=0.0, n=65536, seed=0):
+        import gnuradio4_tpu as gr
+        from gnuradio4_tpu.blocks.testing import VectorSink, VectorSource
+        rng = np.random.default_rng(seed)
+        sym = np.exp(1j * (np.pi / 4 + np.pi / 2
+                           * rng.integers(0, 4, n))).astype(np.complex64)
+        npow = 10 ** (-snr_db / 10)
+        x = (sym + np.sqrt(npow / 2)
+             * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+             ).astype(np.complex64)
+        g = gr.Graph()
+        s = g.add(VectorSource(x))
+        est = g.emplace("SnrEstimator", chunk=chunk, alpha=alpha)
+        v = g.add(VectorSink())
+        g.connect_chain(s, est, v)
+        gr.Scheduler(g, block_len=4 * chunk,
+                     sample_rate=1e6).run_and_wait()
+        return np.asarray(v.data())
+
+    @pytest.mark.parametrize("snr", [3.0, 10.0, 20.0])
+    def test_accuracy(self, snr):
+        out = self._run(snr)
+        assert len(out) == 16            # decimating: one per chunk
+        assert abs(np.mean(out) - snr) < 0.5
+
+    def test_ema_smooths_variance(self):
+        raw = self._run(10.0, chunk=512)
+        smooth = self._run(10.0, chunk=512, alpha=0.9)
+        assert np.std(smooth[16:]) < 0.5 * np.std(raw[16:])
+        assert abs(np.mean(smooth[32:]) - 10.0) < 0.7
