@@ -1015,3 +1015,56 @@ class OfdmChannelEqualizer(Block):
         out = eq[:, didx].astype(jnp.complex64)
         return new_state, {"out": out.reshape(*x.shape[:-1],
                                               x.shape[-1] // n_occ * nd)}
+
+
+@register_block("SoftDemapper")
+class SoftDemapper(Block):
+    """complex64 IQ → per-bit max-log-MAP LLRs (positive = bit 0), the glue
+    between any Gray constellation and the soft FEC decoders (Viterbi
+    soft path, LdpcDecoder, PolarDecoder).
+
+    For each bit position b: LLR_b = (min_{s: bit_b(s)=0} |y−s|²
+    − min_{s: bit_b(s)=1} |y−s|²) / noise_var. Bits come out LSB-first per
+    symbol (the constellation index IS the bit label, matching
+    ConstellationMapper). Ratio bits_per_symbol/1."""
+
+    IN = (Port("in", dtype="complex64"),)
+    OUT = (Port("out", dtype="float32"),)
+    constellation = Setting(default="QPSK", kind="static",
+                            choices=CONSTELLATIONS)
+    noise_var = Setting(default=1.0,
+                        description="channel noise variance (per complex "
+                                    "sample); scales LLR confidence")
+
+    def _table(self):
+        return make_constellation(str(self.settings.get("constellation")))
+
+    @property
+    def bits_per_symbol(self):
+        return int(np.log2(len(self._table())))
+
+    @property
+    def ratio(self):
+        return Fraction(self.bits_per_symbol, 1)
+
+    def apply(self, state, ins, ctx):
+        y = ins["in"]
+        table = self._table()
+        m = len(table)
+        nbits = self.bits_per_symbol
+        pts = jnp.asarray(table)
+        d2 = jnp.abs(y[..., :, None] - pts[(None,) * y.ndim]) ** 2  # [.., T, M]
+        labels = np.arange(m)
+        big = jnp.float32(1e30)
+        llrs = []
+        for b in range(nbits):
+            zero = (labels >> b) & 1 == 0
+            d0 = jnp.min(jnp.where(jnp.asarray(zero), d2, big), axis=-1)
+            d1 = jnp.min(jnp.where(jnp.asarray(~zero), d2, big), axis=-1)
+            llrs.append(d1 - d0)
+        nv = jnp.maximum(jnp.asarray(ctx.p("noise_var", 1.0), jnp.float32),
+                         1e-12)
+        out = jnp.stack(llrs, axis=-1) / nv          # [.., T, nbits]
+        return state, {"out": out.reshape(y.shape[:-1]
+                                          + (y.shape[-1] * nbits,))
+                       .astype(jnp.float32)}

@@ -304,3 +304,65 @@ class TestSnrEstimator:
         smooth = self._run(10.0, chunk=512, alpha=0.9)
         assert np.std(smooth[16:]) < 0.5 * np.std(raw[16:])
         assert abs(np.mean(smooth[32:]) - 10.0) < 0.7
+
+
+class TestSoftDemapper:
+    """Max-log LLR demapping: sign correctness across constellations,
+    noise_var confidence scaling, and the QPSK+LDPC soft link."""
+
+    def _llrs(self, kind, iq, nv=0.01):
+        import gnuradio4_tpu as gr
+        from gnuradio4_tpu.blocks.testing import VectorSink, VectorSource
+        g = gr.Graph()
+        s = g.add(VectorSource(np.asarray(iq, np.complex64)))
+        d = g.emplace("SoftDemapper", constellation=kind, noise_var=nv)
+        v = g.add(VectorSink())
+        g.connect_chain(s, d, v)
+        gr.Scheduler(g, block_len=len(iq),
+                     sample_rate=1e6).run_and_wait()
+        return np.asarray(v.data())
+
+    @pytest.mark.parametrize("kind", ["BPSK", "QPSK", "8PSK", "QAM16"])
+    def test_clean_points_sign_correct(self, kind):
+        from gnuradio4_tpu.ops.digital import make_constellation
+        table = make_constellation(kind)
+        m = len(table)
+        nb = int(np.log2(m))
+        llr = self._llrs(kind, table).reshape(m, nb)
+        bits = (np.arange(m)[:, None] >> np.arange(nb)) & 1
+        assert np.all((llr < 0) == (bits == 1))
+
+    def test_noise_var_scales_confidence(self):
+        from gnuradio4_tpu.ops.digital import make_constellation
+        table = make_constellation("QPSK")
+        hi = self._llrs("QPSK", table, nv=0.01)
+        lo = self._llrs("QPSK", table, nv=1.0)
+        np.testing.assert_allclose(hi, lo * 100.0, rtol=1e-4)
+
+    def test_qpsk_ldpc_soft_link(self):
+        import gnuradio4_tpu as gr
+        from gnuradio4_tpu.blocks.testing import VectorSink, VectorSource
+        from gnuradio4_tpu.ops.digital import make_constellation
+        from gnuradio4_tpu.ops.ldpc import encode, make_ldpc
+        H, G = make_ldpc(256, 128, wc=3, seed=0)
+        k = G.shape[0]
+        rng = np.random.default_rng(5)
+        u = rng.integers(0, 2, 8 * k).astype(np.uint8)
+        c = encode(G, u.reshape(-1, k)).reshape(-1)
+        labels = (c[0::2] | (c[1::2] << 1)).astype(np.int64)
+        table = make_constellation("QPSK")
+        sigma = 0.35
+        y = (table[labels] + sigma / np.sqrt(2)
+             * (rng.standard_normal(len(labels))
+                + 1j * rng.standard_normal(len(labels))
+                )).astype(np.complex64)
+        g = gr.Graph()
+        s = g.add(VectorSource(y))
+        sd = g.emplace("SoftDemapper", constellation="QPSK",
+                       noise_var=sigma ** 2)
+        dec = g.emplace("LdpcDecoder", n=256, m=128, seed=0)
+        v = g.add(VectorSink())
+        g.connect_chain(s, sd, dec, v)
+        gr.Scheduler(g, block_len=512, sample_rate=1e6).run_and_wait()
+        np.testing.assert_array_equal(np.asarray(v.data()),
+                                      u.astype(np.float32))
