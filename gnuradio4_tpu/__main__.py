@@ -93,11 +93,28 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("bench", help="run the headline benchmark")
 
+    nb = sub.add_parser("new-block",
+                        help="scaffold a block module + test (gr_modtool "
+                             "equivalent)")
+    nb.add_argument("name", help="CamelCase block type name")
+    nb.add_argument("--kind", default="device",
+                    choices=("device", "sink", "source"),
+                    help="device: jitted apply; sink: host consume(); "
+                         "source: host_feed()")
+    nb.add_argument("--dir", default=".",
+                    help="where to write <snake>.py / test_<snake>.py")
+
     args = ap.parse_args(argv)
 
     if getattr(args, "cpu", False):
         import jax
         jax.config.update("jax_platforms", "cpu")
+
+    if args.cmd == "new-block":
+        from .utils.scaffold import new_block
+        for path in new_block(args.name, kind=args.kind, out_dir=args.dir):
+            print(f"wrote {path}")
+        return 0
 
     if args.cmd == "blocks":
         from .core.registry import global_registry
