@@ -4,7 +4,7 @@ blocks with the global registry."""
 from . import (acquisition, adsb, ais, alsa, apt, audio, ax25, basic,  # noqa: F401
                ble, ccsds, channelizer, channels,
                cw, dcf77, digital, dsp_extras, electrical, equalizer, fec, fileio,
-               filter, fourier, gnss, http, ldpc, lora, math,
+               filter, fourier, gnss, http, ieee802154, ldpc, lora, math,
                misc, monitor, network, pocsag, polar, reed_solomon, python_block, rds, rtl2832, rtty, same, sdr, sigmf, sstv,
                uncertain, vocoder,
                soapy,
