@@ -270,3 +270,31 @@ class SampleAndHold(Block):
         held, y = jax.lax.scan(step_fn, state.astype(x.dtype),
                                (x, gate))
         return held.astype(jnp.float32), {"out": y}
+
+
+@register_block("DiffPhasor")
+class DiffPhasor(Block):
+    """Differential phasor y[n] = x[n]·x̄[n−1] (≈ gr diff_phasor_cc) — the
+    complex form of differential decoding for DPSK constellations; one
+    carried sample of state, same halo protocol as QuadratureDemod."""
+
+    IN = (Port("in", dtype="complex64"),)
+    OUT = (Port("out", dtype="complex64"),)
+
+    def init_state(self, ctx):
+        ch = ctx.channels.get("in", 0)
+        return jnp.ones(() if ch == 0 else (ch,), jnp.complex64)
+
+    def apply(self, state, ins, ctx):
+        x = ins["in"]
+        prev = jnp.concatenate([state[..., None], x[..., :-1]], axis=-1)
+        return x[..., -1], {"out": (x * jnp.conj(prev)).astype(jnp.complex64)}
+
+    def sp_halo(self, ctx):
+        return 1
+
+    def sp_state_to_tail(self, state, ctx):
+        return state[..., None]
+
+    def sp_tail_to_state(self, tail, state, ctx):
+        return tail[..., 0].astype(jnp.complex64)
