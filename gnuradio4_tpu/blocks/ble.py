@@ -283,10 +283,14 @@ class BleSource(SourceBlock):
                        np.complex64)
         parts: list[np.ndarray] = [gap]
         for adv in advertisers:
+            addr = adv["adv_addr"]
+            if isinstance(addr, str):            # YAML convenience: AA:BB:…
+                addr = bytes(int(b, 16)
+                             for b in reversed(addr.split(":")))
             data = build_ad_structures(
                 flags=adv.get("flags", 0x06), name=adv.get("name"),
                 manufacturer=adv.get("manufacturer"))
-            parts.append(ble_modulate(adv["adv_addr"], data, fs=fs,
+            parts.append(ble_modulate(addr, data, fs=fs,
                                       channel=ch,
                                       pdu_type=adv.get("pdu_type", 0)))
             parts.append(gap)

@@ -463,7 +463,12 @@ class WifiSource(SourceBlock):
                        np.complex64)
         parts: list[np.ndarray] = [gap]
         for fr in frames:
-            parts.append(encode_frame(fr["psdu"],
+            psdu = fr["psdu"]
+            if isinstance(psdu, str):            # YAML convenience: text
+                psdu = psdu.encode()
+            if fr.get("add_fcs"):
+                psdu = append_fcs(psdu)
+            parts.append(encode_frame(psdu,
                                       rate=int(fr.get("rate", 12))))
             parts.append(gap)
         self._wave = (np.concatenate(parts) if parts

@@ -157,3 +157,22 @@ def test_coded_link_example_zero_ber():
     n = min(len(tx), len(rx))
     assert n >= 8000
     assert np.mean(tx[:n] != rx[:n]) == 0.0
+
+
+def test_wifi_link_example_decodes_frame():
+    src = Path("/root/repo/examples/wifi_link.yaml").read_text()
+    from gnuradio4_tpu.core.yaml_io import run_grc
+    sched = run_grc(src)
+    rx = [b for b in sched.graph.blocks if b.name == "rx"][0]
+    assert len(rx.frames) == 1, rx.frames
+    assert rx.frames[0]["rate_mbps"] == 24 and rx.frames[0]["fcs_ok"]
+    assert rx.frames[0]["psdu"][:-4] == b"Hello from the 802.11a OFDM PHY"
+
+
+def test_ble_scanner_example_finds_devices():
+    src = Path("/root/repo/examples/ble_scanner.yaml").read_text()
+    from gnuradio4_tpu.core.yaml_io import run_grc
+    sched = run_grc(src)
+    scan = [b for b in sched.graph.blocks if b.name == "scan"][0]
+    assert set(scan.devices) == {"BC:9A:78:56:34:12", "05:04:03:02:01:00"}
+    assert scan.devices["BC:9A:78:56:34:12"]["name"] == "GR4-TPU"
