@@ -52,20 +52,30 @@ def build_step(block_len: int):
 
 
 def _force_complete(sink_ins, deadline_s: float) -> dict:
-    """Scalar-checksum readback of the sink outputs — the ONLY trustworthy
+    """Checksum readback of the sink outputs — the ONLY trustworthy
     completion signal on this transport (see the timing-honesty note in main).
     Runs on a daemon thread with a deadline because D2H over the axon tunnel
-    can wedge for minutes."""
+    can wedge for minutes.
+
+    ROUND-3 ROOT CAUSE (docs/PERFORMANCE.md): the relay's 0-d D2H is
+    permanently UNIMPLEMENTED — the round-2 `float(<0-d jit result>)` here
+    raised/hung on EVERY attempt, masquerading as a transport outage. The
+    fix is an 8-lane float32 broadcast readback (>=1-element float D2H
+    works), via utils.transfer."""
     import threading
+    import numpy as _np
     import jax
     import jax.numpy as jnp
     result: dict = {}
 
     def rb():
         try:
-            result["check"] = float(jax.jit(
-                lambda t: sum(jnp.sum(jnp.abs(v)) for ins in t.values()
-                              for v in ins.values()))(sink_ins))
+            vec = jax.jit(
+                lambda t: jnp.broadcast_to(
+                    sum(jnp.sum(jnp.abs(v)) for ins in t.values()
+                        for v in ins.values()).astype(jnp.float32),
+                    (8,)))(sink_ins)
+            result["check"] = float(_np.asarray(vec)[0])
         except Exception as e:  # pragma: no cover
             result["error"] = f"{type(e).__name__}: {e}"
     th = threading.Thread(target=rb, daemon=True)

@@ -52,10 +52,30 @@ class CompiledGraph:
 
     # -- runtime-facing helpers ------------------------------------------------
     def init_states(self) -> dict[str, Any]:
-        states = {b.unique_name: b.init_state(self.block_ctx[b.unique_name])
-                  for b in self.order}
-        states.update(self.fb_init_states)   # feedback-loop carried back-edges
-        return states
+        # The whole init runs under ONE jit so every state array — including
+        # complex64 FIR prehistory / carried phasors — is PRODUCED ON DEVICE.
+        # Eager jnp.zeros(..., complex64) would route a complex host constant
+        # through H2D, which the axon TPU relay rejects (UNIMPLEMENTED) and,
+        # because execution is deferred, poisons every downstream readback
+        # (round-3 root cause; utils/transfer.py has the capability matrix).
+        import jax
+
+        def _eager():
+            states = {b.unique_name: b.init_state(self.block_ctx[b.unique_name])
+                      for b in self.order}
+            states.update(self.fb_init_states)
+            return states
+
+        if jax.default_backend() == "cpu":
+            return _eager()   # no relay → eager is fine and skips a compile
+        try:
+            # fb_init_states are concrete arrays → embedded as program
+            # constants, which the relay handles fine
+            return jax.jit(_eager)()
+        except Exception:
+            # a block's init_state may be untraceable (host-side state,
+            # non-array leaves) — eager fallback keeps things running
+            return _eager()
 
     _params_cache: Any = None
 
@@ -65,14 +85,14 @@ class CompiledGraph:
         cached until :meth:`invalidate_params` (settings applied)."""
         from .block import Block
         if self._params_cache is None:
-            self._params_cache = {
+            self._params_cache = _sanitize_complex_h2d({
                 b.unique_name: b.prepare_params(b.settings.dynamic_params())
-                for b in self.order}
+                for b in self.order})
         else:
             for b in self.order:
                 if type(b).prepare_params is not Block.prepare_params:
-                    self._params_cache[b.unique_name] = b.prepare_params(
-                        b.settings.dynamic_params())
+                    self._params_cache[b.unique_name] = _sanitize_complex_h2d(
+                        b.prepare_params(b.settings.dynamic_params()))
         return self._params_cache
 
     def invalidate_params(self) -> None:
@@ -171,6 +191,27 @@ class CompiledGraph:
 
 def _shape(channels: int, n: int) -> tuple[int, ...]:
     return (n,) if channels == 0 else (channels, n)
+
+
+def _sanitize_complex_h2d(tree):
+    """Replace host complex leaves with device arrays built the relay-safe
+    way (split real/imag float H2D + on-device combine). Non-complex leaves
+    pass through untouched — implicit jit-arg conversion handles them, and
+    that path works on every backend. See utils/transfer.py."""
+    import jax
+
+    def fix(x):
+        if isinstance(x, jax.Array):
+            return x
+        dt = getattr(x, "dtype", None)
+        is_cx = (np.issubdtype(np.dtype(dt), np.complexfloating)
+                 if dt is not None else isinstance(x, complex))
+        if not is_cx:
+            return x
+        from ..utils.transfer import safe_put
+        return safe_put(x)
+
+    return jax.tree_util.tree_map(fix, tree)
 
 
 def _run_loop_group_replicated(group: dict, states, params, values, new_states,
