@@ -90,12 +90,23 @@ def _force_complete(sink_ins, deadline_s: float) -> dict:
 def main() -> None:
     import os
     import jax
+    # persistent compile cache: the relay's XLA compile of the barrier'd
+    # 8Mi-sample chain takes minutes; cache entries make later runs (and the
+    # driver's end-of-round capture) start from warm
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(os.path.abspath(
+                              __file__)), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
     # hard child watchdog: on this transport even COMPILE/device_put can hang
     # with no exception (observed round 3) — no in-band guard can cover that,
     # so the child self-destructs after its budget and the parent retries /
     # falls back. rc=7 marks a watchdog kill.
     import threading as _wd_th
-    _budget = float(os.environ.get("GR4_BENCH_CHILD_BUDGET_S", "240"))
+    _budget = float(os.environ.get("GR4_BENCH_CHILD_BUDGET_S", "900"))
     _wd_th.Thread(target=lambda: (time.sleep(_budget), os._exit(7)),
                   daemon=True).start()
     if os.environ.get("GR4_BENCH_FORCE_CPU") == "1":
@@ -132,13 +143,17 @@ def main() -> None:
     _w.join(timeout=60.0)
     wedged = _w.is_alive()   # wedged threads → hard-exit at the end
 
+    # first-contact probe must cover the relay's XLA compile of the whole
+    # chain (minutes when the persistent cache is cold — measured ~280 s)
+    first_probe_s = float(os.environ.get("GR4_BENCH_FIRST_PROBE_S", "420"))
+
     def _good_check(r: dict) -> bool:
         # the chain sums |FFT magnitude| + |demod audio| of a pure tone — the
         # checksum must be finite and strictly positive or the "compute" it
         # certifies is garbage (NaN-poisoned or never-ran)
         return "check" in r and np.isfinite(r["check"]) and r["check"] > 0
 
-    probe = _force_complete(sink_ins, deadline_s=60.0)
+    probe = _force_complete(sink_ins, deadline_s=first_probe_s)
     verified = _good_check(probe)
     wedged = wedged or bool(probe.get("wedged"))
 
@@ -342,8 +357,8 @@ def _main_with_retry() -> None:
     # hunting for a healthy D2H window must never overrun the driver's bench
     # budget: once the deadline nears, emit the held (unverified) result
     deadline = time.monotonic() + float(
-        os.environ.get("GR4_BENCH_DEADLINE_S", "420"))
-    child_cost = 120.0                  # compile + windows, worst case
+        os.environ.get("GR4_BENCH_DEADLINE_S", "1500"))
+    child_cost = 300.0                  # compile + windows, worst case
     last_unverified = None
     kills = 0
     for attempt in range(6):

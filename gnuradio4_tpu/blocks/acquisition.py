@@ -23,6 +23,19 @@ from ..core.settings import Setting
 from ..core.tags import Keys
 
 
+class _TransformingQueue:
+    """Queue facade applying a DataSet transform on put (pollers only put)."""
+
+    def __init__(self, q, transform):
+        self._q, self._transform = q, transform
+
+    def put(self, ds, *a, **kw):
+        self._q.put(self._transform(ds), *a, **kw)
+
+    def put_nowait(self, ds):
+        self._q.put_nowait(self._transform(ds))
+
+
 @register_block("StreamToDataSet")
 class StreamToDataSet(SinkBlock):
     """Trigger-windowed stream capture → DataSets.
@@ -98,12 +111,14 @@ class StreamToDataSet(SinkBlock):
                                        pre=int(self.settings.get("n_pre")),
                                        post=int(self.settings.get("n_post")),
                                        sample_rate=fs, max_windows=1024)
-            self._impl.q = self.datasets
+            self._impl.q = _TransformingQueue(self.datasets,
+                                              self.transform_dataset)
         elif mode == "multiplexed":
             self._impl = MultiplexedPoller(str(self.settings.get("filter")),
                                            str(self.settings.get("filter_stop")),
                                            sample_rate=fs, max_windows=1024)
-            self._impl.q = self.datasets
+            self._impl.q = _TransformingQueue(self.datasets,
+                                              self.transform_dataset)
         else:
             self._acc: list[np.ndarray] = []
             self._acc_n = 0
@@ -118,7 +133,7 @@ class StreamToDataSet(SinkBlock):
                               [t for t in tags.get("in", [])
                                if t.index < n_valid])
             while self._drained < len(self._engine.datasets):
-                ds = self._engine.datasets[self._drained]
+                ds = self.transform_dataset(self._engine.datasets[self._drained])
                 self.datasets.put(ds)
                 for lst in self._ds_listeners:
                     lst._feed_dataset(ds)
@@ -138,12 +153,18 @@ class StreamToDataSet(SinkBlock):
         while self._acc_n >= n_len:
             joined = np.concatenate(self._acc, axis=-1)
             win, rest = joined[..., :n_len], joined[..., n_len:]
-            self.datasets.put(DataSet.from_stream(
+            self.datasets.put(self.transform_dataset(DataSet.from_stream(
                 win, sample_rate=float(self.settings.get("sample_rate_hint")),
-                start_index=self._start_abs, signal_name=self.name))
+                start_index=self._start_abs, signal_name=self.name)))
             self._start_abs += n_len
             self._acc = [rest] if rest.shape[-1] else []
             self._acc_n = rest.shape[-1]
+
+    def transform_dataset(self, ds: DataSet) -> DataSet:
+        """Hook: subclasses may post-process each captured DataSet before it
+        reaches the queue/listeners (identity here). Used by
+        :class:`SavitzkyGolayDataSetFilter`."""
+        return ds
 
     def read(self, timeout: float | None = 1.0) -> DataSet | None:
         try:
@@ -348,3 +369,36 @@ class DataSetSink(StreamToDataSet):
     def __init__(self, name=None, **settings):
         settings.setdefault("mode", "continuous")
         super().__init__(name=name, **settings)
+
+
+@register_block("SavitzkyGolayDataSetFilter")
+class SavitzkyGolayDataSetFilter(StreamToDataSet):
+    """Zero-phase Savitzky-Golay smoothing on captured DataSets
+    (≈ blocks/filter SavitzkyGolayFilter.hpp:90 SavitzkyGolayDataSetFilter:
+    forward-backward S-G over signal_values — |H|² response, no phase
+    distortion, Reflect/Replicate boundary policy).
+
+    The reference block is PortIn<DataSet> → PortOut<DataSet>; here DataSets
+    live on the host once captured, so this block IS the capture sink with
+    the S-G transform applied to every delivered window
+    (:meth:`transform_dataset`). For direct host use on an existing DataSet
+    call :func:`gnuradio4_tpu.ops.dataset_math.apply_savgol`.
+    """
+
+    window_size = Setting(default=11, kind="static", limits=(3, 4097))
+    poly_order = Setting(default=4, kind="static", limits=(0, 32))
+    deriv_order = Setting(default=0, kind="static", limits=(0, 8))
+    boundary_policy = Setting(default="Reflect", kind="static",
+                              choices=("Reflect", "Replicate"))
+
+    def __init__(self, name=None, **settings):
+        settings.setdefault("mode", "continuous")
+        super().__init__(name=name, **settings)
+
+    def transform_dataset(self, ds: DataSet) -> DataSet:
+        from ..ops.dataset_math import apply_savgol
+        return apply_savgol(
+            ds, int(self.settings.get("window_size")),
+            int(self.settings.get("poly_order")),
+            deriv=int(self.settings.get("deriv_order")),
+            boundary=str(self.settings.get("boundary_policy")).lower())

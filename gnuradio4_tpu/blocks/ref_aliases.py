@@ -68,3 +68,44 @@ _alias("Real", "ComplexToReal")
 _alias("Imag", "ComplexToImag")
 _alias("DegreeToRadians", "DegToRad")
 _alias("RadiansToDegree", "RadToDeg")
+
+
+def _alias_map(name: str, target: str, keymap: dict[str, str],
+               **preset) -> None:
+    """Alias that also renames settings keys (reference name → ours)."""
+    factory = _reg.get(target)
+
+    def make(**settings):
+        mapped = {keymap.get(k, k): v for k, v in settings.items()}
+        return factory(**{**preset, **mapped})
+
+    make.__name__ = name
+    make.__doc__ = (f"Reference-name alias for {target}, settings keymap "
+                    f"{keymap}")
+    _reg.add(name, make)
+
+
+# time-domain filters — time_domain_filter.hpp:24 fir_filter / :57-60
+# iir_filter (all four IIRForm registrations collapse onto the scan engine:
+# DF-I/II/transposed are algebraically identical transfer functions; form
+# choice is a CPU micro-arch concern with no TPU analog)
+_alias("fir_filter", "FirFilter")
+_alias("iir_filter", "IirFilter")
+
+# CommonBlocks.hpp: builtin_multiply{factor} / builtin_counter (pass-through
+# + work-event count; stream behavior = Copy)
+_alias_map("builtin_multiply", "MultiplyConst", {"factor": "value"})
+_alias("builtin_counter", "Copy")
+
+# ImChartMonitor.hpp:19 registers the chart-less variant as ConsoleDebugSink
+_alias("ConsoleDebugSink", "ImChartMonitor")
+
+# Trigger.hpp SchmittTrigger interpolation-method variants
+_alias("SchmittTriggerBasic", "SchmittTrigger", interpolation="basic_linear")
+_alias("SchmittTriggerNoInterpolation", "SchmittTrigger",
+       interpolation="none")
+_alias("SchmittTriggerPolynomial", "SchmittTrigger",
+       interpolation="polynomial")
+
+# FilterTool-designed filter prototype name (BasicFilterProto)
+_alias("BasicFilterProto", "BasicFilter")

@@ -85,13 +85,13 @@ class CompiledGraph:
         cached until :meth:`invalidate_params` (settings applied)."""
         from .block import Block
         if self._params_cache is None:
-            self._params_cache = _sanitize_complex_h2d({
+            self._params_cache = _device_params({
                 b.unique_name: b.prepare_params(b.settings.dynamic_params())
                 for b in self.order})
         else:
             for b in self.order:
                 if type(b).prepare_params is not Block.prepare_params:
-                    self._params_cache[b.unique_name] = _sanitize_complex_h2d(
+                    self._params_cache[b.unique_name] = _device_params(
                         b.prepare_params(b.settings.dynamic_params()))
         return self._params_cache
 
@@ -193,25 +193,30 @@ def _shape(channels: int, n: int) -> tuple[int, ...]:
     return (n,) if channels == 0 else (channels, n)
 
 
-def _sanitize_complex_h2d(tree):
-    """Replace host complex leaves with device arrays built the relay-safe
-    way (split real/imag float H2D + on-device combine). Non-complex leaves
-    pass through untouched — implicit jit-arg conversion handles them, and
-    that path works on every backend. See utils/transfer.py."""
+def _device_params(tree):
+    """Make a params tree device-resident and relay-safe.
+
+    On accelerator backends the whole tree is pushed to the device ONCE via
+    utils.transfer.safe_put — complex leaves travel as float planes (the
+    relay rejects complex H2D) and cached host scalars stop paying a
+    per-step implicit H2D round-trip over the tunnel (measured ~0.8 ms/step
+    on the headline chain). On CPU the tree passes through untouched so
+    tests keep exact weak-typing semantics."""
     import jax
-
-    def fix(x):
-        if isinstance(x, jax.Array):
-            return x
-        dt = getattr(x, "dtype", None)
-        is_cx = (np.issubdtype(np.dtype(dt), np.complexfloating)
-                 if dt is not None else isinstance(x, complex))
-        if not is_cx:
-            return x
-        from ..utils.transfer import safe_put
-        return safe_put(x)
-
-    return jax.tree_util.tree_map(fix, tree)
+    if jax.default_backend() == "cpu":
+        def fix(x):
+            if isinstance(x, jax.Array):
+                return x
+            dt = getattr(x, "dtype", None)
+            is_cx = (np.issubdtype(np.dtype(dt), np.complexfloating)
+                     if dt is not None else isinstance(x, complex))
+            if not is_cx:
+                return x
+            from ..utils.transfer import safe_put
+            return safe_put(x)
+        return jax.tree_util.tree_map(fix, tree)
+    from ..utils.transfer import safe_put
+    return safe_put(tree)
 
 
 def _run_loop_group_replicated(group: dict, states, params, values, new_states,
@@ -394,7 +399,8 @@ def _feed_dtype(block: Block, port: str):
 
 def compile_graph(graph: Graph, *, block_len: int = 1 << 16,
                   sample_rate: float = 1.0, mesh: Any = None,
-                  jit: bool = True, donate_state: bool = True) -> CompiledGraph:
+                  jit: bool = True, donate_state: bool = True,
+                  barrier_edges: bool = True) -> CompiledGraph:
     """Flatten, validate, solve rates/dtypes/channels, trace, and jit the graph.
 
     Mesh lowering: a mesh axis named ``sp`` time-shards the WHOLE graph — the
@@ -623,6 +629,14 @@ def compile_graph(graph: Graph, *, block_len: int = 1 << 16,
                               block=b.name) from e
             new_states[uname] = st
             for pname, arr in outs.items():
+                if barrier_edges and hasattr(arr, "dtype"):
+                    # Materialize each block's output once (the analog of the
+                    # reference's per-edge ring buffer, CircularBuffer.hpp:75):
+                    # without this, XLA fuses expensive producers INTO
+                    # multi-read consumers — e.g. the tone source's sin/cos
+                    # recomputed inside every one of a 127-tap FIR's input
+                    # windows — measured 2x slowdown on the headline chain.
+                    arr = jax.lax.optimization_barrier(arr)
                 if mesh is not None and \
                         (sp == 1 or "chan" in getattr(mesh, "axis_names", ())):
                     # GSPMD: constrain multi-channel streams onto the mesh —

@@ -9,15 +9,47 @@ import pytest
 
 import gnuradio4_tpu as gr
 
+# The FULL set of GR_REGISTER_BLOCK base names extracted from the reference
+# (grep 'GR_REGISTER_BLOCK(' over /root/reference, namespaces stripped,
+# codegen test fixtures excluded: MyBlockName/blockN/Block0/BlockN/
+# CustomBlockNameN/OptionalQuotedName/good::*/ArraySinkImpl/VectorSinkImpl).
+# Every name here must instantiate so any reference-saved GRC loads.
 REF_NAMES = (
-    "SoapySource SoapySink SoapyDualSource SoapyDualSink SoapyQuadSource "
-    "SoapyQuadSink RTL2832Source SinglePhasePowerMetrics ThreePhasePowerMetrics "
+    # basic — ClockSource.hpp / SignalGenerator.hpp / FunctionGenerator.hpp /
+    # Selector.hpp / SyncBlock.hpp / StreamToDataSet.hpp / DataSink.hpp /
+    # Trigger.hpp / PythonBlock.hpp / CommonBlocks.hpp
+    "ClockSource SignalGenerator FunctionGenerator Selector SyncBlock "
+    "StreamFilter StreamToDataSet DataSink DataSetSink PythonBlock "
+    "SchmittTrigger SchmittTriggerBasic SchmittTriggerNoInterpolation "
+    "SchmittTriggerPolynomial builtin_multiply builtin_counter "
+    # math — Math.hpp / Rotator.hpp / ExpressionBlocks.hpp
+    "Add AddConst Subtract SubtractConst Multiply MultiplyConst Divide "
+    "DivideConst Rotator ExpressionSISO ExpressionDISO ExpressionBulk "
+    # converters — ConverterBlocks.hpp
+    "Abs Arg Convert ScalingConvert Real Imag ComplexToInterleaved "
+    "InterleavedToComplex ToRealImag DegreeToRadians RadiansToDegree "
+    # filter — time_domain_filter.hpp / FrequencyEstimator.hpp /
+    # SavitzkyGolayFilter.hpp / SvdDenoiser.hpp
+    "fir_filter iir_filter BasicFilter BasicFilterProto Decimator "
+    "FrequencyEstimatorTimeDomain FrequencyEstimatorTimeDomainDecimating "
+    "FrequencyEstimatorFrequencyDomain "
+    "FrequencyEstimatorFrequencyDomainDecimating IQDemodulator "
+    "SavitzkyGolayFilter SavitzkyGolayDataSetFilter SvdDenoiser "
+    # fourier / electrical
+    "FFT SinglePhasePowerMetrics ThreePhasePowerMetrics "
     "SinglePhasePowerFactorCalculator ThreePhasePowerFactorCalculator "
     "TwoPhaseSystemUnbalanceCalculator ThreePhaseSystemUnbalanceCalculator "
-    "FrequencyEstimatorTimeDomain FrequencyEstimatorTimeDomainDecimating "
-    "FrequencyEstimatorFrequencyDomain FrequencyEstimatorFrequencyDomainDecimating "
-    "BasicFileSource BasicFileSink Real Imag DegreeToRadians RadiansToDegree "
-    "ExpressionBulk PythonBlock ToRealImag").split()
+    # fileio / audio / sdr / timing / http
+    "BasicFileSource BasicFileSink WavSink WavSource AudioSource AudioSink "
+    "SoapySource SoapySink SoapyDualSource SoapyDualSink SoapyQuadSink "
+    "SoapyQuadSource RTL2832Source GpsSource PpsSource HttpSource HttpSink "
+    # testing — NullSources.hpp / TagMonitors.hpp / Delay.hpp /
+    # ImChartMonitor.hpp / PerformanceMonitor.hpp / CollectionTestBlocks.hpp
+    "NullSource NullSink ConstantSource CountingSource CountingSink Copy "
+    "HeadBlock SlowSource SimCompute TagSource TagSink TagMonitor Delay "
+    "ImChartMonitor ConsoleDebugSink PerformanceMonitor "
+    "SettingsChangeRecorder VectorSource VectorSink ArraySource ArraySink"
+).split()
 
 
 def test_all_reference_names_registered():
