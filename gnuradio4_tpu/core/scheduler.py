@@ -41,6 +41,7 @@ from .lifecycle import State, StateMachine
 from .messages import Command, Message, MessageBus, Property
 from .registry import register_scheduler
 from .tags import Keys, Tag
+from ..utils.transfer import host_array
 
 
 @dataclasses.dataclass
@@ -633,7 +634,7 @@ class Scheduler:
                 if uname not in rec.sink_ins or \
                         not getattr(b, "EMITS_HOST_TAGS", False):
                     continue
-                arrays = {p: np.asarray(a)
+                arrays = {p: host_array(a)
                           for p, a in rec.sink_ins[uname].items()}
                 emitted = b.host_emit_tags(
                     arrays, rec.sink_tags.get(uname, {}),
@@ -660,7 +661,8 @@ class Scheduler:
                         from ..parallel.multihost import drain_local
                         arrays = {p: drain_local(a) for p, a in ins.items()}
                     else:
-                        arrays = {p: np.asarray(a) for p, a in ins.items()}
+                        # complex/0-d leaves go through the relay-safe path
+                        arrays = {p: host_array(a) for p, a in ins.items()}
                 else:  # metrics-only sink: keep device arrays, skip the copy
                     arrays = dict(ins)
                 tags = rec.sink_tags.get(uname, {})

@@ -161,6 +161,26 @@ def safe_get(tree: Any) -> Any:
     return jax.tree_util.tree_unflatten(treedef, host)
 
 
+_CPU_BACKEND: bool | None = None
+
+
+def host_array(a) -> np.ndarray:
+    """One device array → host numpy, routing complex/0-d leaves through the
+    relay-safe path. The float fast path stays a plain ``np.asarray``; on the
+    CPU backend everything does (no relay)."""
+    global _CPU_BACKEND
+    if isinstance(a, np.ndarray) or not hasattr(a, "dtype"):
+        return np.asarray(a)
+    if _CPU_BACKEND is None:
+        import jax
+        _CPU_BACKEND = jax.default_backend() == "cpu"
+    if _CPU_BACKEND:
+        return np.asarray(a)
+    if np.issubdtype(np.dtype(a.dtype), np.complexfloating) or a.ndim == 0:
+        return safe_get(a)
+    return np.asarray(a)
+
+
 def safe_scalar(x) -> float:
     """Read one scalar back as a Python float (0-d D2H is UNIMPLEMENTED on
     the relay — broadcast to 8 lanes and take lane 0)."""
