@@ -182,6 +182,12 @@ class Scheduler:
         if self._runner is not None:
             self._runner.join(timeout)
             if self._runner.is_alive():
+                if self.fsm.state is State.ERROR and self.error is not None:
+                    # fail FAST: the pump thread is wedged (e.g. inside a
+                    # collective whose peer died) but the watchdog has
+                    # already marked the run failed — raise the diagnosis
+                    # instead of timing out on a thread that can never join
+                    raise GrError(f"{self.name} failed: {self.error.message}")
                 raise TimeoutError(f"{self.name} still running")
         if self.fsm.state is State.ERROR and self.error is not None:
             # surface runner-thread failures to the waiter (a dead background
@@ -1034,13 +1040,34 @@ class Scheduler:
                         and time.monotonic() - self._last_progress > self.watchdog_timeout
                         and not self._stall_flagged):
                     self._stall_flagged = True
+                    stalled_s = time.monotonic() - self._last_progress
                     self.bus.notify(self.name, "Watchdog",
-                                    {"stalled_for_s": time.monotonic() - self._last_progress,
+                                    {"stalled_for_s": stalled_s,
                                      "step": self._step})
                     if self.watchdog_action == "stop":
                         # ≈ the reference watchdog escalating on non-responsive
                         # blocks (Scheduler.hpp:845): wind the graph down
                         self.request_stop()
+                    elif self.watchdog_action == "error":
+                        # collective-timeout escalation (SURVEY §7): a pump
+                        # wedged inside a collective cannot be unwound from
+                        # Python — a dead peer process leaves the survivor
+                        # blocked in Gloo/ICI forever. Mark the run failed
+                        # NOW so waiters fail fast and diagnosably; the
+                        # wedged pump thread is abandoned (daemon).
+                        multi = jax.process_count() > 1
+                        msg = (f"watchdog: no progress for {stalled_s:.1f}s "
+                               f"at step {self._step}"
+                               + (" — collective timeout: a peer process "
+                                  "has likely died or partitioned "
+                                  f"(process {jax.process_index()} of "
+                                  f"{jax.process_count()})" if multi else
+                                  " — pump stalled (device hang or wedged "
+                                  "host feeder)"))
+                        self.error = Error.here(msg, block=self.name)
+                        self.bus.notify(self.name, "Error", {"message": msg})
+                        self.fsm.force_error()
+                        return
         from ..utils import thread_pool
         self._watchdog = thread_pool.spawn(monitor, name=f"{self.name}-watchdog")
 

@@ -12,11 +12,13 @@ from __future__ import annotations
 
 from fractions import Fraction
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from . import filter_design as fd
-from .fir import fir_apply, fir_init_state, fir_interpolate
+from .fir import (fir_apply, fir_init_state, fir_interpolate,
+                  fir_resample_matmul)
 
 
 def design_resampler_taps(interp: int, decim: int, *, ntaps_per_phase: int = 16,
@@ -54,13 +56,31 @@ class RationalResamplerKernel:
         ntaps_eff = self.k_per_phase if self.interp > 1 else len(self.taps)
         return fir_init_state(channels, ntaps_eff, dtype)
 
-    def apply(self, x: jnp.ndarray, state: jnp.ndarray
-              ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    def apply(self, x: jnp.ndarray, state: jnp.ndarray, *,
+              method: str = "auto") -> tuple[jnp.ndarray, jnp.ndarray]:
         L, M = self.interp, self.decim
         cx = jnp.issubdtype(x.dtype, jnp.complexfloating)
         taps = self.taps.astype(np.complex64 if cx else np.float32)
         if L == 1:
             return fir_apply(x, taps, state, decim=M)
+        squeeze = x.ndim == 1
+        x2 = x[None, :] if squeeze else x
+        t = x2.shape[-1]
+        if method == "auto":
+            # the per-phase interleave path relayouts a tiny-minor-dim stack
+            # (measured 69 Msps on TPU vs >3.5 Gsps for the one-matmul form —
+            # see ops/fir.py fir_resample_matmul); matmul whenever framable
+            method = "matmul" if (jax.default_backend() == "tpu"
+                                  and t % M == 0) else "interleave"
+        if method == "matmul" and t % M == 0:
+            st2 = state[None, :] if squeeze else state
+            xc = jnp.concatenate([st2.astype(x2.dtype), x2], axis=-1)
+            y = fir_resample_matmul(xc, taps, L, M)
+            kp = self.k_per_phase
+            new_state = xc[:, -(kp - 1):] if kp > 1 else xc[:, :0]
+            if squeeze:
+                return y[0], new_state[0]
+            return y, new_state
         y_up, new_state = fir_interpolate(x, taps, state, L)
         if M > 1:
             y_up = y_up[..., ::M]

@@ -47,3 +47,37 @@ def test_two_process_scheduler_run():
             f"worker {i} failed (rc={p.returncode}):\n{outs[i][-3000:]}")
     assert any("[0] OK" in o for o in outs)
     assert any("[1] OK" in o for o in outs)
+
+
+FAILURE_WORKER = Path(__file__).with_name("multihost_failure_worker.py")
+
+
+def test_peer_death_fails_fast_and_diagnosably():
+    """VERDICT r2 #4: one of two jax.distributed processes dies mid-run; the
+    survivor must surface a GrError (watchdog collective-timeout escalation
+    or a raising collective) well within the test deadline — never hang."""
+    port = _free_port()
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen([sys.executable, str(FAILURE_WORKER), str(i), "2",
+                          str(port)],
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         text=True, env=env, cwd=str(FAILURE_WORKER.parent.parent))
+        for i in range(2)
+    ]
+    outs = ["", ""]
+    try:
+        for i, p in enumerate(procs):
+            out, _ = p.communicate(timeout=180)
+            outs[i] = out
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("failure-semantics workers timed out (survivor hung):\n"
+                    + "\n".join(outs))
+    assert procs[1].returncode == 17, f"victim rc={procs[1].returncode}"
+    assert procs[0].returncode == 0, (
+        f"survivor rc={procs[0].returncode}:\n{outs[0][-3000:]}")
+    assert "GOT-ERROR" in outs[0], outs[0][-3000:]

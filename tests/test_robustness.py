@@ -147,3 +147,50 @@ def test_watchdog_stop_action():
     sched.start()
     sched.wait_done(timeout=30)  # without the watchdog this would never end
     assert sched.state is gr.State.STOPPED
+
+
+class TestWatchdogErrorEscalation:
+    """watchdog_action='error': a pump wedged in an unreturnable call (the
+    collective-timeout scenario — a dead multihost peer leaves the survivor
+    blocked in Gloo forever) must surface as FSM ERROR + a diagnosable
+    GrError at the waiter, without unwinding the wedged thread."""
+
+    def test_wedged_pump_escalates_to_error(self):
+        import threading
+        import gnuradio4_tpu as gr
+        from gnuradio4_tpu.core.block import Port, SinkBlock
+        from gnuradio4_tpu.core.errors import GrError
+        from gnuradio4_tpu.core.lifecycle import State
+
+        release = threading.Event()
+
+        class WedgingSink(SinkBlock):
+            IN = (Port("in", dtype="float32"),)
+
+            def consume(self, arrays, tags, n_valid, abs_index):
+                release.wait(timeout=30)   # simulates a hung collective
+
+        g = gr.Graph()
+        src = g.emplace("CountingSource", n_samples=1 << 16, dtype="float32")
+        snk = g.add(WedgingSink())
+        g.connect(src, snk)
+        sched = gr.Scheduler(g, block_len=1024, pipeline_depth=1,
+                             watchdog_timeout=0.3, watchdog_action="error")
+        sched.start()
+        try:
+            import pytest
+            with pytest.raises(GrError, match="no progress"):
+                deadline = time.monotonic() + 20
+                while time.monotonic() < deadline:
+                    try:
+                        sched.wait_done(timeout=0.5)
+                        break
+                    except TimeoutError:
+                        continue
+                else:
+                    raise AssertionError("no escalation within 20s")
+            assert sched.fsm.state is State.ERROR
+            assert "stall" in sched.error.message or \
+                   "no progress" in sched.error.message
+        finally:
+            release.set()
