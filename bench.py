@@ -293,35 +293,54 @@ def _report_roofline(msps: float, platform: str) -> None:
     print("# " + json.dumps(rep), file=sys.stderr)
 
 
-def _regression_gate(msps: float, platform: str, verified: bool) -> None:
-    """Compare against the newest driver-captured BENCH_r*.json; warn (or fail
-    with GR4_BENCH_GATE=1, exit code 3 = no-retry) below 0.8x of the record.
-    Cross-platform runs and verified-vs-dispatch-rate comparisons are skipped
-    (a dispatch-rate record is an upper bound, not a measurement — gating an
-    honest readback-verified run against it would fail spuriously)."""
+def _gate_records() -> list[str]:
+    """All gate-eligible records, oldest→newest: driver BENCH_r*.json plus
+    builder-committed VERIFIED_BENCH_*.json."""
     import glob
     import os
-    recs = sorted(glob.glob(os.path.join(os.path.dirname(
-        os.path.abspath(__file__)), "BENCH_r*.json")))
-    if not recs:
+    here = os.environ.get("GR4_BENCH_RECORD_DIR") \
+        or os.path.dirname(os.path.abspath(__file__))
+    return sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))
+                  + glob.glob(os.path.join(here, "VERIFIED_BENCH_*.json")),
+                  key=os.path.getmtime)
+
+
+def _regression_gate(msps: float, platform: str, verified: bool) -> None:
+    """Compare against the newest LIKE-FOR-LIKE record — same platform AND
+    same verified-ness (a dispatch-rate record is an upper bound, not a
+    measurement; a verified run must never be gated against one, and vice
+    versa). The gate searches backwards through every record instead of
+    silently skipping when the newest record differs in mode (round-2
+    weakness #6: during a long D2H outage the gate protected nothing).
+    Warns below 0.8x; with GR4_BENCH_GATE=1 exits 3 (no-retry)."""
+    import os
+    match = None
+    skipped = []
+    for rec in reversed(_gate_records()):
+        try:
+            parsed = json.load(open(rec))["parsed"]
+            if f"({platform}" not in parsed.get("metric", ""):
+                skipped.append(f"{rec.rsplit('/', 1)[-1]}(platform)")
+                continue
+            if bool(parsed.get("verified", True)) != verified:
+                skipped.append(f"{rec.rsplit('/', 1)[-1]}(verified-mode)")
+                continue
+            match = (rec, float(parsed["value"]))
+            break
+        except Exception:
+            skipped.append(f"{rec.rsplit('/', 1)[-1]}(unparsable)")
+    if match is None:
+        mode = "verified" if verified else "dispatch-rate"
+        print(f"# regression-gate: no prior {platform}/{mode} record to "
+              f"compare against"
+              + (f" (skipped: {', '.join(skipped)})" if skipped else ""),
+              file=sys.stderr)
         return
-    try:
-        parsed = json.load(open(recs[-1]))["parsed"]
-        last = parsed["value"]
-        if f"({platform}" not in parsed.get("metric", ""):
-            print(f"# regression-gate skipped: record is not a {platform} run",
-                  file=sys.stderr)
-            return
-        if bool(parsed.get("verified", True)) != verified:
-            print("# regression-gate skipped: record and this run differ in "
-                  "'verified' (dispatch rate vs measured compute are not "
-                  "comparable)", file=sys.stderr)
-            return
-    except Exception:
-        return
+    rec, last = match
     ratio = msps / last if last else float("inf")
-    line = (f"# regression-gate: {msps:.0f} Msps vs last record {last:.0f} "
-            f"({recs[-1].rsplit('/', 1)[-1]}) = {ratio:.2f}x")
+    line = (f"# regression-gate: {msps:.0f} Msps vs last "
+            f"{'verified' if verified else 'dispatch-rate'} record "
+            f"{last:.0f} ({rec.rsplit('/', 1)[-1]}) = {ratio:.2f}x")
     print(line, file=sys.stderr)
     if ratio < 0.8:
         msg = f"PERF REGRESSION: {ratio:.2f}x of last recorded rate"

@@ -331,7 +331,8 @@ class BleDecoder(SinkBlock):
         super().__init__(name=name, **settings)
         self._buf = np.zeros(0, np.float64)
         self._pending = 0
-        self._archived: list[dict] = []
+        self._base = 0                  # absolute sample index of _buf[0]
+        self._seen_bits: set[int] = set()
         self.packets: list[dict] = []
         self.devices: dict[str, dict] = {}
 
@@ -355,14 +356,25 @@ class BleDecoder(SinkBlock):
         sps = float(self.settings.get("sps"))
         ch = int(self.settings.get("channel"))
         bits = ble_demod_bits(self._buf, sps)
-        self.packets = self._archived + decode_bits(np.asarray(bits),
-                                                    channel=ch)
-        for pkt in self.packets:
+        base_bits = int(round(self._base / sps))
+        for pkt in decode_bits(np.asarray(bits), channel=ch):
+            abs_bit = base_bits + int(pkt.get("bit_offset", 0))
+            if abs_bit in self._seen_bits:
+                continue            # re-found inside the retained tail
+            self._seen_bits.add(abs_bit)
+            pkt["bit_offset"] = abs_bit
+            self.packets.append(pkt)
             if "adv_addr" in pkt:
                 self.devices[pkt["adv_addr"]] = pkt
         cap = int(float(self.settings.get("max_buffer_s")) * sps * 1e6)
         if len(self._buf) > cap:
-            # freeze the decoded view and restart (bounded memory on
-            # endless runs; a packet spanning the trim instant is lost)
-            self._archived = list(self.packets)
-            self._buf = np.zeros(0, np.float64)
+            # retain one max-packet window (512 bits covers the longest
+            # legacy adv PDU + margin) across the trim, a whole number of
+            # bit periods so demod alignment is preserved — a packet
+            # spanning the trim instant now decodes on the next pass
+            # (ADVICE r2: the old reset-to-empty lost it); duplicates from
+            # the overlap dedupe on absolute bit offset above
+            keep = int(512 * sps)
+            keep -= keep % max(int(sps), 1)
+            self._base += len(self._buf) - keep
+            self._buf = self._buf[-keep:]

@@ -314,7 +314,8 @@ class Ieee802154Decoder(SinkBlock):
         super().__init__(name=name, **settings)
         self._buf = np.zeros(0, np.complex64)
         self._pending = 0
-        self._archived: list[dict] = []
+        self._base = 0                  # absolute sample index of _buf[0]
+        self._seen_offsets: set[int] = set()
         self.frames: list[dict] = []
 
     def consume(self, arrays, tags, n_valid, abs_index):
@@ -335,10 +336,21 @@ class Ieee802154Decoder(SinkBlock):
         if not len(self._buf):
             return
         sps = int(self.settings.get("sps"))
-        self.frames = self._archived + decode_stream(
-            self._buf, sps=sps,
-            corr_threshold=float(self.settings.get("corr_threshold")))
+        for f in decode_stream(
+                self._buf, sps=sps,
+                corr_threshold=float(self.settings.get("corr_threshold"))):
+            abs_off = int(f["sample_offset"]) + self._base
+            if abs_off in self._seen_offsets:
+                continue            # re-found inside the retained tail
+            self._seen_offsets.add(abs_off)
+            f["sample_offset"] = abs_off
+            self.frames.append(f)
         cap = int(float(self.settings.get("max_buffer_s")) * sps * CHIP_RATE)
         if len(self._buf) > cap:
-            self._archived = list(self.frames)
-            self._buf = np.zeros(0, np.complex64)
+            # retain one max-frame window across the trim (127-byte PSDU =
+            # 2·(127+6)·8 chips ≈ 4256 chips + sync margin), chip-aligned so
+            # correlation timing is preserved (ADVICE r2: the old
+            # reset-to-empty lost any frame spanning the trim)
+            keep = 8192 * sps
+            self._base += len(self._buf) - keep
+            self._buf = self._buf[-keep:]

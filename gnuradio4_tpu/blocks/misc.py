@@ -682,6 +682,31 @@ class ExpressionSISO(_ExpressionBase):
 
     IN = (Port("in"),)
     OUT = (Port("out"),)
+    extra_outputs = Setting(default="", kind="static",
+                            description="comma-separated expression variables "
+                                        "exposed as additional output ports "
+                                        "(multi-output assignment)")
+
+    def __init__(self, name=None, expr_string=None, **settings):
+        super().__init__(name=name, expr_string=expr_string, **settings)
+        extra = [s.strip() for s in
+                 str(self.settings.get("extra_outputs")).split(",")
+                 if s.strip()]
+        if extra:
+            missing = [v for v in extra if v not in self._fn.writes]
+            if missing:
+                from ..core.errors import GrError
+                raise GrError(f"extra_outputs {missing} are never assigned "
+                              f"by the expression (writes: "
+                              f"{sorted(self._fn.writes)})")
+            if self._fn.reads_output:
+                from ..core.errors import GrError
+                raise GrError("extra_outputs cannot combine with the "
+                              "recursive y-feedback idiom (the scan carries "
+                              "only y)")
+            self.out_ports = (Port("out"),
+                              *(Port(v) for v in extra))
+        self._extra = extra
 
     def init_state(self, ctx):
         if not self._fn.reads_output:
@@ -693,6 +718,14 @@ class ExpressionSISO(_ExpressionBase):
         x = ins["in"]
         abc = self._abc(ctx)
         if not self._fn.reads_output:
+            if self._extra:
+                y, env = self._fn.eval_all(x=x, **abc)
+                outs = {"out": jnp.broadcast_to(jnp.asarray(y, x.dtype),
+                                                x.shape)}
+                for v in self._extra:
+                    outs[v] = jnp.broadcast_to(
+                        jnp.asarray(env[v]).astype(x.dtype), x.shape)
+                return state, outs
             return state, {"out": self._fn(x=x, **abc)}
 
         def step(y_prev, x_n):

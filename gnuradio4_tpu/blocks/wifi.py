@@ -260,9 +260,13 @@ def _data_symbol(points48: np.ndarray, pilot_polarity: float) -> np.ndarray:
 
 def preamble() -> np.ndarray:
     """STF (160 samples) + LTF (160 samples), clause 18.3.3."""
+    # same N/sqrt(52) normalization as LTF/data symbols: the clause-18.3.3
+    # sqrt(13/6) carrier scaling already equalizes STF power with the
+    # 52-carrier symbols — an extra 12·13/6 here made the STF 3 dB hot
+    # (ADVICE r2; decode was unaffected, the emitted power profile was)
     stf64 = np.fft.ifft(np.concatenate([
         np.zeros(1), STF_FREQ[27:], np.zeros(11), STF_FREQ[:26]])
-    ) * (N_FFT / np.sqrt(12.0 * 13.0 / 6.0))
+    ) * (N_FFT / np.sqrt(52.0))
     stf = np.tile(stf64[:16], 10)               # 10 short symbols
     ltf64 = np.fft.ifft(np.concatenate([
         np.zeros(1), LTF_FREQ[27:], np.zeros(11), LTF_FREQ[:26]])
@@ -499,13 +503,25 @@ class WifiDecoder(SinkBlock):
     IN = (Port("in", dtype="complex64"),)
     corr_threshold = Setting(default=0.75, kind="static")
     max_buffer_s = Setting(default=1.0, kind="static")
+    max_frames_per_scan = Setting(
+        default=256, kind="static", limits=(1, 1 << 20),
+        description="decode_frames cap per incremental scan; hitting it sets "
+                    ".truncated (ADVICE r2: the old hidden cap of 64 "
+                    "silently dropped frames in dense captures)")
+
+    # longest legal 802.11a frame: 4095-byte PSDU at 6 Mbps ≈ 110k samples
+    # at 20 Msps — the scan-overlap and trim-retention window
+    _MAX_FRAME_SAMPLES = 1 << 17
 
     def __init__(self, name=None, **settings):
         super().__init__(name=name, **settings)
         self._buf = np.zeros(0, np.complex64)
         self._pending = 0
-        self._archived: list[dict] = []
+        self._base = 0          # absolute sample index of _buf[0]
+        self._scanned_abs = 0   # absolute index scanned so far
         self.frames: list[dict] = []
+        self._seen_offsets: set[int] = set()
+        self.truncated = False  # a scan hit max_frames_per_scan
 
     def consume(self, arrays, tags, n_valid, abs_index):
         if n_valid <= 0:
@@ -522,12 +538,34 @@ class WifiDecoder(SinkBlock):
         self._process()
 
     def _process(self) -> None:
+        """Incremental scan: only data past the resume point (minus one
+        max-frame overlap) is re-correlated — the old full-buffer rescan was
+        quadratic in stream length (ADVICE r2). Frames dedupe on absolute
+        sample offset across the overlap."""
         if not len(self._buf):
             return
-        self.frames = self._archived + decode_frames(
-            self._buf,
-            corr_threshold=float(self.settings.get("corr_threshold")))
-        cap = int(float(self.settings.get("max_buffer_s")) * 20e6)
-        if len(self._buf) > cap:
-            self._archived = list(self.frames)
-            self._buf = np.zeros(0, np.complex64)
+        cap = int(self.settings.get("max_frames_per_scan"))
+        local_from = max(0, self._scanned_abs - self._base
+                         - self._MAX_FRAME_SAMPLES)
+        got = decode_frames(
+            self._buf[local_from:],
+            corr_threshold=float(self.settings.get("corr_threshold")),
+            max_frames=cap)
+        if len(got) >= cap:
+            self.truncated = True
+        for f in got:
+            abs_off = int(f["sample_offset"]) + self._base + local_from
+            if abs_off in self._seen_offsets:
+                continue
+            self._seen_offsets.add(abs_off)
+            f["sample_offset"] = abs_off
+            self.frames.append(f)
+        self._scanned_abs = self._base + len(self._buf)
+        buf_cap = int(float(self.settings.get("max_buffer_s")) * 20e6)
+        if len(self._buf) > buf_cap:
+            # retain one max-frame window across the trim so a frame
+            # spanning the trim instant still decodes (ADVICE r2: the old
+            # reset-to-empty lost it)
+            keep = self._MAX_FRAME_SAMPLES
+            self._base += len(self._buf) - keep
+            self._buf = self._buf[-keep:]

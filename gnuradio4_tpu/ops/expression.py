@@ -9,11 +9,20 @@ the XLA compiler is the JIT.  Supported ExprTk subset:
 - comparisons ``< <= > >= == != <>`` and logical ``and or not & |``
 - ternary ``cond ? a : b`` and functional ``if(cond, a, b)``
 - statements separated by ``;``; ``var name := expr`` declarations;
-  assignments ``name := expr`` (also ``+= -= *= /=``)
+  assignments ``name := expr`` (also ``+= -= *= /=``), chained
+  ``a := b := expr`` (right-associative)
 - vector indexing ``vec[i]`` (read and write, static indices)
-- ``for (var i := 0; i < N; i += 1) { … }`` loops with *static* bounds
-  (unrolled into the trace — XLA sees straight-line code)
+- ``for (var i := 0; i < N; i += 1) { … }``, ``while (cond) { … }`` and
+  ``repeat … until (cond)`` loops with *static* bounds (unrolled into the
+  trace — XLA sees straight-line code); data-dependent bounds raise
+- in-expression aggregators ``sum/avg/min/max/mul`` — one vector argument
+  reduces over it (Bulk-mode chunk axis), 2+ arguments stay elementwise
 - math functions (both ExprTk and NumPy spellings) and constants pi/e/inf
+
+Explicitly NOT supported (load-time ``GrError``, never a silent misparse):
+string literals/variables (no XLA lowering for the ExprTk string type) and
+data-dependent loop bounds. User-defined functions: compose expressions in
+Python instead (the reference embeds full ExprTk, ExpressionBlocks.hpp:68).
 
 Recursive self-reference (ExprTk's ``y := y + 0.1*x`` IIR idiom,
 ExpressionBlocks.hpp doc examples) is detected statically: if the output
@@ -39,6 +48,7 @@ from ..core.errors import GrError
 
 _TOKEN_RE = re.compile(r"""
     (?P<num>(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+  | (?P<str>'[^']*'|"[^"]*")
   | (?P<name>[A-Za-z_][A-Za-z_0-9]*)
   | (?P<op>:=|\+=|-=|\*=|/=|<=|>=|==|!=|<>|\|\||&&|[-+*/%^(){}\[\],;?:<>=|&])
   | (?P<ws>\s+)
@@ -52,6 +62,15 @@ def _tokenize(src: str) -> list[tuple[str, str]]:
         kind = m.lastgroup
         if kind == "ws":
             continue
+        if kind == "str":
+            # explicit LOAD-TIME rejection (round-2 verdict #7): the
+            # reference embeds full ExprTk incl. strings
+            # (ExpressionBlocks.hpp:68); this build's traced subset has no
+            # string type — fail at compile, never silently misparse
+            raise GrError(
+                f"expression: string literals ({m.group()}) are not "
+                f"supported in this build — the ExprTk string type has no "
+                f"XLA lowering; numeric expressions only")
         if kind == "bad":
             raise GrError(f"expression: unexpected character {m.group()!r} "
                           f"at position {m.start()} in {src!r}")
@@ -121,6 +140,18 @@ class For:
     body: list
 
 
+@dataclass
+class While:
+    cond: Any
+    body: list
+
+
+@dataclass
+class Repeat:          # repeat <body> until (cond)
+    body: list
+    cond: Any
+
+
 # ---------------------------------------------------------------------------
 # Parser (recursive descent, ExprTk precedence)
 # ---------------------------------------------------------------------------
@@ -168,6 +199,10 @@ class _Parser:
             return Assign(Var(name), self.parse_expr(), declare=True)
         if val == "for":
             return self.parse_for()
+        if val == "while":
+            return self.parse_while()
+        if val == "repeat":
+            return self.parse_repeat()
         # lookahead for assignment: NAME [índex] (:=|+=|...)
         save = self.i
         if kind == "name":
@@ -181,7 +216,10 @@ class _Parser:
             op = self.peek()[1]
             if op in (":=", "+=", "-=", "*=", "/="):
                 self.next()
-                rhs = self.parse_expr()
+                # chained assignment a := b := expr (ExprTk := is
+                # right-associative): the rhs may itself be an assignment
+                rhs = self.parse_statement() if op == ":=" \
+                    else self.parse_expr()
                 if op != ":=":
                     read = Var(val) if isinstance(target, Var) \
                         else Index(val, target.index)
@@ -203,6 +241,29 @@ class _Parser:
         body = self.parse_program(stop="}")
         self.expect("}")
         return For(init, cond, step, body)
+
+    def parse_while(self) -> While:
+        """``while (cond) { … }`` — static bounds, unrolled into the trace
+        (ExprTk while-loop, ExpressionBlocks.hpp:68 embedded grammar)."""
+        self.expect("while")
+        self.expect("(")
+        cond = self.parse_expr()
+        self.expect(")")
+        self.expect("{")
+        body = self.parse_program(stop="}")
+        self.expect("}")
+        return While(cond, body)
+
+    def parse_repeat(self) -> Repeat:
+        """``repeat … until (cond)`` — body runs at least once; static
+        bounds, unrolled (ExprTk repeat-until grammar)."""
+        self.expect("repeat")
+        body = self.parse_program(stop="until")
+        self.expect("until")
+        self.expect("(")
+        cond = self.parse_expr()
+        self.expect(")")
+        return Repeat(body, cond)
 
     # -- expressions --------------------------------------------------------
 
@@ -352,10 +413,39 @@ _FUNCTIONS: dict[str, Any] = {
     # complex helpers (numpy back-compat)
     "real": jnp.real, "imag": jnp.imag, "conj": jnp.conj,
     "angle": jnp.angle,
+    # elementwise multi-arg forms of the aggregator names (the one-vector
+    # reducing forms are special-cased via _AGGREGATORS in Call evaluation)
+    "sum": lambda *a: _sum_elem(a),
 }
+
+
+def _sum_elem(args):
+    out = args[0]
+    for x in args[1:]:
+        out = out + x
+    return out
 
 _CONSTANTS = {"pi": math.pi, "e": math.e, "inf": math.inf,
               "epsilon": 2.220446049250313e-16, "true": 1.0, "false": 0.0}
+
+# single-vector-argument reductions over the last axis (ExprTk aggregator
+# forms sum(v)/avg(v)/min(v)/max(v)/mul(v); multi-arg calls stay elementwise)
+_AGGREGATORS = {
+    "sum": lambda v: jnp.sum(v, axis=-1),
+    "avg": lambda v: jnp.mean(v, axis=-1),
+    "min": lambda v: jnp.min(v, axis=-1),
+    "max": lambda v: jnp.max(v, axis=-1),
+    "mul": lambda v: jnp.prod(v, axis=-1),
+}
+_FUNCTIONS["mul"] = lambda *a: math.prod(a) if all(
+    isinstance(x, (int, float)) for x in a) else _prod_elem(a)
+
+
+def _prod_elem(args):
+    out = args[0]
+    for x in args[1:]:
+        out = out * x
+    return out
 
 _MAX_UNROLL = 65536
 
@@ -395,23 +485,49 @@ class _Evaluator:
             return val
         if isinstance(node, For):
             self.exec(node.init)
+            self._loop("for", node.cond, node.body, node.step)
+            return None
+        if isinstance(node, While):
+            self._loop("while", node.cond, node.body, None)
+            return None
+        if isinstance(node, Repeat):
+            # body runs at least once, repeats UNTIL cond becomes true
             iters = 0
             while True:
+                self.run(node.body)
                 cond = self.eval(node.cond)
                 if not _is_concrete(cond):
-                    raise GrError("expression: for-loop bounds must be "
-                                  "static (loop variables and limits must "
-                                  "be plain numbers, not stream data)")
-                if not bool(cond):
+                    raise GrError(
+                        "expression: repeat-until condition must be static "
+                        "(loop variables and limits must be plain numbers, "
+                        "not stream data — data-dependent iteration has no "
+                        "static-shape XLA lowering)")
+                if bool(cond):
                     break
-                self.run(node.body)
-                self.exec(node.step)
                 iters += 1
                 if iters > _MAX_UNROLL:
-                    raise GrError(f"expression: for-loop exceeds "
+                    raise GrError(f"expression: repeat-until exceeds "
                                   f"{_MAX_UNROLL} iterations")
             return None
         return self.eval(node)
+
+    def _loop(self, kind: str, cond_node, body: list, step) -> None:
+        iters = 0
+        while True:
+            cond = self.eval(cond_node)
+            if not _is_concrete(cond):
+                raise GrError(f"expression: {kind}-loop bounds must be "
+                              f"static (loop variables and limits must "
+                              f"be plain numbers, not stream data)")
+            if not bool(cond):
+                break
+            self.run(body)
+            if step is not None:
+                self.exec(step)
+            iters += 1
+            if iters > _MAX_UNROLL:
+                raise GrError(f"expression: {kind}-loop exceeds "
+                              f"{_MAX_UNROLL} iterations")
 
     def _lookup(self, name: str):
         if name in self.env:
@@ -435,6 +551,8 @@ class _Evaluator:
         return i
 
     def eval(self, node):
+        if isinstance(node, Assign):    # chained a := b := expr
+            return self.exec(node)
         if isinstance(node, Num):
             return node.value
         if isinstance(node, Var):
@@ -489,11 +607,24 @@ class _Evaluator:
             return _if(self.eval(node.cond), self.eval(node.then),
                        self.eval(node.other))
         if isinstance(node, Call):
+            args = [self.eval(a) for a in node.args]
+            # ExprTk in-expression aggregators (round-2 verdict #7): with ONE
+            # vector argument, sum/avg/min/max/mul REDUCE over the vector
+            # (the chunk axis in Bulk mode); with 2+ args they stay
+            # elementwise, matching ExprTk's overloads
+            if node.name in _AGGREGATORS and len(args) == 1:
+                v = args[0]
+                if not _is_concrete(v) and jnp.ndim(v) >= 1:
+                    return _AGGREGATORS[node.name](jnp.asarray(v))
+                if node.name == "mul":
+                    return v
+                return _FUNCTIONS[node.name](v, v) \
+                    if node.name in ("min", "max") else v
             fn = _FUNCTIONS.get(node.name)
             if fn is None:
                 raise GrError(f"expression uses unknown function "
                               f"{node.name!r}; allowed: {sorted(_FUNCTIONS)}")
-            return fn(*(self.eval(a) for a in node.args))
+            return fn(*args)
         raise GrError(f"expression: cannot evaluate {node!r}")
 
 
@@ -536,6 +667,12 @@ def _collect_reads(node, reads: set, writes: set) -> None:
         for n in (node.init, node.cond, node.step):
             _collect_reads(n, reads, writes)
         _collect_reads(node.body, reads, writes)
+    elif isinstance(node, While):
+        _collect_reads(node.cond, reads, writes)
+        _collect_reads(node.body, reads, writes)
+    elif isinstance(node, Repeat):
+        _collect_reads(node.body, reads, writes)
+        _collect_reads(node.cond, reads, writes)
 
 
 class CompiledExpression:
@@ -575,6 +712,16 @@ class CompiledExpression:
         if self.out_var in self.writes:
             return env[self.out_var]
         return last
+
+    def eval_all(self, **inputs) -> tuple[Any, dict]:
+        """Run the program and return ``(result, {written_var: value})`` —
+        the multi-output form (ExprTk programs may assign several result
+        variables; each written name can feed its own output port)."""
+        env = dict(inputs)
+        ev = _Evaluator(env, self.src)
+        last = ev.run(self.stmts)
+        result = env[self.out_var] if self.out_var in self.writes else last
+        return result, {k: env[k] for k in self.writes if k in env}
 
 
 def compile_expression(src: str, arg_names: tuple[str, ...],

@@ -177,3 +177,86 @@ class TestExpressionBlocksGolden:
         a = ExpressionSISO(expression="2*x")
         b = ExpressionSISO(expr_string="2*x")
         assert a.settings.get("expression") == b.settings.get("expression")
+
+
+class TestWidenedSubset:
+    """Round-2 verdict #7: while/repeat-until loops, in-expression
+    aggregators, chained/multi-output assignment, load-time string error."""
+
+    def test_while_loop_static(self):
+        f = compile_expression(
+            "var s := 0; var i := 0; while (i < 5) { s += i; i += 1 }; "
+            "y := s + x", ("x",))
+        np.testing.assert_allclose(np.asarray(f(x=jnp.asarray([1.0, 2.0]))),
+                                   [11.0, 12.0])
+
+    def test_repeat_until_runs_at_least_once(self):
+        f = compile_expression(
+            "var n := 0; repeat n += 1 until (n >= 3); y := n * x", ("x",))
+        np.testing.assert_allclose(np.asarray(f(x=jnp.asarray([2.0]))), [6.0])
+        # condition true immediately → body still ran once
+        g = compile_expression(
+            "var n := 0; repeat n += 1 until (true); y := n + 0*x", ("x",))
+        np.testing.assert_allclose(np.asarray(g(x=jnp.asarray([0.0]))), [1.0])
+
+    def test_while_data_dependent_bound_raises(self):
+        f = compile_expression("var i := 0; while (i < x) { i += 1 }; y := i",
+                               ("x",))
+        with pytest.raises(GrError, match="static"):
+            f(x=jnp.asarray([3.0]))
+
+    def test_aggregators_reduce_single_vector(self):
+        v = jnp.asarray([1.0, 2.0, 3.0, 4.0])
+        assert float(compile_expression("sum(x)", ("x",))(x=v)) == 10.0
+        assert float(compile_expression("avg(x)", ("x",))(x=v)) == 2.5
+        assert float(compile_expression("min(x)", ("x",))(x=v)) == 1.0
+        assert float(compile_expression("max(x)", ("x",))(x=v)) == 4.0
+        assert float(compile_expression("mul(x)", ("x",))(x=v)) == 24.0
+
+    def test_aggregators_two_args_stay_elementwise(self):
+        a = jnp.asarray([1.0, 5.0])
+        b = jnp.asarray([3.0, 2.0])
+        f = compile_expression("min(x, y)", ("x", "y"))
+        np.testing.assert_allclose(np.asarray(f(x=a, y=b)), [1.0, 2.0])
+
+    def test_normalize_by_aggregate(self):
+        # the canonical aggregator use: x scaled by its own block mean
+        f = compile_expression("y := x / avg(x)", ("x",))
+        v = jnp.asarray([1.0, 3.0])
+        np.testing.assert_allclose(np.asarray(f(x=v)), [0.5, 1.5])
+
+    def test_chained_assignment(self):
+        f = compile_expression("var a := 0; var b := 0; a := b := 2 + x[0]; "
+                               "y := a * b", ("x",))
+        np.testing.assert_allclose(float(f(x=jnp.asarray([1.0]))), 9.0)
+
+    def test_string_literal_is_load_time_error(self):
+        with pytest.raises(GrError, match="string"):
+            compile_expression("y := 'hello'", ("x",))
+        with pytest.raises(GrError, match="string"):
+            compile_expression('x == "abc"', ("x",))
+
+    def test_multi_output_block(self):
+        import gnuradio4_tpu as gr
+        g = gr.Graph()
+        src = g.emplace("ConstantSource", value=3.0, n_samples=256)
+        e = g.emplace("ExpressionSISO",
+                      expression="mag := x * 2; ph := x - 1; y := x",
+                      extra_outputs="mag,ph")
+        s0 = g.emplace("VectorSink")
+        s1 = g.emplace("VectorSink")
+        s2 = g.emplace("VectorSink")
+        g.connect(e, s0, src_port="out")
+        g.connect(e, s1, src_port="mag")
+        g.connect(e, s2, src_port="ph")
+        g.connect(src, e)
+        gr.Scheduler(g, block_len=128).run_and_wait()
+        np.testing.assert_allclose(s0.data(), 3.0)
+        np.testing.assert_allclose(s1.data(), 6.0)
+        np.testing.assert_allclose(s2.data(), 2.0)
+
+    def test_multi_output_unassigned_var_raises(self):
+        import gnuradio4_tpu as gr
+        with pytest.raises(GrError, match="never assigned"):
+            gr.global_registry.create("ExpressionSISO", expression="y := x",
+                                      extra_outputs="nope")

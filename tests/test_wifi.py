@@ -140,3 +140,47 @@ class TestGraphChain:
         assert dec.frames[1]["rate_mbps"] == 24
         assert dec.frames[1]["psdu"] == frames[1]["psdu"]
         assert all(f["fcs_ok"] for f in dec.frames)
+
+
+class TestIncrementalDecoder:
+    """ADVICE r2: frames spanning a buffer trim must survive; scans must be
+    incremental (resume offset) and dedupe across the overlap."""
+
+    def test_frame_spanning_trim_survives(self):
+        from gnuradio4_tpu.blocks.wifi import WifiDecoder
+        iq = encode_frame(PSDU, rate=12)
+        # cap the buffer at 200k samples; a frame straddles the trim point
+        dec = WifiDecoder(max_buffer_s=0.01)
+        pre = 255_000           # frame starts just before the first trim
+        stream = np.concatenate([
+            np.zeros(pre, np.complex64), iq.astype(np.complex64),
+            np.zeros(300_000, np.complex64)])
+        # feed in chunks that trigger several _process/trim rounds
+        chunk = 262_144
+        for i in range(0, len(stream), chunk):
+            c = stream[i:i + chunk]
+            dec.consume({"in": c}, {}, len(c), i)
+        dec.stop()
+        assert len(dec.frames) == 1, [f.get("sample_offset")
+                                      for f in dec.frames]
+        f = dec.frames[0]
+        assert f["fcs_ok"] and bytes(f["psdu"]) == PSDU
+        # absolute offset is preserved across trims (LTF lock point is
+        # ~192 samples in: after the STF(160) + the LTF cyclic prefix(32))
+        assert abs(f["sample_offset"] - (pre + 192)) < 128
+
+    def test_no_duplicate_frames_across_scans(self):
+        from gnuradio4_tpu.blocks.wifi import WifiDecoder
+        iq = encode_frame(PSDU, rate=24)
+        dec = WifiDecoder()
+        stream = np.concatenate([
+            np.zeros(1000, np.complex64), iq.astype(np.complex64),
+            np.zeros(600_000, np.complex64)])
+        chunk = 262_144
+        for i in range(0, len(stream), chunk):
+            c = stream[i:i + chunk]
+            dec.consume({"in": c}, {}, len(c), i)
+        dec.stop()
+        # the overlap re-scans the frame's region — it must appear ONCE
+        assert len(dec.frames) == 1
+        assert not dec.truncated
