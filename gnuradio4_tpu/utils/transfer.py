@@ -129,8 +129,11 @@ def unpack_host(h: np.ndarray, kind: dict) -> np.ndarray:
 
 def _kind_of(x) -> dict:
     """Static transfer recipe for one leaf (host-side, no trace needed)."""
-    a = np.dtype(getattr(x, "dtype", np.asarray(x).dtype))
-    shape = tuple(getattr(x, "shape", np.shape(x)))
+    # NB: hasattr first — getattr(x, "dtype", np.asarray(x).dtype) would
+    # evaluate the default EAGERLY and trigger the very raw complex D2H
+    # this module exists to avoid (found by the TPU suite run)
+    a = np.dtype(x.dtype) if hasattr(x, "dtype") else np.asarray(x).dtype
+    shape = tuple(x.shape) if hasattr(x, "shape") else np.shape(x)
     kind = {"shape": shape, "dtype": str(a)}
     if np.issubdtype(a, np.complexfloating):
         kind["complex"] = True
