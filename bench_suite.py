@@ -197,7 +197,7 @@ def config5_scheduler(block_len, steps):
         snk = NullSink()
         g.connect_chain(g.add(src), g.add(chan), g.add(dem), g.add(snk))
         return gr.Scheduler(g, block_len=block_len, sample_rate=1e9,
-                            pipeline_depth=2)
+                            pipeline_depth=2, async_delivery=True)
 
     return _run_sched(build, block_len, steps)
 
@@ -223,7 +223,7 @@ def config6_cascade(block_len, steps):
         snk = g.emplace("CountingSink")
         g.connect(prev, snk)
         return gr.Scheduler(g, block_len=block_len, sample_rate=1e9,
-                            pipeline_depth=2)
+                            pipeline_depth=2, async_delivery=True)
 
     return _run_sched(build, block_len, steps)
 
@@ -253,7 +253,7 @@ def config7_ldpc(block_len, steps):
         snk = g.add(VectorSink())
         g.connect_chain(src, dec, snk)
         return gr.Scheduler(g, block_len=bl, sample_rate=1e9,
-                            pipeline_depth=2)
+                            pipeline_depth=2, async_delivery=True)
 
     return _run_sched(build, bl, steps)
 

@@ -65,7 +65,8 @@ class Scheduler:
                  watchdog_timeout: float | None = None,
                  watchdog_action: str = "notify",
                  max_tags_per_step: int = 64, name: str = "scheduler",
-                 on_block_error: str = "shutdown"):
+                 on_block_error: str = "shutdown",
+                 async_delivery: bool = False):
         self.name = name
         self.graph = graph
         self.block_len = block_len
@@ -114,6 +115,18 @@ class Scheduler:
         self._eos_announced: set[str] = set()
         self._drain_steps = 0
         self._inflight: collections.deque[_InFlight] = collections.deque()
+        # async delivery (≈ reference DataSink poller threads,
+        # DataSink.hpp:21-37 Backpressure): sink D2H + consume run on ONE
+        # dedicated worker (FIFO order preserved) so the pump never blocks
+        # on device→host latency — on a high-latency transport (the axon
+        # relay: ~ms per readback) inline delivery throttles the whole loop.
+        # Opt-in: delivery errors are deferred to the pump thread, and
+        # graphs where a feed depends on a delivery (ring-bridged
+        # subgraphs, any block with both FEED and consume) must stay sync.
+        self.async_delivery = bool(async_delivery)
+        self._dq: Any = None
+        self._dworker: threading.Thread | None = None
+        self._deferred_errors: list = []
         self._runner: threading.Thread | None = None
         self._watchdog: threading.Thread | None = None
         # step-boundary lock: held for the whole of _pump_once so external
@@ -156,6 +169,8 @@ class Scheduler:
                     self.error = Error.here(str(e), block=self.name)
                 self.fsm.force_error()
                 raise
+            finally:
+                self._stop_delivery_worker()
             if self.fsm.state in (State.RUNNING, State.PAUSED, State.REQUESTED_PAUSE):
                 self.fsm.transition_to(State.REQUESTED_STOP)
             if self.fsm.state is State.REQUESTED_STOP:
@@ -213,6 +228,7 @@ class Scheduler:
         more = self._pump_once()
         if not more:
             self._drain()
+            self._stop_delivery_worker()
             self.fsm.transition_to(State.REQUESTED_STOP)
             self.fsm.transition_to(State.STOPPED)
             self._call_hooks("stop")
@@ -233,6 +249,8 @@ class Scheduler:
     def reset(self) -> None:
         if self.fsm.state is State.ERROR:
             self.fsm.transition_to(State.IDLE)
+        self._stop_delivery_worker()
+        self._deferred_errors.clear()
         self._step = 0
         self._dirty = True
         self._finished_sources.clear()
@@ -380,8 +398,15 @@ class Scheduler:
         # 0. deliver matured in-flight results FIRST — feeds may depend on sink
         # deliveries (ring-bridged subgraphs); delivering after dispatch would
         # deadlock two coupled schedulers
-        while len(self._inflight) >= self.pipeline_depth:
-            self._deliver(self._inflight.popleft())
+        if self._async_delivery_active():
+            self._flush_deferred_errors()
+            while len(self._inflight) >= self.pipeline_depth:
+                # bounded queue (maxsize = pipeline_depth) gives backpressure:
+                # put() blocks when the delivery worker lags too far behind
+                self._dq.put(self._inflight.popleft())
+        else:
+            while len(self._inflight) >= self.pipeline_depth:
+                self._deliver(self._inflight.popleft())
 
         # 1. collect feeds + per-source valid counts ("source" = no *connected*
         # inputs: a block with only unconnected optional ports, e.g. a
@@ -545,6 +570,16 @@ class Scheduler:
                 return params
 
             params = _params_with_ramps(c)
+            if (feeds or ramp_events) and jax.default_backend() != "cpu":
+                # complex host feeds/ramp overlays must travel as float
+                # planes — the relay rejects complex H2D, and with deferred
+                # execution the poison would surface at an unrelated later
+                # readback (utils/transfer.py capability matrix)
+                from .compiler import _device_params
+                if feeds:
+                    feeds = _device_params(feeds)
+                if ramp_events:
+                    params = _device_params(params)
             while True:
                 try:
                     new_states, sink_ins = c.step(self._states, params, feeds)
@@ -597,8 +632,65 @@ class Scheduler:
         return True
 
     def _drain(self) -> None:
+        if self._async_delivery_active():
+            while self._inflight:
+                self._dq.put(self._inflight.popleft())
+            self._dq.join()            # wait for the worker to finish FIFO
+            self._flush_deferred_errors()
+            return
         while self._inflight:
             self._deliver(self._inflight.popleft())
+
+    # -- async delivery (opt-in) ----------------------------------------------
+    def _async_delivery_active(self) -> bool:
+        if not self.async_delivery:
+            return False
+        c = self.compiled
+        if c is not None and any(getattr(b, "FEED", False)
+                                 and hasattr(b, "consume") for b in c.order):
+            # a feed depending on a delivery (ring-bridged subgraph) would
+            # deadlock behind its own queue — force the sync path
+            return False
+        if self._dworker is None or not self._dworker.is_alive():
+            import queue as _q
+            self._dq = _q.Queue(maxsize=self.pipeline_depth)
+            from ..utils import thread_pool
+
+            def worker():
+                while True:
+                    rec = self._dq.get()
+                    if rec is None:
+                        self._dq.task_done()
+                        return
+                    try:
+                        self._deliver(rec, deferred=self._deferred_errors)
+                    except Exception as err:  # defensive: never kill the worker
+                        self._deferred_errors.append((None, err, "deliver"))
+                    finally:
+                        self._dq.task_done()
+
+            self._dworker = thread_pool.spawn(
+                worker, name=f"{self.name}-delivery")
+        return True
+
+    def _flush_deferred_errors(self) -> None:
+        """Handle delivery-thread errors on the PUMP thread (zombie pruning
+        mutates the graph and must never run concurrently with dispatch)."""
+        while self._deferred_errors:
+            block, err, stage = self._deferred_errors.pop(0)
+            if block is not None and (block.unique_name in self.zombies
+                                      or block.name in self.zombies):
+                continue   # queued deliveries raced a block already pruned
+            if block is None or not self._contain_block_error(
+                    block, err, stage):
+                raise err
+
+    def _stop_delivery_worker(self) -> None:
+        if self._dworker is not None and self._dworker.is_alive():
+            self._dq.put(None)
+            self._dworker.join(timeout=10)
+        self._dworker = None
+        self._dq = None
 
     def _late_tag_routes(self, c, src_uname: str):
         """Downstream sink/tap consumers reachable from ``src_uname`` with the
@@ -629,7 +721,7 @@ class Scheduler:
                 frontier.append((dst, ratio * blk.ratio))
         return routes
 
-    def _deliver(self, rec: _InFlight) -> None:
+    def _deliver(self, rec: _InFlight, deferred: list | None = None) -> None:
         c = self.compiled
         with self.profiler.duration("scheduler.deliver", step=rec.step):
             # pass 1: data-derived tags from emitting blocks (topological) —
@@ -685,6 +777,11 @@ class Scheduler:
                     block.consume(arrays, tags, nv,
                                   rec.abs_in.get(uname, 0))
                 except Exception as err:
+                    if deferred is not None:
+                        # async worker: zombie pruning mutates the graph —
+                        # marshal to the pump thread instead of acting here
+                        deferred.append((block, err, "consume"))
+                        continue
                     if not self._contain_block_error(block, err, "consume"):
                         raise
 

@@ -58,8 +58,10 @@ def branch_fir_macs(xc: jnp.ndarray, hp: jnp.ndarray, r: int) -> jnp.ndarray:
 
 def pfb_init_state(n_channels: int, taps_per_phase: int, dtype=jnp.complex64
                    ) -> jnp.ndarray:
-    """Branch FIR history: [taps_per_phase-1, M] previous corner-turn rows."""
-    return jnp.zeros((taps_per_phase - 1, n_channels), dtype)
+    """Branch FIR history: [taps_per_phase-1, M] previous corner-turn rows
+    (device-born zeros — eager complex creation is relay-unsafe)."""
+    from ..utils.transfer import device_zeros
+    return device_zeros((taps_per_phase - 1, n_channels), dtype)
 
 
 def pfb_analyze(x: jnp.ndarray, taps: jnp.ndarray, state: jnp.ndarray

@@ -53,9 +53,12 @@ def _as_cx(taps: jnp.ndarray) -> bool:
 
 
 def fir_init_state(channels: int, ntaps: int, dtype) -> jnp.ndarray:
-    """Zero prehistory of ``ntaps-1`` samples (≈ HistoryBuffer zero-init)."""
+    """Zero prehistory of ``ntaps-1`` samples (≈ HistoryBuffer zero-init).
+    Device-born via a jitted zeros so eager complex creation never routes a
+    complex constant through H2D (relay-unsafe — utils/transfer.py)."""
+    from ..utils.transfer import device_zeros
     shape = (ntaps - 1,) if channels == 0 else (channels, ntaps - 1)
-    return jnp.zeros(shape, dtype=dtype)
+    return device_zeros(shape, dtype)
 
 
 def _conv_valid_real(x2: jnp.ndarray, taps: jnp.ndarray, stride: int) -> jnp.ndarray:

@@ -164,6 +164,25 @@ def safe_get(tree: Any) -> Any:
     return jax.tree_util.tree_unflatten(treedef, host)
 
 
+@functools.lru_cache(maxsize=None)
+def _zeros_fn(shape: tuple, dtype_str: str):
+    jax, jnp = _jax()
+    return jax.jit(lambda: jnp.zeros(shape, dtype_str))
+
+
+def device_zeros(shape, dtype):
+    """``jnp.zeros`` that is relay-safe for complex dtypes.
+
+    Eager ``jnp.zeros(..., complex64)`` materializes the constant host-side
+    and ships it through complex H2D — UNIMPLEMENTED on the axon relay, and
+    the deferred-execution poison surfaces at an unrelated later readback.
+    Producing the zeros INSIDE a jit keeps them device-born. Safe to call
+    both eagerly (compiles one tiny cached program per shape/dtype) and
+    under an outer trace (inlines)."""
+    shape = (shape,) if isinstance(shape, int) else tuple(shape)
+    return _zeros_fn(shape, np.dtype(dtype).name)()
+
+
 _CPU_BACKEND: bool | None = None
 
 

@@ -6,6 +6,7 @@ import jax.numpy as jnp
 import pytest
 
 import gnuradio4_tpu as gr
+from gnuradio4_tpu.utils.transfer import safe_get, safe_put
 from gnuradio4_tpu.blocks.basic import ComplexToneSource, NoiseSource
 from gnuradio4_tpu.blocks.channelizer import (ChannelSelect, PFBChannelizer,
                                               PFBSynthesizer)
@@ -23,7 +24,7 @@ class TestRationalResampler:
         up = np.zeros(len(x) * 3)
         up[::3] = x
         ref = np.convolve(up, k.taps)[: len(up)] * 3
-        y, _ = k.apply(jnp.asarray(x), k.init_state(0, jnp.float32))
+        y, _ = k.apply(safe_put(x), k.init_state(0, jnp.float32))
         np.testing.assert_allclose(np.asarray(y), ref, atol=1e-4)
 
     def test_rational_2_3_preserves_tone(self, rng):
@@ -51,12 +52,12 @@ class TestRationalResampler:
         """Chunked processing must equal one-shot processing exactly."""
         k = RationalResamplerKernel(5, 2, ntaps_per_phase=8)
         x = rng.standard_normal(1000).astype(np.float32)
-        y1, _ = k.apply(jnp.asarray(x), k.init_state(0, jnp.float32))
+        y1, _ = k.apply(safe_put(x), k.init_state(0, jnp.float32))
         state = k.init_state(0, jnp.float32)
         parts = []
         for chunk in x.reshape(5, 200):
-            y, state = k.apply(jnp.asarray(chunk), state)
-            parts.append(np.asarray(y))
+            y, state = k.apply(safe_put(chunk), state)
+            parts.append(safe_get(y))
         np.testing.assert_allclose(np.concatenate(parts), np.asarray(y1),
                                    rtol=1e-5, atol=1e-5)
 
@@ -79,8 +80,8 @@ class TestPFBChannelizer:
         t = np.arange(n) / fs
         x = np.exp(2j * np.pi * 3000.0 * t).astype(np.complex64)
         taps = design_pfb_taps(m, 8)
-        y, _ = pfb_analyze(jnp.asarray(x), jnp.asarray(taps), pfb_init_state(m, 8))
-        y = np.asarray(y)
+        y, _ = pfb_analyze(safe_put(x), jnp.asarray(taps), pfb_init_state(m, 8))
+        y = safe_get(y)
         assert y.shape == (m, n // m)
         power = np.mean(np.abs(y[:, 32:]) ** 2, axis=-1)
         assert np.argmax(power) == 3
@@ -97,8 +98,8 @@ class TestPFBChannelizer:
         t = np.arange(n) / fs
         x = np.exp(2j * np.pi * (1000.0 + offset) * t).astype(np.complex64)
         taps = design_pfb_taps(m, 8)
-        y, _ = pfb_analyze(jnp.asarray(x), jnp.asarray(taps), pfb_init_state(m, 8))
-        ch1 = np.asarray(y)[1, 64:]
+        y, _ = pfb_analyze(safe_put(x), jnp.asarray(taps), pfb_init_state(m, 8))
+        ch1 = safe_get(y)[1, 64:]
         spec = np.abs(np.fft.fft(ch1 * np.hanning(len(ch1))))
         f_meas = np.fft.fftfreq(len(ch1), m / fs)[np.argmax(spec)]
         assert abs(f_meas - offset) < (fs / m) / len(ch1) * 2
@@ -108,13 +109,13 @@ class TestPFBChannelizer:
         taps = design_pfb_taps(m, 6)
         x = (rng.standard_normal(1024) + 1j * rng.standard_normal(1024)
              ).astype(np.complex64)
-        y1, _ = pfb_analyze(jnp.asarray(x), jnp.asarray(taps), pfb_init_state(m, 6))
+        y1, _ = pfb_analyze(safe_put(x), jnp.asarray(taps), pfb_init_state(m, 6))
         state = pfb_init_state(m, 6)
         parts = []
         for chunk in x.reshape(4, 256):
-            y, state = pfb_analyze(jnp.asarray(chunk), jnp.asarray(taps), state)
-            parts.append(np.asarray(y))
-        np.testing.assert_allclose(np.concatenate(parts, axis=-1), np.asarray(y1),
+            y, state = pfb_analyze(safe_put(chunk), jnp.asarray(taps), state)
+            parts.append(safe_get(y))
+        np.testing.assert_allclose(np.concatenate(parts, axis=-1), safe_get(y1),
                                    rtol=1e-4, atol=1e-4)
 
     def test_analysis_synthesis_roundtrip(self, rng):
@@ -124,9 +125,9 @@ class TestPFBChannelizer:
         n = 8192
         t = np.arange(n)
         x = np.exp(2j * np.pi * 0.13 * t).astype(np.complex64)  # in-band tone
-        ch, _ = pfb_analyze(jnp.asarray(x), jnp.asarray(taps), pfb_init_state(m, 12))
+        ch, _ = pfb_analyze(safe_put(x), jnp.asarray(taps), pfb_init_state(m, 12))
         y, _ = pfb_synthesize(ch, jnp.asarray(taps), pfb_init_state(m, 12))
-        y = np.asarray(y)
+        y = safe_get(y)
         # compare steady-state magnitude (group delay shifts the signal)
         assert abs(np.mean(np.abs(y[2000:6000])) - 1.0) < 0.1
 
