@@ -3,6 +3,7 @@ FFT overlap-save) — all must match the NumPy reference within f32 tolerance.""
 
 import jax.numpy as jnp
 import numpy as np
+from gnuradio4_tpu.utils.transfer import (host_array as to_host, safe_put as dev_put)
 import pytest
 
 from gnuradio4_tpu.ops.fir import fir_apply, fir_init_state
@@ -17,9 +18,9 @@ def test_real_matches_reference(method, ntaps, rng):
     taps = rng.standard_normal(ntaps).astype(np.float32)
     x = rng.standard_normal(2048).astype(np.float32)
     ref = np.convolve(x.astype(np.float64), taps)[: len(x)]
-    y, _ = fir_apply(jnp.asarray(x), jnp.asarray(taps),
+    y, _ = fir_apply(dev_put(x), dev_put(taps),
                      fir_init_state(0, ntaps, jnp.float32), method=method)
-    np.testing.assert_allclose(np.asarray(y), ref, atol=ntaps * 3e-6)
+    np.testing.assert_allclose(to_host(y), ref, atol=ntaps * 3e-6)
 
 
 @pytest.mark.parametrize("method", METHODS)
@@ -28,9 +29,9 @@ def test_complex_input_real_taps(method, rng):
     x = (rng.standard_normal(1024) + 1j * rng.standard_normal(1024)
          ).astype(np.complex64)
     ref = np.convolve(x.astype(np.complex128), taps)[: len(x)]
-    y, _ = fir_apply(jnp.asarray(x), jnp.asarray(taps),
+    y, _ = fir_apply(dev_put(x), dev_put(taps),
                      fir_init_state(0, 63, jnp.complex64), method=method)
-    np.testing.assert_allclose(np.asarray(y), ref, atol=3e-4)
+    np.testing.assert_allclose(to_host(y), ref, atol=3e-4)
 
 
 @pytest.mark.parametrize("method", METHODS)
@@ -41,9 +42,9 @@ def test_complex_taps(method, rng):
          ).astype(np.complex64)
     ref = np.convolve(x.astype(np.complex128), taps.astype(np.complex128)
                       )[: len(x)]
-    y, _ = fir_apply(jnp.asarray(x), jnp.asarray(taps),
+    y, _ = fir_apply(dev_put(x), dev_put(taps),
                      fir_init_state(0, 31, jnp.complex64), method=method)
-    np.testing.assert_allclose(np.asarray(y), ref, atol=3e-4)
+    np.testing.assert_allclose(to_host(y), ref, atol=3e-4)
 
 
 @pytest.mark.parametrize("method", METHODS)
@@ -52,10 +53,10 @@ def test_decimation(method, decim, rng):
     taps = rng.standard_normal(32).astype(np.float32)
     x = rng.standard_normal(1024).astype(np.float32)
     ref = np.convolve(x.astype(np.float64), taps)[: len(x)][::decim]
-    y, _ = fir_apply(jnp.asarray(x), jnp.asarray(taps),
+    y, _ = fir_apply(dev_put(x), dev_put(taps),
                      fir_init_state(0, 32, jnp.float32), decim=decim,
                      method=method)
-    np.testing.assert_allclose(np.asarray(y), ref, atol=2e-4)
+    np.testing.assert_allclose(to_host(y), ref, atol=2e-4)
 
 
 @pytest.mark.parametrize("method", METHODS)
@@ -66,9 +67,9 @@ def test_streaming_continuity(method, rng):
     state = fir_init_state(0, 65, jnp.float32)
     parts = []
     for chunk in x.reshape(4, 1024):
-        y, state = fir_apply(jnp.asarray(chunk), jnp.asarray(taps), state,
+        y, state = fir_apply(dev_put(chunk), dev_put(taps), state,
                              method=method)
-        parts.append(np.asarray(y))
+        parts.append(to_host(y))
     np.testing.assert_allclose(np.concatenate(parts), ref, atol=3e-4)
 
 
@@ -76,11 +77,11 @@ def test_streaming_continuity(method, rng):
 def test_multichannel(method, rng):
     taps = rng.standard_normal(17).astype(np.float32)
     x = rng.standard_normal((5, 512)).astype(np.float32)
-    y, _ = fir_apply(jnp.asarray(x), jnp.asarray(taps),
+    y, _ = fir_apply(dev_put(x), dev_put(taps),
                      fir_init_state(5, 17, jnp.float32), method=method)
     for c in range(5):
         ref = np.convolve(x[c].astype(np.float64), taps)[:512]
-        np.testing.assert_allclose(np.asarray(y)[c], ref, atol=2e-4)
+        np.testing.assert_allclose(to_host(y)[c], ref, atol=2e-4)
 
 
 @pytest.mark.parametrize("method", ["matmul", "fft"])
@@ -89,10 +90,10 @@ def test_odd_sizes(method, rng):
     taps = rng.standard_normal(40).astype(np.float32)
     x = rng.standard_normal(700).astype(np.float32)
     ref = np.convolve(x.astype(np.float64), taps)[:700]
-    y, _ = fir_apply(jnp.asarray(x), jnp.asarray(taps),
+    y, _ = fir_apply(dev_put(x), dev_put(taps),
                      fir_init_state(0, 40, jnp.float32), method=method)
-    assert np.asarray(y).shape == (700,)
-    np.testing.assert_allclose(np.asarray(y), ref, atol=2e-4)
+    assert to_host(y).shape == (700,)
+    np.testing.assert_allclose(to_host(y), ref, atol=2e-4)
 
 
 class TestInt8Matmul:
@@ -100,10 +101,10 @@ class TestInt8Matmul:
         taps = rng.standard_normal(127).astype(np.float32)
         x = rng.standard_normal(4096).astype(np.float32)
         ref = np.convolve(x.astype(np.float64), taps)[: len(x)]
-        y, _ = fir_apply(jnp.asarray(x), taps,
+        y, _ = fir_apply(dev_put(x), taps,
                          fir_init_state(0, 127, jnp.float32),
                          method="matmul_int8")
-        err = np.asarray(y) - ref
+        err = to_host(y) - ref
         snr = 10 * np.log10(np.mean(ref ** 2) / np.mean(err ** 2))
         assert snr > 40.0, f"int8 SNR {snr:.1f} dB"
 
@@ -114,10 +115,10 @@ class TestInt8Matmul:
              ).astype(np.complex64)
         ref = np.convolve(x.astype(np.complex128), taps.astype(np.complex128)
                           )[: len(x)]
-        y, _ = fir_apply(jnp.asarray(x), taps,
+        y, _ = fir_apply(dev_put(x), taps,
                          fir_init_state(0, 63, jnp.complex64),
                          method="matmul_int8")
-        err = np.abs(np.asarray(y) - ref)
+        err = np.abs(to_host(y) - ref)
         snr = 10 * np.log10(np.mean(np.abs(ref) ** 2) / np.mean(err ** 2))
         assert snr > 38.0, f"int8 SNR {snr:.1f} dB"
 
@@ -125,9 +126,9 @@ class TestInt8Matmul:
         taps = rng.standard_normal(32).astype(np.float32)
         x = rng.standard_normal(2048).astype(np.float32)
         ref = np.convolve(x.astype(np.float64), taps)[: len(x)][::4]
-        y, _ = fir_apply(jnp.asarray(x), taps,
+        y, _ = fir_apply(dev_put(x), taps,
                          fir_init_state(0, 32, jnp.float32), decim=4,
                          method="matmul_int8")
-        err = np.asarray(y) - ref
+        err = to_host(y) - ref
         snr = 10 * np.log10(np.mean(ref ** 2) / (np.mean(err ** 2) + 1e-30))
         assert snr > 40.0

@@ -2,6 +2,7 @@
 (≈ reference qa_fourier, qa_FilterTool, qa_filter — SURVEY §4 strategy)."""
 
 import numpy as np
+from gnuradio4_tpu.utils.transfer import (host_array as to_host, safe_put as dev_put)
 import pytest
 import jax.numpy as jnp
 
@@ -40,8 +41,8 @@ class TestFir:
         # stream in 4 chunks — state carries the overlap
         ys = []
         for chunk in x.reshape(4, -1):
-            y, state = fir_apply(jnp.asarray(chunk), jnp.asarray(taps), state)
-            ys.append(np.asarray(y))
+            y, state = fir_apply(dev_put(chunk), dev_put(taps), state)
+            ys.append(to_host(y))
         out = np.concatenate(ys)
         np.testing.assert_allclose(out, ref, rtol=0, atol=2e-4)
 
@@ -50,25 +51,25 @@ class TestFir:
         x = (rng.standard_normal(256) + 1j * rng.standard_normal(256)).astype(np.complex64)
         ref = np.convolve(x, taps)[: len(x)]
         state = fir_init_state(0, len(taps), jnp.complex64)
-        y, _ = fir_apply(jnp.asarray(x), jnp.asarray(taps), state)
-        np.testing.assert_allclose(np.asarray(y), ref, rtol=0, atol=5e-4)
+        y, _ = fir_apply(dev_put(x), dev_put(taps), state)
+        np.testing.assert_allclose(to_host(y), ref, rtol=0, atol=5e-4)
 
     def test_multichannel(self, rng):
         taps = rng.standard_normal(9).astype(np.float32)
         x = rng.standard_normal((4, 128)).astype(np.float32)
         state = fir_init_state(4, len(taps), jnp.float32)
-        y, _ = fir_apply(jnp.asarray(x), jnp.asarray(taps), state)
+        y, _ = fir_apply(dev_put(x), dev_put(taps), state)
         for c in range(4):
             ref = np.convolve(x[c], taps)[:128]
-            np.testing.assert_allclose(np.asarray(y)[c], ref, rtol=0, atol=2e-4)
+            np.testing.assert_allclose(to_host(y)[c], ref, rtol=0, atol=2e-4)
 
     def test_decimating_fir(self, rng):
         taps = rng.standard_normal(16).astype(np.float32)
         x = rng.standard_normal(512).astype(np.float32)
         ref = np.convolve(x, taps)[: len(x)][::4]
         state = fir_init_state(0, len(taps), jnp.float32)
-        y, _ = fir_apply(jnp.asarray(x), jnp.asarray(taps), state, decim=4)
-        np.testing.assert_allclose(np.asarray(y), ref, rtol=0, atol=2e-4)
+        y, _ = fir_apply(dev_put(x), dev_put(taps), state, decim=4)
+        np.testing.assert_allclose(to_host(y), ref, rtol=0, atol=2e-4)
 
     def test_interpolating_fir_polyphase(self, rng):
         interp = 4
@@ -79,9 +80,9 @@ class TestFir:
         up[::interp] = x
         ref = np.convolve(up, taps)[: len(up)] * interp
         state = fir_init_state(0, (len(taps) + interp - 1) // interp, jnp.float32)
-        y, _ = fir_interpolate(jnp.asarray(x), jnp.asarray(taps, dtype=jnp.float32),
+        y, _ = fir_interpolate(dev_put(x), jnp.asarray(taps, dtype=jnp.float32),
                                state, interp)
-        np.testing.assert_allclose(np.asarray(y), ref, rtol=0, atol=5e-4)
+        np.testing.assert_allclose(to_host(y), ref, rtol=0, atol=5e-4)
 
 
 class TestIir:
@@ -90,8 +91,8 @@ class TestIir:
         x = rng.standard_normal(256).astype(np.float32)
         ref = _np_lfilter(res.b, res.a, x)
         state = iir_init_state(0, len(res.b), len(res.a))
-        y, _ = iir_apply(jnp.asarray(x), res.b, res.a, state)
-        np.testing.assert_allclose(np.asarray(y), ref, rtol=0, atol=1e-4)
+        y, _ = iir_apply(dev_put(x), res.b, res.a, state)
+        np.testing.assert_allclose(to_host(y), ref, rtol=0, atol=1e-4)
 
     def test_streaming_state_continuity(self, rng):
         res = fd.design_iir("butterworth", "lowpass", 2, sample_rate=10.0, f_low=1.0)
@@ -100,8 +101,8 @@ class TestIir:
         state = iir_init_state(0, len(res.b), len(res.a))
         ys = []
         for chunk in x.reshape(4, -1):
-            y, state = iir_apply(jnp.asarray(chunk), res.b, res.a, state)
-            ys.append(np.asarray(y))
+            y, state = iir_apply(dev_put(chunk), res.b, res.a, state)
+            ys.append(to_host(y))
         np.testing.assert_allclose(np.concatenate(ys), ref, rtol=0, atol=1e-4)
 
     def test_sos_cascade(self, rng):
@@ -109,8 +110,8 @@ class TestIir:
         x = rng.standard_normal(256).astype(np.float32)
         ref = _np_lfilter(res.b, res.a, x)
         state = sos_init_state(0, res.sos.shape[0])
-        y, _ = sos_apply(jnp.asarray(x), res.sos, state)
-        np.testing.assert_allclose(np.asarray(y), ref, rtol=0, atol=1e-3)
+        y, _ = sos_apply(dev_put(x), res.sos, state)
+        np.testing.assert_allclose(to_host(y), ref, rtol=0, atol=1e-3)
 
     def test_sos_unnormalized_a0(self, rng):
         """SOS rows with a0 != 1 must normalize b and a consistently."""
@@ -120,24 +121,24 @@ class TestIir:
         ref = _np_lfilter(res.b, res.a, x)
         sos_scaled = res.sos * 3.0  # same transfer function, a0 = 3
         state = sos_init_state(0, sos_scaled.shape[0])
-        y, _ = sos_apply(jnp.asarray(x), sos_scaled, state)
-        np.testing.assert_allclose(np.asarray(y), ref, rtol=0, atol=1e-3)
+        y, _ = sos_apply(dev_put(x), sos_scaled, state)
+        np.testing.assert_allclose(to_host(y), ref, rtol=0, atol=1e-3)
 
     def test_one_pole_parallel_scan(self):
         pole = 0.95
         x = np.ones(128, np.float32)
-        y, last = one_pole_apply(jnp.asarray(x), pole, jnp.asarray(0.0))
+        y, last = one_pole_apply(dev_put(x), pole, dev_put(0.0))
         ref = _np_lfilter([1.0], [1.0, -pole], x)
-        np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-5, atol=1e-5)
-        assert np.isclose(np.asarray(last), ref[-1], rtol=1e-5)
+        np.testing.assert_allclose(to_host(y), ref, rtol=1e-5, atol=1e-5)
+        assert np.isclose(to_host(last), ref[-1], rtol=1e-5)
 
     def test_biquad_parallel_matches_sequential(self, rng):
         res = fd.design_iir("butterworth", "lowpass", 2, sample_rate=50.0, f_low=5.0)
         x = rng.standard_normal(512).astype(np.float32)
         ref = _np_lfilter(res.b, res.a, x)
-        y, _ = biquad_parallel_apply(jnp.asarray(x), res.sos[0],
+        y, _ = biquad_parallel_apply(dev_put(x), res.sos[0],
                                      jnp.zeros((), jnp.complex64))
-        np.testing.assert_allclose(np.asarray(y), ref, rtol=0, atol=1e-3)
+        np.testing.assert_allclose(to_host(y), ref, rtol=0, atol=1e-3)
 
 
 class TestFilterDesign:
@@ -229,7 +230,7 @@ class TestWindows:
 class TestFft:
     def test_matches_numpy(self, rng):
         x = rng.standard_normal(4 * 256).astype(np.float32)
-        spec = np.asarray(chunked_fft(jnp.asarray(x), 256))
+        spec = np.asarray(chunked_fft(dev_put(x), 256))
         ref = np.fft.fft(x.reshape(4, 256), axis=-1)
         np.testing.assert_allclose(spec, ref, rtol=1e-4, atol=1e-3)
 
@@ -239,7 +240,7 @@ class TestFft:
         t = np.arange(n) / fs
         x = np.sin(2 * np.pi * f0 * t).astype(np.float32)
         w = jnp.asarray(make_window("Hann", n))
-        spec = np.asarray(chunked_fft(jnp.asarray(x), n, window=w))[0]
+        spec = np.asarray(chunked_fft(dev_put(x), n, window=w))[0]
         peak_bin = np.argmax(np.abs(spec[: n // 2]))
         assert peak_bin == 128
         f = freq_axis(n, fs)
@@ -255,10 +256,10 @@ class TestParallelIir:
                                            sos_supports_parallel)
         assert sos_supports_parallel(res.sos)
         x = rng.standard_normal((4, 512)).astype(np.float32)
-        y_ref, _ = sos_apply(jnp.asarray(x), res.sos, sos_init_state(4, 3))
-        y, _ = sos_parallel_apply(jnp.asarray(x), res.sos,
+        y_ref, _ = sos_apply(dev_put(x), res.sos, sos_init_state(4, 3))
+        y, _ = sos_parallel_apply(dev_put(x), res.sos,
                                   sos_parallel_init_state(4, 3))
-        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+        np.testing.assert_allclose(to_host(y), to_host(y_ref),
                                    rtol=1e-3, atol=1e-4)
 
     def test_sos_parallel_streaming(self, rng):
@@ -267,14 +268,14 @@ class TestParallelIir:
         from gnuradio4_tpu.ops.iir import (sos_parallel_apply,
                                            sos_parallel_init_state)
         x = rng.standard_normal(1024).astype(np.float32)
-        y1, _ = sos_parallel_apply(jnp.asarray(x), res.sos,
+        y1, _ = sos_parallel_apply(dev_put(x), res.sos,
                                    sos_parallel_init_state(0, 2))
         st = sos_parallel_init_state(0, 2)
         parts = []
         for chunk in x.reshape(4, 256):
-            y, st = sos_parallel_apply(jnp.asarray(chunk), res.sos, st)
-            parts.append(np.asarray(y))
-        np.testing.assert_allclose(np.concatenate(parts), np.asarray(y1),
+            y, st = sos_parallel_apply(dev_put(chunk), res.sos, st)
+            parts.append(to_host(y))
+        np.testing.assert_allclose(np.concatenate(parts), to_host(y1),
                                    rtol=1e-4, atol=1e-4)
 
     def test_one_pole_ba_matches_lfilter(self, rng):
@@ -283,8 +284,8 @@ class TestParallelIir:
         b, a = fm_deemphasis_coeffs(50000.0, 75e-6)
         x = rng.standard_normal(500).astype(np.float32)
         ref = _np_lfilter(b, a, x)
-        y, _ = one_pole_ba_apply(jnp.asarray(x), b, a, jnp.asarray(0.0))
-        np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-4, atol=1e-4)
+        y, _ = one_pole_ba_apply(dev_put(x), b, a, dev_put(0.0))
+        np.testing.assert_allclose(to_host(y), ref, rtol=1e-4, atol=1e-4)
 
     def test_ba_to_sos_response_matches(self):
         res = fd.design_iir("butterworth", "bandpass", 3, sample_rate=1000.0,
@@ -373,15 +374,15 @@ class TestJacobiSvd:
             a = jnp.asarray(rng.standard_normal((m, n)), jnp.float32)
             u, s, vt = jacobi_svd(a)
             rec = (u * s[None, :]) @ vt
-            np.testing.assert_allclose(np.asarray(rec), np.asarray(a),
+            np.testing.assert_allclose(to_host(rec), to_host(a),
                                        atol=2e-4)
-            ref = np.linalg.svd(np.asarray(a), compute_uv=False)
-            np.testing.assert_allclose(np.asarray(s), ref, atol=2e-3)
+            ref = np.linalg.svd(to_host(a), compute_uv=False)
+            np.testing.assert_allclose(to_host(s), ref, atol=2e-3)
             # descending order + orthogonality
-            assert np.all(np.diff(np.asarray(s)) <= 1e-5)
-            eye = np.asarray(vt @ vt.T)
+            assert np.all(np.diff(to_host(s)) <= 1e-5)
+            eye = to_host(vt @ vt.T)
             np.testing.assert_allclose(eye, np.eye(n), atol=5e-5)
-            uu = np.asarray(u.T @ u)
+            uu = to_host(u.T @ u)
             np.testing.assert_allclose(uu, np.eye(n), atol=5e-5)
 
     def test_batched(self):
@@ -390,7 +391,7 @@ class TestJacobiSvd:
         a = jnp.asarray(rng.standard_normal((3, 20, 10)), jnp.float32)
         u, s, vt = jacobi_svd(a)
         rec = jnp.einsum('bmn,bn,bnk->bmk', u, s, vt)
-        np.testing.assert_allclose(np.asarray(rec), np.asarray(a), atol=1e-4)
+        np.testing.assert_allclose(to_host(rec), to_host(a), atol=1e-4)
 
     def test_jit_and_input_errors(self):
         import jax
@@ -399,7 +400,7 @@ class TestJacobiSvd:
         a = jnp.asarray(rng.standard_normal((12, 6)), jnp.float32)
         u, s, vt = jax.jit(jacobi_svd)(a)
         rec = (u * s[None, :]) @ vt
-        np.testing.assert_allclose(np.asarray(rec), np.asarray(a), atol=1e-4)
+        np.testing.assert_allclose(to_host(rec), to_host(a), atol=1e-4)
         with pytest.raises(ValueError):
             jacobi_svd(jnp.zeros((4, 8), jnp.float32))      # m < n
 
@@ -411,10 +412,10 @@ class TestJacobiSvd:
                             + 1j * rng.standard_normal((m, n)), jnp.complex64)
             u, s, vt = jacobi_svd(a)
             rec = (u * s[None, :].astype(a.dtype)) @ vt
-            np.testing.assert_allclose(np.asarray(rec), np.asarray(a),
+            np.testing.assert_allclose(to_host(rec), to_host(a),
                                        atol=5e-4)
-            ref = np.linalg.svd(np.asarray(a), compute_uv=False)
-            np.testing.assert_allclose(np.asarray(s), ref, atol=5e-3)
+            ref = np.linalg.svd(to_host(a), compute_uv=False)
+            np.testing.assert_allclose(to_host(s), ref, atol=5e-3)
             eye = np.asarray(vt @ jnp.conj(vt).T)
             np.testing.assert_allclose(eye, np.eye(n), atol=1e-4)
 
@@ -425,9 +426,9 @@ class TestJacobiSvd:
                         jnp.float32) * jnp.asarray([[2.0, 2.0]], jnp.float32)
         u, s, vt = jacobi_svd(a)
         rec = (u * s[None, :]) @ vt
-        np.testing.assert_allclose(np.asarray(rec), np.asarray(a), atol=1e-5)
-        ref = np.linalg.svd(np.asarray(a), compute_uv=False)
-        np.testing.assert_allclose(np.asarray(s), ref, atol=1e-5)
+        np.testing.assert_allclose(to_host(rec), to_host(a), atol=1e-5)
+        ref = np.linalg.svd(to_host(a), compute_uv=False)
+        np.testing.assert_allclose(to_host(s), ref, atol=1e-5)
 
     def test_denoise_engines_agree(self):
         from gnuradio4_tpu.ops.svd import svd_denoise
@@ -435,8 +436,8 @@ class TestJacobiSvd:
         t = np.linspace(0.0, 1.0, 400)
         clean = np.sin(2 * np.pi * 8 * t).astype(np.float32)
         noisy = clean + 0.3 * rng.standard_normal(400).astype(np.float32)
-        xla = np.asarray(svd_denoise(jnp.asarray(noisy), window=32, rank=2))
-        jac = np.asarray(svd_denoise(jnp.asarray(noisy), window=32, rank=2,
+        xla = np.asarray(svd_denoise(dev_put(noisy), window=32, rank=2))
+        jac = np.asarray(svd_denoise(dev_put(noisy), window=32, rank=2,
                                      method="jacobi"))
         np.testing.assert_allclose(jac, xla, atol=1e-3)
         assert np.std(jac - clean) < 0.4 * np.std(noisy - clean)
@@ -453,7 +454,7 @@ class TestJacobiWideMatrices:
             a = jnp.asarray(a, dtype)
             u, s, vt = svd(a, method="jacobi")
             rec = (u * s[None, :].astype(a.dtype)) @ vt
-            np.testing.assert_allclose(np.asarray(rec), np.asarray(a),
+            np.testing.assert_allclose(to_host(rec), to_host(a),
                                        atol=1e-3)
 
     def test_denoiser_wide_window_any_engine(self):

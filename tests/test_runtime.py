@@ -61,7 +61,8 @@ def test_stop_all_mid_run():
     rt.start_all()
     time.sleep(0.3)
     rt.stop_all()
-    rt.wait_all(60)
+    # generous: first-contact jit compiles take minutes over the TPU relay
+    rt.wait_all(300)
     assert all(s.state is gr.State.STOPPED for s in rt.schedulers)
 
 
