@@ -73,7 +73,10 @@ def _save_checkpoint_locked(sched: Scheduler, path: str | Path) -> Path:
         save_grc(sched.graph, sample_rate=sched.sample_rate,
                  block_len=sched.block_len))
     name_of = {b.unique_name: b.name for b in sched.compiled.order}
-    host_states = jax.device_get(sched._states)
+    from ..utils.transfer import safe_get
+    # relay-safe: states routinely contain complex64 leaves (FIR prehistory,
+    # carried phasors) whose raw D2H is UNIMPLEMENTED over the axon relay
+    host_states = safe_get(sched._states)
     np.savez(p / "states.npz", **_state_keys(host_states, name_of))
     meta = {
         "step": sched._step,

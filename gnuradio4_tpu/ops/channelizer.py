@@ -76,8 +76,9 @@ def pfb_analyze(x: jnp.ndarray, taps: jnp.ndarray, state: jnp.ndarray
     rows = x.reshape(-1, m)                           # [T/M, M] corner turn
     r = rows.shape[0]
     xc = jnp.concatenate([state.astype(rows.dtype), rows], axis=0)  # [P-1+T/M, M]
+    from ..utils.transfer import safe_get
     taps_h = taps if isinstance(taps, np.ndarray) else np.asarray(
-        jax.device_get(taps))
+        safe_get(taps))
     hp = taps_h.reshape(p, m)              # h[j·M + p] → [P, M] (host constant)
     # branch FIR as P shift-MAC slices (P is small, XLA fuses into one pass;
     # avoids XLA's conv HLO which compiles pathologically on TPU):
@@ -101,8 +102,9 @@ def pfb_synthesize(channels: jnp.ndarray, taps: jnp.ndarray, state: jnp.ndarray
     # inverse of the analysis FFT: IFFT·M recovers the branch signals
     rows = jnp.fft.ifft(jnp.moveaxis(channels, 0, 1), axis=-1) * m   # [N, M]
     xc = jnp.concatenate([state.astype(rows.dtype), rows], axis=0)
+    from ..utils.transfer import safe_get
     taps_h = taps if isinstance(taps, np.ndarray) else np.asarray(
-        jax.device_get(taps))
+        safe_get(taps))
     hp = taps_h.reshape(p, m) * m
     v = branch_fir_macs(xc, hp, n)                              # [N, M]
     new_state = xc[-(p - 1):] if p > 1 else xc[:0]

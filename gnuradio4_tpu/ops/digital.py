@@ -137,8 +137,9 @@ def mm_timing_recovery(x: jnp.ndarray, *, sps: int, mu0: jnp.ndarray,
         return (x0[0] * (1.0 - frac) + x0[1] * frac).astype(jnp.complex64)
 
     def decide(v):
-        return (jnp.sign(jnp.real(v)) + 1j * jnp.sign(jnp.imag(v))
-                ).astype(jnp.complex64)
+        # lax.complex: no eager 1j constant (complex H2D is relay-unsafe)
+        return jax.lax.complex(jnp.sign(jnp.real(v)),
+                               jnp.sign(jnp.imag(v))).astype(jnp.complex64)
 
     def step(carry, k):
         mu, y_prev, d_prev = carry

@@ -87,7 +87,9 @@ def _conv_valid_complex(x2: jnp.ndarray, taps: jnp.ndarray, stride: int) -> jnp.
         lhs, k, window_strides=(stride,), padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
         precision=jax.lax.Precision.HIGHEST)
-    return (y[:, 0, :] + 1j * y[:, 1, :]).astype(x2.dtype)
+    # lax.complex, not (a + 1j*b): the eager path would materialize the 1j
+    # scalar as a complex constant -> complex H2D, relay-unsafe (transfer.py)
+    return jax.lax.complex(y[:, 0, :], y[:, 1, :]).astype(x2.dtype)
 
 
 def _frame_overlapping(xc: jnp.ndarray, step: int, width: int) -> jnp.ndarray:
@@ -204,7 +206,8 @@ def _fir_matmul(xc: jnp.ndarray, taps_np: np.ndarray, decim: int) -> jnp.ndarray
                                    else jnp.zeros(()))
             yi = br(lo_i, hi_i) + (bi_(lo_r, hi_r) if bi_ is not None
                                    else jnp.zeros(()))
-        y = (yr + 1j * yi).astype(jnp.complex64)
+        y = jax.lax.complex(yr.astype(jnp.float32),
+                            yi.astype(jnp.float32))   # no eager 1j constant
     else:
         a = xc.astype(real_dt).reshape(b, n + 1, tile)
         lo, hi = mk_w(taps_np)
@@ -258,7 +261,8 @@ def _fir_matmul_int8(xc: jnp.ndarray, taps_np: np.ndarray, decim: int
         else:
             wr, sr = quant_w(taps_np)
             yr, yi = qdot(fr, wr, sr), qdot(fi, wr, sr)
-        y = (yr + 1j * yi).astype(jnp.complex64)
+        y = jax.lax.complex(yr.astype(jnp.float32),
+                            yi.astype(jnp.float32))   # no eager 1j constant
     else:
         wr, sr = quant_w(taps_np)
         frames = _frame_overlapping_general(xc.astype(jnp.float32), tile,
@@ -350,7 +354,9 @@ def fir_apply(x: jnp.ndarray, taps: jnp.ndarray, state: jnp.ndarray,
             method = "conv"
     if method in ("matmul", "matmul_int8") and ntaps > 1:
         if taps_np is None:
-            taps_np = np.asarray(jax.device_get(taps))  # explicit opt-in only
+            # explicit opt-in only; relay-safe fetch (complex D2H would poison)
+            from ..utils.transfer import safe_get
+            taps_np = np.asarray(safe_get(taps))
         y = (_fir_matmul_int8 if method == "matmul_int8"
              else _fir_matmul)(xc, taps_np, decim)
     elif method == "fft" and ntaps > 1:
@@ -435,7 +441,8 @@ def fir_resample_matmul(xc: jnp.ndarray, taps_np: np.ndarray, interp: int,
         else:
             yr = dot(fr, wr) - dot(fi, wi)
             yi = dot(fr, wi) + dot(fi, wr)
-        y = (yr + 1j * yi).astype(jnp.complex64)
+        y = jax.lax.complex(yr.astype(jnp.float32),
+                            yi.astype(jnp.float32))   # no eager 1j constant
     else:
         frames = _frame_overlapping_general(xc, tile, frame_len)
         y = dot(frames.astype(real_dt), wr).astype(xc.dtype)
@@ -452,8 +459,8 @@ def fir_interpolate(x: jnp.ndarray, taps: jnp.ndarray, state: jnp.ndarray,
     """
     # keep the polyphase decomposition on the HOST so each phase reaches
     # fir_apply as NumPy (the MXU path builds Toeplitz weights host-side)
-    taps_h = taps if isinstance(taps, np.ndarray) else \
-        np.asarray(jax.device_get(taps))
+    from ..utils.transfer import safe_get
+    taps_h = taps if isinstance(taps, np.ndarray) else np.asarray(safe_get(taps))
     ntaps = taps_h.shape[-1]
     pad = (-ntaps) % interp
     tp = np.pad(taps_h, (0, pad))

@@ -68,16 +68,31 @@ def one_pole_apply(x: jnp.ndarray, pole: complex | jnp.ndarray,
     Associative op on (c, v): (c2, v2)∘(c1, v1) = (c1·c2, c2·v1 + v2).
     x: [..., T]; y_prev: [...] (y[-1]); returns (y, y[T-1]).
     """
-    c = jnp.broadcast_to(jnp.asarray(pole, x.dtype), x.shape)
-    v = x.at[..., 0].add(jnp.asarray(pole, x.dtype) * y_prev)
+    if isinstance(pole, (complex, np.complexfloating)):
+        # lax.complex from float halves: jnp.asarray(<python complex>) would
+        # ship a complex scalar through H2D, relay-unsafe (utils/transfer.py)
+        pole = jax.lax.complex(jnp.float32(pole.real), jnp.float32(pole.imag))
+    pole = jnp.asarray(pole, x.dtype)
+    c = jnp.broadcast_to(pole, x.shape)
+    v = x.at[..., 0].add(pole * y_prev)
 
-    def combine(l, r):
-        cl, vl = l
-        cr, vr = r
-        return cl * cr, cr * vl + vr
-
-    cs, ys = jax.lax.associative_scan(combine, (c, v), axis=-1)
+    # jit the scan even on the eager path: associative_scan's internal
+    # padding materializes complex-zero constants which the relay's eager
+    # dispatch cannot H2D (utils/transfer.py); under an outer jit this
+    # inlines at zero cost
+    cs, ys = _one_pole_scan(c, v)
     return ys, ys[..., -1]
+
+
+def _one_pole_combine(l, r):
+    cl, vl = l
+    cr, vr = r
+    return cl * cr, cr * vl + vr
+
+
+@jax.jit
+def _one_pole_scan(c, v):
+    return jax.lax.associative_scan(_one_pole_combine, (c, v), axis=-1)
 
 
 def sos_init_state(channels: int, n_sections: int) -> jnp.ndarray:
@@ -146,8 +161,9 @@ def sos_supports_parallel(sos: np.ndarray) -> bool:
 
 
 def sos_parallel_init_state(channels: int, n_sections: int) -> jnp.ndarray:
+    from ..utils.transfer import device_zeros
     shape = (n_sections,) if channels == 0 else (channels, n_sections)
-    return jnp.zeros(shape, jnp.complex64)
+    return device_zeros(shape, jnp.complex64)  # relay-safe (transfer.py)
 
 
 def sos_parallel_apply(x: jnp.ndarray, sos: np.ndarray, state: jnp.ndarray
@@ -185,6 +201,10 @@ def biquad_parallel_apply(x: jnp.ndarray, sos_row: np.ndarray,
     K = b2 / a2
     A = (b0 * p * p + b1 * p + b2) / (p * (p - np.conj(p)))
     xc = x.astype(jnp.complex64)
-    u, u_last = one_pole_apply(xc, jnp.asarray(p, jnp.complex64), state)
-    y = jnp.asarray(K, x.dtype) * x + 2.0 * jnp.real(jnp.asarray(A, jnp.complex64) * u)
+    # lax.complex from float halves — jnp.asarray(<python complex>) would
+    # ship a complex scalar through H2D, relay-unsafe (utils/transfer.py)
+    p_dev = jax.lax.complex(jnp.float32(p.real), jnp.float32(p.imag))
+    a_dev = jax.lax.complex(jnp.float32(A.real), jnp.float32(A.imag))
+    u, u_last = one_pole_apply(xc, p_dev, state)
+    y = jnp.asarray(K, x.dtype) * x + 2.0 * jnp.real(a_dev * u)
     return y.astype(x.dtype), u_last

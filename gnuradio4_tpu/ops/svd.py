@@ -138,11 +138,14 @@ def jacobi_svd(a: jnp.ndarray, *, sweeps: int = 12, eps: float = 1e-12):
         raise ValueError("jacobi_svd needs m >= n; transpose the input")
     cplx = jnp.issubdtype(a.dtype, jnp.complexfloating)
     if orig_n % 2:                       # schedule needs an even player count
-        pad = jnp.zeros((*a.shape[:-1], 1), a.dtype)
-        a = jnp.concatenate([a, pad], axis=-1)
+        # a[...,:1]*0, not jnp.zeros(complex): an eager complex-zeros
+        # constant is relay-unsafe (utils/transfer.py)
+        a = jnp.concatenate([a, a[..., :1] * 0], axis=-1)
     n = a.shape[-1]
     sched = jnp.asarray(_tournament_schedule(n))        # [R, n/2, 2]
-    v0 = jnp.broadcast_to(jnp.eye(n, dtype=a.dtype),
+    # real eye cast to the working dtype — eager jnp.eye(complex) would
+    # materialize a complex constant through H2D (relay-unsafe)
+    v0 = jnp.broadcast_to(jnp.eye(n, dtype=jnp.float32).astype(a.dtype),
                           (*a.shape[:-2], n, n))
 
     def round_step(r, carry):

@@ -152,15 +152,36 @@ def _packer(n_leaves: int):
     return jax.jit(pack_all)
 
 
+def _is_extended(x) -> bool:
+    import jax
+    dt = getattr(x, "dtype", None)
+    try:
+        return dt is not None and jax.numpy.issubdtype(dt, jax.dtypes.extended)
+    except TypeError:
+        return False
+
+
 def safe_get(tree: Any) -> Any:
-    """D2H a pytree of device arrays through the relay-safe float path."""
+    """D2H a pytree of device arrays through the relay-safe float path.
+
+    PRNG-key leaves (extended dtypes) pass through ``jax.device_get``
+    unchanged — their underlying data is unsigned ints (relay-safe) and
+    they cannot be expressed as numpy arrays."""
     jax, _ = _jax()
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     if not leaves:
         return tree
-    kinds = [_kind_of(x) for x in leaves]
-    packed = _packer(len(leaves))(leaves)
-    host = [unpack_host(np.asarray(p), k) for p, k in zip(packed, kinds)]
+    ext = [_is_extended(x) for x in leaves]
+    plain = [x for x, e in zip(leaves, ext) if not e]
+    host_plain: list = []
+    if plain:
+        kinds = [_kind_of(x) for x in plain]
+        packed = _packer(len(plain))(plain)
+        host_plain = [unpack_host(np.asarray(p), k)
+                      for p, k in zip(packed, kinds)]
+    it = iter(host_plain)
+    host = [jax.device_get(x) if e else next(it)
+            for x, e in zip(leaves, ext)]
     return jax.tree_util.tree_unflatten(treedef, host)
 
 

@@ -2,7 +2,9 @@
 (≈ reference qa_fourier, qa_FilterTool, qa_filter — SURVEY §4 strategy)."""
 
 import numpy as np
-from gnuradio4_tpu.utils.transfer import (host_array as to_host, safe_put as dev_put)
+from gnuradio4_tpu.utils.transfer import (device_zeros,
+                                          host_array as to_host,
+                                          safe_put as dev_put)
 import pytest
 import jax.numpy as jnp
 
@@ -137,7 +139,7 @@ class TestIir:
         x = rng.standard_normal(512).astype(np.float32)
         ref = _np_lfilter(res.b, res.a, x)
         y, _ = biquad_parallel_apply(dev_put(x), res.sos[0],
-                                     jnp.zeros((), jnp.complex64))
+                                     device_zeros((), jnp.complex64))
         np.testing.assert_allclose(to_host(y), ref, rtol=0, atol=1e-3)
 
 
@@ -230,7 +232,7 @@ class TestWindows:
 class TestFft:
     def test_matches_numpy(self, rng):
         x = rng.standard_normal(4 * 256).astype(np.float32)
-        spec = np.asarray(chunked_fft(dev_put(x), 256))
+        spec = to_host(chunked_fft(dev_put(x), 256))
         ref = np.fft.fft(x.reshape(4, 256), axis=-1)
         np.testing.assert_allclose(spec, ref, rtol=1e-4, atol=1e-3)
 
@@ -240,7 +242,7 @@ class TestFft:
         t = np.arange(n) / fs
         x = np.sin(2 * np.pi * f0 * t).astype(np.float32)
         w = jnp.asarray(make_window("Hann", n))
-        spec = np.asarray(chunked_fft(dev_put(x), n, window=w))[0]
+        spec = to_host(chunked_fft(dev_put(x), n, window=w))[0]
         peak_bin = np.argmax(np.abs(spec[: n // 2]))
         assert peak_bin == 128
         f = freq_axis(n, fs)
@@ -373,7 +375,8 @@ class TestJacobiSvd:
         for m, n in [(16, 8), (40, 17), (64, 64), (128, 33)]:
             a = jnp.asarray(rng.standard_normal((m, n)), jnp.float32)
             u, s, vt = jacobi_svd(a)
-            rec = (u * s[None, :]) @ vt
+            rec = jnp.einsum('ij,jk->ik', u * s[None, :], vt,
+                             precision=jax.lax.Precision.HIGHEST)
             np.testing.assert_allclose(to_host(rec), to_host(a),
                                        atol=2e-4)
             ref = np.linalg.svd(to_host(a), compute_uv=False)
