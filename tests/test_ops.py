@@ -6,6 +6,7 @@ from gnuradio4_tpu.utils.transfer import (device_zeros,
                                           host_array as to_host,
                                           safe_put as dev_put)
 import pytest
+import jax
 import jax.numpy as jnp
 
 from gnuradio4_tpu.ops import filter_design as fd
