@@ -648,9 +648,15 @@ class _ExpressionBase(Block):
     _ARGS: tuple[str, ...] = ("x",)
     _OUT_VAR = "y"
 
-    def __init__(self, name=None, expr_string=None, **settings):
+    def __init__(self, name=None, expr_string=None, functions=None,
+                 **settings):
         if expr_string is not None:      # reference setting-name alias
             settings.setdefault("expression", expr_string)
+        # per-block user functions (≈ ExprTk symbol_table.add_function,
+        # ExpressionBlocks.hpp:68): name -> JAX callable (or (fn, arity)),
+        # traced into the XLA program; layered over the global
+        # ops.expression.register_function registry
+        self._user_functions = dict(functions or {})
         super().__init__(name=name, **settings)
         self._compile_expr()
 
@@ -658,7 +664,8 @@ class _ExpressionBase(Block):
         from ..ops.expression import compile_expression
         self._fn = compile_expression(
             str(self.settings.get("expression")),
-            self._ARGS + ("a", "b", "c"), out_var=self._OUT_VAR)
+            self._ARGS + ("a", "b", "c"), out_var=self._OUT_VAR,
+            functions=self._user_functions)
 
     def on_settings_applied(self, result):
         if "expression" in result.applied:
@@ -687,8 +694,10 @@ class ExpressionSISO(_ExpressionBase):
                                         "exposed as additional output ports "
                                         "(multi-output assignment)")
 
-    def __init__(self, name=None, expr_string=None, **settings):
-        super().__init__(name=name, expr_string=expr_string, **settings)
+    def __init__(self, name=None, expr_string=None, functions=None,
+                 **settings):
+        super().__init__(name=name, expr_string=expr_string,
+                         functions=functions, **settings)
         extra = [s.strip() for s in
                  str(self.settings.get("extra_outputs")).split(",")
                  if s.strip()]

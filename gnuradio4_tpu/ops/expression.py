@@ -19,10 +19,18 @@ the XLA compiler is the JIT.  Supported ExprTk subset:
   reduces over it (Bulk-mode chunk axis), 2+ arguments stay elementwise
 - math functions (both ExprTk and NumPy spellings) and constants pi/e/inf
 
+- **user-defined functions** (≈ ExprTk ``symbol_table.add_function``,
+  which the reference exposes through its embedded interpreter,
+  ExpressionBlocks.hpp:68): ``register_function(name, fn)`` makes a
+  Python/JAX callable visible inside every expression; per-expression
+  tables go through ``compile_expression(..., functions={...})``. Arity
+  is checked at parse time (load-time ``GrError`` on mismatch). The
+  callable receives traced JAX arrays and is traced into the XLA program
+  like any built-in.
+
 Explicitly NOT supported (load-time ``GrError``, never a silent misparse):
 string literals/variables (no XLA lowering for the ExprTk string type) and
-data-dependent loop bounds. User-defined functions: compose expressions in
-Python instead (the reference embeds full ExprTk, ExpressionBlocks.hpp:68).
+data-dependent loop bounds.
 
 Recursive self-reference (ExprTk's ``y := y + 0.1*x`` IIR idiom,
 ExpressionBlocks.hpp doc examples) is detected statically: if the output
@@ -449,6 +457,66 @@ def _prod_elem(args):
 
 _MAX_UNROLL = 65536
 
+# ---------------------------------------------------------------------------
+# User-defined functions (≈ ExprTk symbol_table.add_function — the reference
+# registers C++ functors into its embedded interpreter,
+# ExpressionBlocks.hpp:68; here the registered Python/JAX callable is traced
+# straight into the XLA program)
+# ---------------------------------------------------------------------------
+
+_KEYWORDS = {"var", "for", "while", "repeat", "until", "and", "or", "not"}
+
+# global registry: name -> (callable, arity | None for variadic)
+_USER_FUNCTIONS: dict[str, tuple[Any, int | None]] = {}
+
+
+def _infer_arity(fn) -> int | None:
+    """Positional-parameter count of ``fn``; None when variadic/opaque."""
+    import inspect
+    try:
+        sig = inspect.signature(fn)
+    except (TypeError, ValueError):
+        return None
+    n = 0
+    for p in sig.parameters.values():
+        if p.kind in (p.VAR_POSITIONAL, p.VAR_KEYWORD):
+            return None
+        if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD):
+            if p.default is not p.empty:
+                return None          # optional args: skip the strict check
+            n += 1
+        elif p.default is p.empty:   # required keyword-only: not callable here
+            return None
+    return n
+
+
+def _validated_entry(name: str, fn, arity: int | None) -> tuple[Any, int | None]:
+    if not (isinstance(name, str) and name.isidentifier()):
+        raise GrError(f"expression: invalid function name {name!r}")
+    if name in _FUNCTIONS or name in _CONSTANTS or name in _KEYWORDS \
+            or name in _AGGREGATORS:
+        raise GrError(f"expression: cannot register {name!r} — it shadows a "
+                      f"built-in function/constant/keyword")
+    if not callable(fn):
+        raise GrError(f"expression: function {name!r} is not callable")
+    return (fn, _infer_arity(fn) if arity is None else int(arity))
+
+
+def register_function(name: str, fn, arity: int | None = None) -> None:
+    """Register a user-defined function visible inside ALL expressions
+    (≈ ExprTk ``symbol_table.add_function``, ExpressionBlocks.hpp:68).
+
+    ``fn`` receives JAX arrays/tracers positionally and must return one
+    array — it is traced into the compiled XLA program. ``arity`` defaults
+    to the callable's positional-parameter count and is enforced at parse
+    time; pass ``arity=None`` explicitly only for introspectable
+    signatures — variadic callables get no arity check."""
+    _USER_FUNCTIONS[name] = _validated_entry(name, fn, arity)
+
+
+def unregister_function(name: str) -> None:
+    _USER_FUNCTIONS.pop(name, None)
+
 
 # ---------------------------------------------------------------------------
 # Evaluator
@@ -461,9 +529,11 @@ def _is_concrete(v) -> bool:
 
 
 class _Evaluator:
-    def __init__(self, env: dict, src: str):
+    def __init__(self, env: dict, src: str,
+                 funcs: dict[str, tuple[Any, int | None]] | None = None):
         self.env = env
         self.src = src
+        self.funcs = funcs if funcs is not None else _USER_FUNCTIONS
 
     def run(self, stmts: list):
         last = None
@@ -621,9 +691,12 @@ class _Evaluator:
                 return _FUNCTIONS[node.name](v, v) \
                     if node.name in ("min", "max") else v
             fn = _FUNCTIONS.get(node.name)
+            if fn is None and node.name in self.funcs:
+                fn = self.funcs[node.name][0]
             if fn is None:
                 raise GrError(f"expression uses unknown function "
-                              f"{node.name!r}; allowed: {sorted(_FUNCTIONS)}")
+                              f"{node.name!r}; allowed: "
+                              f"{sorted(set(_FUNCTIONS) | set(self.funcs))}")
             return fn(*args)
         raise GrError(f"expression: cannot evaluate {node!r}")
 
@@ -632,14 +705,18 @@ class _Evaluator:
 # Static analysis + public API
 # ---------------------------------------------------------------------------
 
-def _collect_reads(node, reads: set, writes: set) -> None:
+def _collect_reads(node, reads: set, writes: set,
+                   funcs: dict[str, tuple[Any, int | None]] | None = None
+                   ) -> None:
+    if funcs is None:
+        funcs = _USER_FUNCTIONS
     if isinstance(node, list):
         for n in node:
-            _collect_reads(n, reads, writes)
+            _collect_reads(n, reads, writes, funcs)
     elif isinstance(node, Assign):
-        _collect_reads(node.expr, reads, writes)
+        _collect_reads(node.expr, reads, writes, funcs)
         if isinstance(node.target, Index):
-            _collect_reads(node.target.index, reads, writes)
+            _collect_reads(node.target.index, reads, writes, funcs)
             reads.add(node.target.base)  # read-modify-write of the vector
             writes.add(node.target.base)
         else:
@@ -648,31 +725,40 @@ def _collect_reads(node, reads: set, writes: set) -> None:
         reads.add(node.name)
     elif isinstance(node, Index):
         reads.add(node.base)
-        _collect_reads(node.index, reads, writes)
+        _collect_reads(node.index, reads, writes, funcs)
     elif isinstance(node, BinOp):
-        _collect_reads(node.lhs, reads, writes)
-        _collect_reads(node.rhs, reads, writes)
+        _collect_reads(node.lhs, reads, writes, funcs)
+        _collect_reads(node.rhs, reads, writes, funcs)
     elif isinstance(node, UnOp):
-        _collect_reads(node.operand, reads, writes)
+        _collect_reads(node.operand, reads, writes, funcs)
     elif isinstance(node, Ternary):
         for n in (node.cond, node.then, node.other):
-            _collect_reads(n, reads, writes)
+            _collect_reads(n, reads, writes, funcs)
     elif isinstance(node, Call):
-        if node.name not in _FUNCTIONS:
+        if node.name not in _FUNCTIONS and node.name not in funcs:
             raise GrError(f"expression uses unknown function {node.name!r}; "
-                          f"allowed: {sorted(_FUNCTIONS)}")
+                          f"allowed: {sorted(set(_FUNCTIONS) | set(funcs))}")
+        if node.name in funcs:
+            # parse-time arity check (≈ ExprTk's compile error on a
+            # wrong-arity call into a registered function)
+            arity = funcs[node.name][1]
+            if arity is not None and len(node.args) != arity:
+                raise GrError(
+                    f"expression: user function {node.name!r} takes "
+                    f"{arity} argument{'s' if arity != 1 else ''}, "
+                    f"called with {len(node.args)}")
         for n in node.args:
-            _collect_reads(n, reads, writes)
+            _collect_reads(n, reads, writes, funcs)
     elif isinstance(node, For):
         for n in (node.init, node.cond, node.step):
-            _collect_reads(n, reads, writes)
-        _collect_reads(node.body, reads, writes)
+            _collect_reads(n, reads, writes, funcs)
+        _collect_reads(node.body, reads, writes, funcs)
     elif isinstance(node, While):
-        _collect_reads(node.cond, reads, writes)
-        _collect_reads(node.body, reads, writes)
+        _collect_reads(node.cond, reads, writes, funcs)
+        _collect_reads(node.body, reads, writes, funcs)
     elif isinstance(node, Repeat):
-        _collect_reads(node.body, reads, writes)
-        _collect_reads(node.cond, reads, writes)
+        _collect_reads(node.body, reads, writes, funcs)
+        _collect_reads(node.cond, reads, writes, funcs)
 
 
 class CompiledExpression:
@@ -686,16 +772,26 @@ class CompiledExpression:
     """
 
     def __init__(self, src: str, arg_names: tuple[str, ...],
-                 out_var: str = "y"):
+                 out_var: str = "y",
+                 functions: dict[str, Any] | None = None):
         self.src = src
         self.arg_names = arg_names
         self.out_var = out_var
+        # effective function table = global registry overlaid with the
+        # per-expression table (≈ ExprTk: one symbol_table per expression,
+        # ExpressionBlocks.hpp:68). Snapshotted at compile time so later
+        # registry mutation can't silently change a compiled program.
+        self.functions: dict[str, tuple[Any, int | None]] = \
+            dict(_USER_FUNCTIONS)
+        for fname, fv in (functions or {}).items():
+            fn, arity = fv if isinstance(fv, tuple) else (fv, None)
+            self.functions[fname] = _validated_entry(fname, fn, arity)
         self.stmts = _Parser(_tokenize(src), src).parse_program()
         if not self.stmts:
             raise GrError(f"expression: empty program in {src!r}")
         reads: set = set()
         self.writes: set = set()
-        _collect_reads(self.stmts, reads, self.writes)
+        _collect_reads(self.stmts, reads, self.writes, self.functions)
         known = set(arg_names) | set(_CONSTANTS) | self.writes | {out_var}
         unknown = reads - known
         if unknown:
@@ -707,7 +803,7 @@ class CompiledExpression:
 
     def __call__(self, **inputs):
         env = dict(inputs)
-        ev = _Evaluator(env, self.src)
+        ev = _Evaluator(env, self.src, self.functions)
         last = ev.run(self.stmts)
         if self.out_var in self.writes:
             return env[self.out_var]
@@ -718,13 +814,20 @@ class CompiledExpression:
         the multi-output form (ExprTk programs may assign several result
         variables; each written name can feed its own output port)."""
         env = dict(inputs)
-        ev = _Evaluator(env, self.src)
+        ev = _Evaluator(env, self.src, self.functions)
         last = ev.run(self.stmts)
         result = env[self.out_var] if self.out_var in self.writes else last
         return result, {k: env[k] for k in self.writes if k in env}
 
 
 def compile_expression(src: str, arg_names: tuple[str, ...],
-                       out_var: str = "y") -> CompiledExpression:
-    """Parse + statically check an ExprTk-subset expression."""
-    return CompiledExpression(src, arg_names, out_var=out_var)
+                       out_var: str = "y",
+                       functions: dict[str, Any] | None = None
+                       ) -> CompiledExpression:
+    """Parse + statically check an ExprTk-subset expression.
+
+    ``functions`` maps extra names to Python/JAX callables (or
+    ``(callable, arity)`` tuples) visible inside this expression only,
+    layered over the global ``register_function`` registry."""
+    return CompiledExpression(src, arg_names, out_var=out_var,
+                              functions=functions)

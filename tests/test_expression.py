@@ -260,3 +260,107 @@ class TestWidenedSubset:
         with pytest.raises(GrError, match="never assigned"):
             gr.global_registry.create("ExpressionSISO", expression="y := x",
                                       extra_outputs="nope")
+
+
+class TestUserFunctions:
+    """User-defined functions (≈ ExprTk symbol_table.add_function — the
+    reference's embedded interpreter lets users register C++ functors,
+    ExpressionBlocks.hpp:68). Here the registered Python/JAX callable is
+    traced into the XLA program; arity is enforced at parse time."""
+
+    def test_global_registration_and_snapshot(self):
+        from gnuradio4_tpu.ops.expression import (register_function,
+                                                  unregister_function)
+        register_function("mysq", lambda v: v * v)
+        try:
+            fn = compile_expression("mysq(x) + 1", ("x",))
+            assert fn(x=3.0) == 10.0
+            # compiled programs snapshot the table: unregistering after
+            # compile must not break an already-compiled expression
+            unregister_function("mysq")
+            assert fn(x=4.0) == 17.0
+            with pytest.raises(GrError, match="unknown function"):
+                compile_expression("mysq(x)", ("x",))
+        finally:
+            unregister_function("mysq")
+
+    def test_per_expression_table(self):
+        fn = compile_expression("dbfs(x)", ("x",),
+                                functions={"dbfs":
+                                           lambda v: 20.0 * jnp.log10(v)})
+        np.testing.assert_allclose(float(fn(x=10.0)), 20.0, rtol=1e-6)
+        # the per-expression table does not leak into other expressions
+        with pytest.raises(GrError, match="unknown function"):
+            compile_expression("dbfs(x)", ("x",))
+
+    def test_arity_checked_at_parse_time(self):
+        funcs = {"mix": lambda a, b: a * b}
+        with pytest.raises(GrError, match="takes 2 arguments, called with 1"):
+            compile_expression("mix(x)", ("x",), functions=funcs)
+        with pytest.raises(GrError, match="takes 2 arguments, called with 3"):
+            compile_expression("mix(x, x, x)", ("x",), functions=funcs)
+        # explicit (fn, arity) tuple form
+        with pytest.raises(GrError, match="takes 1 argument, called with 2"):
+            compile_expression("f(x, x)", ("x",),
+                               functions={"f": (lambda *a: a[0], 1)})
+        # variadic callables get no arity check
+        fn = compile_expression("acc(x, x, x)", ("x",),
+                                functions={"acc": lambda *a: sum(a)})
+        assert fn(x=2.0) == 6.0
+
+    def test_builtin_shadowing_rejected(self):
+        from gnuradio4_tpu.ops.expression import register_function
+        for bad in ("sin", "pi", "for", "sum"):
+            with pytest.raises(GrError, match="shadows a built-in"):
+                register_function(bad, lambda v: v)
+        with pytest.raises(GrError, match="shadows a built-in"):
+            compile_expression("x", ("x",), functions={"max": lambda v: v})
+        with pytest.raises(GrError, match="not callable"):
+            compile_expression("x", ("x",), functions={"k": 3.0})
+
+    def test_user_function_inside_for_loop(self):
+        # the verdict's acceptance case: a user function called from a
+        # for-loop body, traced per iteration
+        fn = compile_expression(
+            "var acc := 0; for (var i := 0; i < 4; i += 1) "
+            "{ acc := acc + tri(x + i) }; y := acc",
+            ("x",), functions={"tri": lambda v: v * (v + 1.0) / 2.0})
+        x = 2.0
+        want = sum((x + i) * (x + i + 1) / 2 for i in range(4))
+        assert float(fn(x=x)) == pytest.approx(want)
+        # arity errors inside loop bodies are still parse-time
+        with pytest.raises(GrError, match="takes 1 argument"):
+            compile_expression(
+                "for (var i := 0; i < 2; i += 1) { y := tri(x, i) }",
+                ("x",), functions={"tri": lambda v: v})
+
+    def test_user_function_traces_on_arrays(self):
+        # the callable sees JAX arrays and vectorizes like a builtin
+        fn = compile_expression("relu6(a*x + b)", ("x", "a", "b"),
+                                functions={"relu6":
+                                           lambda v: jnp.clip(v, 0.0, 6.0)})
+        x = jnp.linspace(-5, 5, 11, dtype=jnp.float32)
+        out = np.asarray(fn(x=x, a=2.0, b=1.0))
+        np.testing.assert_allclose(out, np.clip(2 * np.asarray(x) + 1, 0, 6))
+
+    def test_expression_block_with_user_function(self):
+        # through a real Scheduler run (qa_ExpressionBlocks style)
+        data = np.linspace(-2.0, 2.0, 64).astype(np.float32)
+        out = _run_chain(
+            ExpressionSISO(expr_string="y := gauss(x) * a", param_a=2.0,
+                           functions={"gauss":
+                                      lambda v: jnp.exp(-v * v / 2.0)}),
+            data=data)
+        np.testing.assert_allclose(
+            out, 2.0 * np.exp(-data * data / 2.0), rtol=1e-5, atol=1e-6)
+
+    def test_block_recompile_keeps_functions(self):
+        # live expression retune via settings keeps the per-block table
+        data = np.arange(1.0, 9.0, dtype=np.float32)
+        blk = ExpressionSISO(expr_string="y := dbl(x)",
+                             functions={"dbl": lambda v: 2.0 * v})
+        out = _run_chain(blk, data=data)
+        np.testing.assert_allclose(out, 2.0 * data)
+        blk.settings.set({"expression": "y := dbl(x) + 1"})
+        blk.on_settings_applied(blk.settings.apply_staged())  # scheduler path
+        assert blk._fn(x=3.0, a=1.0, b=0.0, c=0.0) == 7.0
