@@ -19,7 +19,7 @@ from ..core.settings import Setting
 from ..core.stream import canonical_dtype
 from ..ops.signal import (NOISE_WAVEFORMS, WAVEFORMS,
                           nco_phases, phase_increment, phase_to_frac,
-                          waveform, complex_exp)
+                          waveform, complex_exp, complex_exp_ramp)
 
 
 @register_block("SignalGenerator")
@@ -176,9 +176,14 @@ class ComplexToneSource(SignalGenerator):
         ch = ctx.channels["out"]
         dphi = jnp.asarray(ctx.params.get("_dphi", np.uint32(0)), jnp.uint32)
         ph0 = jnp.asarray(ctx.params.get("_phase0_u32", np.uint32(0)), jnp.uint32)
-        ph = nco_phases(state + ph0, dphi, n)
-        y = complex_exp(phase_to_frac(ph),
-                        amplitude=jnp.asarray(ctx.p("amplitude", 1.0), jnp.float32))
+        amp = jnp.asarray(ctx.p("amplitude", 1.0), jnp.float32)
+        if dphi.ndim == 0 and amp.ndim == 0:
+            # factored outer-product NCO: O(√n) transcendentals, HBM-write-
+            # bound (round-4 — direct sin/cos cost 18% of the headline chain)
+            y = complex_exp_ramp(state + ph0, dphi, n, amplitude=amp)
+        else:   # per-sample param ramps (tag-accurate) keep the direct form
+            y = complex_exp(phase_to_frac(nco_phases(state + ph0, dphi, n)),
+                            amplitude=amp)
         y = y + jnp.asarray(ctx.p("offset", 0.0), jnp.float32).astype(jnp.complex64)
         if ch:
             y = jnp.broadcast_to(y, (ch, n))

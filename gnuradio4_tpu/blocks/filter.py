@@ -149,17 +149,18 @@ class FreqXlatingFir(FirFilter):
         return {"hist": hist, "phase": jnp.zeros((), jnp.uint32)}
 
     def apply(self, state, ins, ctx):
-        from ..ops.signal import nco_phases, phase_to_frac, complex_exp, phase_increment
+        from ..ops.signal import complex_exp_ramp, phase_increment
         x = ins["in"].astype(jnp.complex64)
         fs = self._fs(ctx.sample_rate)
         decim = int(self.settings.get("decim"))
         y, hist = fir_apply(x, self._rotated_taps(fs),
                             state["hist"].astype(jnp.complex64), decim=decim)
         # de-rotate at the decimated rate: multiply by e^{-j2πfc/fs·decim·m}
+        # (factored-ramp NCO: O(√n) transcendentals, fuses into the multiply)
         n_out = y.shape[-1]
         dphi = phase_increment(-float(self.settings.get("center_freq")) * decim, fs)
-        ph = nco_phases(state["phase"], jnp.asarray(dphi, jnp.uint32), n_out)
-        y = (y * complex_exp(phase_to_frac(ph))).astype(jnp.complex64)
+        y = (y * complex_exp_ramp(state["phase"], dphi, n_out)
+             ).astype(jnp.complex64)
         new_phase = state["phase"] + jnp.asarray(dphi, jnp.uint32) * jnp.uint32(n_out)
         return {"hist": hist, "phase": new_phase}, {"out": y}
 
@@ -168,8 +169,7 @@ class FreqXlatingFir(FirFilter):
         NCO phase is position-dependent, so each shard offsets its start phase
         by its global output position (integer phase wraps mod 2³² exactly)."""
         import jax
-        from ..ops.signal import (complex_exp, nco_phases, phase_increment,
-                                  phase_to_frac)
+        from ..ops.signal import complex_exp_ramp, phase_increment
         from ..parallel.halo import halo_left, last_shard_tail
         x = ins["in"].astype(jnp.complex64)
         h = len(self._taps_array()) - 1
@@ -184,8 +184,7 @@ class FreqXlatingFir(FirFilter):
         dphi = jnp.asarray(phase_increment(
             -float(self.settings.get("center_freq")) * decim, fs), jnp.uint32)
         phase0 = state["phase"] + dphi * (idx * n_out).astype(jnp.uint32)
-        ph = nco_phases(phase0, dphi, n_out)
-        y = (y * complex_exp(phase_to_frac(ph))).astype(jnp.complex64)
+        y = (y * complex_exp_ramp(phase0, dphi, n_out)).astype(jnp.complex64)
         tail = last_shard_tail(x, h, axis_name)
         new_phase = state["phase"] + dphi * jnp.uint32(size * n_out)
         return ({"hist": tail.astype(state["hist"].dtype),

@@ -16,7 +16,8 @@ import numpy as np
 from ..core.block import Block, Port
 from ..core.registry import register_block
 from ..core.settings import Setting
-from ..ops.signal import nco_phases, phase_increment, phase_to_frac, complex_exp
+from ..ops.signal import (nco_phases, phase_increment, phase_to_frac,
+                          complex_exp, complex_exp_ramp)
 
 
 class _NAry(Block):
@@ -219,10 +220,10 @@ class Rotator(Block):
             inc = jnp.cumsum(dphi, dtype=jnp.uint32) - dphi  # exclusive, wraps
             ph = state + inc
             new_phase = state + jnp.sum(dphi, dtype=jnp.uint32)
+            lo = complex_exp(phase_to_frac(ph))
         else:
-            ph = nco_phases(state, dphi, n)
             new_phase = state + dphi * jnp.uint32(n)
-        lo = complex_exp(phase_to_frac(ph))
+            lo = complex_exp_ramp(state, dphi, n)   # O(√n) transcendentals
         phoff = jnp.asarray(ctx.params.get("_phoff", np.float32(0.0)),
                             jnp.float32)
         lo = jnp.where(phoff != 0.0,

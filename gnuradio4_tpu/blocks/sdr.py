@@ -370,8 +370,7 @@ class SsbDemod(Block):
 
     def apply(self, state, ins, ctx):
         from ..ops.fir import fir_apply
-        from ..ops.signal import (complex_exp, nco_phases, phase_increment,
-                                  phase_to_frac)
+        from ..ops.signal import complex_exp_ramp, phase_increment
         x = ins["in"].astype(jnp.complex64)
         fs = self._fs(ctx.sample_rate)
         bw = float(self.settings.get("bandwidth"))
@@ -381,8 +380,7 @@ class SsbDemod(Block):
         # without the shift-back the audio lands offset by bw/2)
         dphi = phase_increment(sign * bw / 2.0, fs)
         n = x.shape[-1]
-        ph = nco_phases(state["phase"], jnp.asarray(dphi, jnp.uint32), n)
-        rot = complex_exp(phase_to_frac(ph))
+        rot = complex_exp_ramp(state["phase"], dphi, n)
         xb = x * rot
         y, hist = fir_apply(xb, self._taps(fs), state["hist"])
         y = y * jnp.conj(rot)

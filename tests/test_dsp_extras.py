@@ -366,3 +366,43 @@ class TestSoftDemapper:
         gr.Scheduler(g, block_len=512, sample_rate=1e6).run_and_wait()
         np.testing.assert_array_equal(np.asarray(v.data()),
                                       u.astype(np.float32))
+
+
+class TestComplexExpRamp:
+    """Factored outer-product NCO (round-4): O(√n) transcendentals must match
+    the direct per-sample sin/cos NCO to f32 rounding, across the small-n
+    direct path, non-power-of-two lengths, and phase/dphi wraps."""
+
+    def test_matches_direct_form(self):
+        import jax.numpy as jnp
+        from gnuradio4_tpu.ops.signal import (complex_exp, complex_exp_ramp,
+                                              nco_phases, phase_to_frac)
+        for n in (64, 8192, 16384, 40960, 12288 * 3):
+            for dphi in (7, 123456789, 0x80000001, 0):
+                for ph0 in (0, 0xDEADBEEF):
+                    direct = complex_exp(phase_to_frac(nco_phases(
+                        jnp.uint32(ph0), jnp.uint32(dphi), n)))
+                    fact = complex_exp_ramp(jnp.uint32(ph0),
+                                            jnp.uint32(dphi), n)
+                    np.testing.assert_allclose(
+                        np.asarray(fact), np.asarray(direct), atol=2e-6,
+                        err_msg=f"n={n} dphi={dphi} ph0={ph0}")
+
+    def test_amplitude_folded(self):
+        import jax.numpy as jnp
+        from gnuradio4_tpu.ops.signal import complex_exp_ramp
+        y = complex_exp_ramp(jnp.uint32(0), jnp.uint32(1 << 20), 16384,
+                             amplitude=jnp.float32(2.5))
+        np.testing.assert_allclose(np.abs(np.asarray(y)), 2.5, atol=1e-5)
+
+    def test_phase_continuity_across_steps(self):
+        # two steps of n/2 starting from the carried phase == one step of n
+        import jax.numpy as jnp
+        from gnuradio4_tpu.ops.signal import complex_exp_ramp
+        n, dphi = 32768, 987654321
+        full = np.asarray(complex_exp_ramp(jnp.uint32(5), jnp.uint32(dphi), n))
+        a = np.asarray(complex_exp_ramp(jnp.uint32(5), jnp.uint32(dphi), n // 2))
+        ph2 = np.uint32((5 + np.uint64(dphi) * (n // 2)) % (1 << 32))
+        b = np.asarray(complex_exp_ramp(jnp.asarray(ph2, jnp.uint32),
+                                        jnp.uint32(dphi), n // 2))
+        np.testing.assert_allclose(np.concatenate([a, b]), full, atol=4e-7)

@@ -133,7 +133,12 @@ class TestUnifiedSpSharding:
         g2, s2 = build()
         gr.Scheduler(g2, block_len=8192, mesh=sp_mesh,
                      pipeline_depth=1).run_and_wait()
-        np.testing.assert_array_equal(s2.data(), s1.data())
+        # decim=4 gives 256-sample local outputs (< the 1024 NCO tile), so the
+        # shards take the direct per-sample form while the unsharded run
+        # takes the factored form: both are valid f32 roundings of the exact
+        # integer phase — they agree to the phase-quantisation floor (~7e-7)
+        np.testing.assert_allclose(
+            s2.data(), s1.data(), rtol=0.0, atol=1e-6)
 
     def test_sequential_block_gather_island(self, sp_mesh):
         """Blocks that cannot time-shard (IIR scan state) fall back to a
@@ -176,7 +181,13 @@ class TestUnifiedSpSharding:
 
 class TestIndexedNcoSharding:
     """Position-deterministic NCO blocks generate per shard without gather
-    islands (exact uint32 phase offsets)."""
+    islands (exact uint32 phase offsets). Since round 4 the NCO uses the
+    factored outer-product form (ops/signal.complex_exp_ramp): integer
+    phases stay exact, but the final unit-vector product's FMA contraction
+    may differ between program shapes, so sharded-vs-unsharded agreement is
+    ≤2 f32 ulps rather than bitwise."""
+
+    _NCO_ULP = dict(rtol=0.0, atol=2.4e-7)   # 2 ulps at |z| = 1
 
     def test_sources_and_rotator_bit_exact(self, sp_mesh):
         def build():
@@ -200,7 +211,7 @@ class TestIndexedNcoSharding:
         gr.Scheduler(g2, block_len=8192, sample_rate=48000.0, mesh=sp_mesh,
                      pipeline_depth=1).run_and_wait()
         np.testing.assert_array_equal(a2.data(), a1.data())
-        np.testing.assert_array_equal(b2.data(), b1.data())
+        np.testing.assert_allclose(b2.data(), b1.data(), **self._NCO_ULP)
 
     def test_rotator_phase_increment_surface_sharded(self, sp_mesh):
         """Regression: the _phoff phase offset (phase_increment/initial_phase
@@ -221,7 +232,7 @@ class TestIndexedNcoSharding:
         g2, s2 = build()
         gr.Scheduler(g2, block_len=8192, sample_rate=48000.0, mesh=sp_mesh,
                      pipeline_depth=1).run_and_wait()
-        np.testing.assert_array_equal(s2.data(), s1.data())
+        np.testing.assert_allclose(s2.data(), s1.data(), **self._NCO_ULP)
 
     def test_no_gather_island_in_program(self, sp_mesh):
         g = gr.Graph()
