@@ -145,44 +145,91 @@ class FreqXlatingFir(FirFilter):
         self._fs_cached = ctx.sample_rate     # design rate for f_cut mode
         ntaps = len(self._taps_array())
         ch = ctx.channels.get("in", 0)
-        hist = fir_init_state(ch, ntaps, jnp.complex64)
+        # complex input → rotate-then-filter path: history holds ROTATED
+        # samples (complex64). Real input → heterodyned-taps path: history is
+        # the raw real stream (no zero imaginary rail through the matmuls).
+        in_dt = np.dtype(ctx.dtype("in", np.complex64))
+        dt = jnp.complex64 if in_dt == np.dtype(np.complex64) else jnp.float32
+        hist = fir_init_state(ch, ntaps, dt)
         return {"hist": hist, "phase": jnp.zeros((), jnp.uint32)}
 
     def apply(self, state, ins, ctx):
         from ..ops.signal import complex_exp_ramp, phase_increment
-        x = ins["in"].astype(jnp.complex64)
+        x = ins["in"]
         fs = self._fs(ctx.sample_rate)
         decim = int(self.settings.get("decim"))
-        y, hist = fir_apply(x, self._rotated_taps(fs),
-                            state["hist"].astype(jnp.complex64), decim=decim)
-        # de-rotate at the decimated rate: multiply by e^{-j2πfc/fs·decim·m}
-        # (factored-ramp NCO: O(√n) transcendentals, fuses into the multiply)
+        fc = float(self.settings.get("center_freq"))
+        if jnp.issubdtype(x.dtype, jnp.complexfloating):
+            # Rotate-then-filter: the heterodyned-taps form's output
+            # de-rotation cancels the tap heterodyne EXACTLY —
+            #   e^{-jωn}·Σₖ h[k]e^{jωk} x[n−k] = Σₖ h[k]·(x·e^{-jω·})[n−k]
+            # — so rotating the INPUT (O(√n)-transcendental factored-ramp NCO,
+            # a fused elementwise pass) lets the FIR run with REAL taps:
+            # 4 banded MXU dots instead of 8. History carries the rotated
+            # stream; the uint32 phase accumulates at the INPUT rate.
+            x = x.astype(jnp.complex64)
+            n_in = x.shape[-1]
+            dphi = phase_increment(-fc, fs)
+            xr = (x * complex_exp_ramp(state["phase"], dphi, n_in)
+                  ).astype(jnp.complex64)
+            self._fs_cached = fs              # design rate for f_cut mode
+            y, hist = fir_apply(xr, self._taps_array(),
+                                state["hist"].astype(jnp.complex64),
+                                decim=decim)
+            new_phase = state["phase"] \
+                + jnp.asarray(dphi, jnp.uint32) * jnp.uint32(n_in)
+            return ({"hist": hist, "phase": new_phase},
+                    {"out": y.astype(jnp.complex64)})
+        # Real input: heterodyned complex taps over the REAL rail (4 dots) +
+        # de-rotation at the decimated output rate (n/decim NCO samples).
+        y, hist = fir_apply(x.astype(jnp.float32), self._rotated_taps(fs),
+                            state["hist"].astype(jnp.float32), decim=decim)
         n_out = y.shape[-1]
-        dphi = phase_increment(-float(self.settings.get("center_freq")) * decim, fs)
+        dphi = phase_increment(-fc * decim, fs)
         y = (y * complex_exp_ramp(state["phase"], dphi, n_out)
              ).astype(jnp.complex64)
         new_phase = state["phase"] + jnp.asarray(dphi, jnp.uint32) * jnp.uint32(n_out)
         return {"hist": hist, "phase": new_phase}, {"out": y}
 
     def apply_sp(self, state, ins, ctx, local_ctx, axis_name):
-        """Time-sharded lowering: FIR history via ppermute halo; the de-rotation
-        NCO phase is position-dependent, so each shard offsets its start phase
-        by its global output position (integer phase wraps mod 2³² exactly)."""
+        """Time-sharded lowering: FIR history via ppermute halo; the NCO phase
+        is position-dependent, so each shard offsets its start phase by its
+        global position (integer phase wraps mod 2³² exactly). Complex input
+        rotates BEFORE the halo exchange (the carried tail is the rotated
+        stream, matching ``apply``'s history)."""
         import jax
         from ..ops.signal import complex_exp_ramp, phase_increment
         from ..parallel.halo import halo_left, last_shard_tail
-        x = ins["in"].astype(jnp.complex64)
+        x = ins["in"]
         h = len(self._taps_array()) - 1
         fs = self._fs(ctx.sample_rate)
         decim = int(self.settings.get("decim"))
+        fc = float(self.settings.get("center_freq"))
+        idx = jax.lax.axis_index(axis_name)
+        size = jax.lax.axis_size(axis_name)
+        if jnp.issubdtype(x.dtype, jnp.complexfloating):
+            x = x.astype(jnp.complex64)
+            n_in = x.shape[-1]
+            dphi = jnp.asarray(phase_increment(-fc, fs), jnp.uint32)
+            phase0 = state["phase"] + dphi * (idx * n_in).astype(jnp.uint32)
+            xr = (x * complex_exp_ramp(phase0, dphi, n_in)
+                  ).astype(jnp.complex64)
+            self._fs_cached = fs              # design rate for f_cut mode
+            halo = halo_left(xr, h, axis_name,
+                             state["hist"].astype(xr.dtype)) \
+                if h > 0 else xr[..., :0]
+            y, _ = fir_apply(xr, self._taps_array(), halo, decim=decim)
+            tail = last_shard_tail(xr, h, axis_name)
+            new_phase = state["phase"] + dphi * jnp.uint32(size * n_in)
+            return ({"hist": tail.astype(state["hist"].dtype),
+                     "phase": new_phase},
+                    {"out": y.astype(jnp.complex64)})
+        x = x.astype(jnp.float32)
         halo = halo_left(x, h, axis_name, state["hist"].astype(x.dtype)) \
             if h > 0 else x[..., :0]
         y, _ = fir_apply(x, self._rotated_taps(fs), halo, decim=decim)
         n_out = y.shape[-1]
-        idx = jax.lax.axis_index(axis_name)
-        size = jax.lax.axis_size(axis_name)
-        dphi = jnp.asarray(phase_increment(
-            -float(self.settings.get("center_freq")) * decim, fs), jnp.uint32)
+        dphi = jnp.asarray(phase_increment(-fc * decim, fs), jnp.uint32)
         phase0 = state["phase"] + dphi * (idx * n_out).astype(jnp.uint32)
         y = (y * complex_exp_ramp(phase0, dphi, n_out)).astype(jnp.complex64)
         tail = last_shard_tail(x, h, axis_name)

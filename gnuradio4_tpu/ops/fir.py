@@ -128,9 +128,11 @@ def _choose_tile(n: int, ntaps: int, decim: int) -> int:
     """Tile length: ≥ ntaps−1 (framing constraint), multiple of decim,
     MXU-friendly (~128–1024). The stream is zero-PADDED up to a tile multiple
     (never a single giant tile — a prime-ish n would otherwise materialize an
-    O(n²) Toeplitz)."""
+    O(n²) Toeplitz). GR4TPU_FIR_TILE overrides the base (perf sweeps)."""
     import math
-    base = max(128, _next_pow2(ntaps - 1))
+    base = int(os.environ.get("GR4TPU_FIR_TILE", "0")) \
+        or max(128, _next_pow2(ntaps - 1))
+    base = max(base, _next_pow2(ntaps - 1))   # framing needs overlap ≤ step
     tile = base * decim // math.gcd(base, decim)
     return min(tile, max(_next_pow2(max(n, 1)), decim))
 
