@@ -38,8 +38,13 @@ def _readback(tree, deadline_s: float = 240.0) -> float | None:
 
     def rb():
         try:
+            # numeric leaves only — PRNG key arrays (key<fry>) reject jnp.abs
             leaves = [v for v in jax.tree_util.tree_leaves(tree)
-                      if hasattr(v, "dtype")]
+                      if hasattr(v, "dtype")
+                      and jnp.issubdtype(v.dtype, jnp.number)]
+            if not leaves:
+                box["err"] = "no numeric leaves"
+                return
             vec = jax.jit(lambda ls: jnp.broadcast_to(
                 sum(jnp.sum(jnp.abs(x)).astype(jnp.float32) for x in ls),
                 (8,)))(leaves)
@@ -258,85 +263,153 @@ def config7_ldpc(block_len, steps):
     return _run_sched(build, bl, steps)
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--block-len", type=int, default=1 << 20)
-    ap.add_argument("--steps", type=int, default=20)
-    ap.add_argument("--configs", default="1,2,3,4,5,6,7")
-    args = ap.parse_args()
+def _run_one(key: str, block_len: int, steps: int) -> dict:
+    """Run one config in THIS process; returns its result record."""
     import jax
     import os
     if os.environ.get("GR4_BENCH_FORCE_CPU") == "1":
         # the axon plugin overrides JAX_PLATFORMS from the environment; only
         # an explicit config update reaches the CPU backend
         jax.config.update("jax_platforms", "cpu")
+    try:
+        # warm compile cache shared with bench.py — later attempts start warm
+        here = os.path.dirname(os.path.abspath(__file__))
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(here, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
     platform = jax.devices()[0].platform
+    on_cpu = platform == "cpu"
     builders = {"1": ("mono FIR127+FFT4096", config1),
                 "2": ("polyphase resampler 3/2", config2),
-                "3": ("WBFM receiver", config3),
+                "3": ("WBFM receiver (latency block)", config3),
+                "3t": ("WBFM receiver (throughput block)", config3),
                 "4": ("PFB channelizer 64ch", config4)}
-    for key in args.configs.split(","):
-        key = key.strip()
+    # per-config operating points (CPU smoke uses small windows)
+    bl = block_len
+    if key == "3":
+        bl = min(bl, 1 << 18)          # latency-oriented natural block
+    elif key == "3t":
+        bl = max(bl, 1 << 22) if not on_cpu else bl   # throughput point
+    elif key == "5":
+        bl = max(bl, 1 << 21) if not on_cpu else bl
+    if on_cpu:
+        bl = min(bl, 1 << 18)
+        steps = min(steps, 8)
+    rec: dict = {"config": key, "platform": platform, "block_len": bl}
+    try:
         if key == "5":
-            try:
-                msps, verified = config5_scheduler(args.block_len, args.steps)
-                print(json.dumps({"config": "5",
-                                  "name": "scheduler loop: 256ch PFB + demod + tags",
-                                  "platform": platform,
-                                  "block_len": args.block_len,
-                                  "msps": round(msps, 1),
-                                  "verified": verified}), flush=True)
-            except Exception as e:
-                print(json.dumps({"config": "5",
-                                  "error": f"{type(e).__name__}: {e}"}),
-                      flush=True)
-            continue
-        if key == "6":
-            bl6 = min(args.block_len, 1 << 16)   # overhead shows at small blocks
-            try:
-                msps, verified = config6_cascade(bl6, max(args.steps, 200))
-                print(json.dumps({"config": "6",
-                                  "name": "scheduler overhead: 40-block cascade"
-                                          " (bm_Scheduler mirror)",
-                                  "platform": platform,
-                                  "block_len": bl6,
-                                  "msps": round(msps, 1),
-                                  "verified": verified}), flush=True)
-            except Exception as e:
-                print(json.dumps({"config": "6",
-                                  "error": f"{type(e).__name__}: {e}"}),
-                      flush=True)
-            continue
-        if key == "7":
-            bl7 = min(args.block_len, 1 << 17)
-            try:
-                msps, verified = config7_ldpc(bl7, max(args.steps, 40))
-                print(json.dumps({"config": "7",
-                                  "name": "LDPC min-sum decode (n=256 R=1/2"
-                                          " 25 iters), coded Mbit/s",
-                                  "platform": platform,
-                                  "block_len": bl7,
-                                  "msps": round(msps, 1),
-                                  "verified": verified}), flush=True)
-            except Exception as e:
-                print(json.dumps({"config": "7",
-                                  "error": f"{type(e).__name__}: {e}"}),
-                      flush=True)
-            continue
-        name, builder = builders[key]
-        bl = args.block_len
-        if key.strip() == "3":
-            bl = min(bl, 1 << 18)  # FM chain has small natural block
-        try:
+            rec["name"] = "scheduler loop: 256ch PFB + demod + tags"
+            msps, verified = config5_scheduler(bl, steps)
+        elif key == "6":
+            bl = min(bl, 1 << 16)      # overhead shows at small blocks
+            rec.update(name="scheduler overhead: 40-block cascade "
+                            "(bm_Scheduler mirror)", block_len=bl)
+            msps, verified = config6_cascade(bl, max(steps, 200))
+        elif key == "7":
+            bl = min(bl, 1 << 17)
+            rec.update(name="LDPC min-sum decode (n=256 R=1/2 25 iters, "
+                            "dense check-layout), coded Mbit/s", block_len=bl)
+            msps, verified = config7_ldpc(bl, max(steps, 40))
+        else:
+            name, builder = builders[key]
+            rec["name"] = name
             compiled = builder(bl)
-            msps, verified = _run(compiled, args.steps, bl)
-            print(json.dumps({"config": key.strip(), "name": name,
-                              "platform": platform, "block_len": bl,
-                              "msps": round(msps, 1),
-                              "verified": verified}), flush=True)
-        except Exception as e:
-            print(json.dumps({"config": key.strip(), "name": name,
-                              "error": f"{type(e).__name__}: {e}"}), flush=True)
+            msps, verified = _run(compiled, steps, bl)
+        rec.update(msps=round(msps, 1), verified=verified)
+    except Exception as e:
+        rec["error"] = f"{type(e).__name__}: {e}"
+    return rec
+
+
+ALL_CONFIGS = "1,2,3,3t,4,5,6,7"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--block-len", type=int, default=1 << 20)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--configs", default=ALL_CONFIGS)
+    ap.add_argument("--out", default=None,
+                    help="write all result records to this JSON file")
+    ap.add_argument("--retries", type=int, default=4,
+                    help="fresh-process attempts per config hunting a "
+                         "healthy (verified) window")
+    args = ap.parse_args()
+    import os
+    if os.environ.get("GR4_SUITE_CHILD") == "1":
+        # child mode: one config, one process. A failed D2H poisons the whole
+        # in-process PJRT client (NOTES.md), so each attempt gets a fresh one.
+        # Hard watchdog: even COMPILE can hang on this transport (rc=7).
+        import threading
+        budget = float(os.environ.get("GR4_BENCH_CHILD_BUDGET_S", "600"))
+        threading.Thread(target=lambda: (time.sleep(budget), os._exit(7)),
+                         daemon=True).start()
+        rec = _run_one(args.configs.strip(), args.block_len, args.steps)
+        print(json.dumps(rec), flush=True)
+        # readback threads may be wedged inside the PJRT client — exit hard
+        os._exit(0)
+
+    # parent: per-config healthy-window hunting in fresh subprocesses (same
+    # protocol as bench.py's _main_with_retry, per VERDICT r3 item 2)
+    import subprocess
+    deadline = time.monotonic() + float(
+        os.environ.get("GR4_SUITE_DEADLINE_S", "3600"))
+    results: list[dict] = []
+    for key in [k.strip() for k in args.configs.split(",") if k.strip()]:
+        held: dict | None = None
+        for attempt in range(args.retries):
+            if time.monotonic() > deadline - 60:
+                print(f"# suite deadline reached at config {key}",
+                      file=sys.stderr)
+                break
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--configs", key, "--block-len", str(args.block_len),
+                 "--steps", str(args.steps)],
+                env={**os.environ, "GR4_SUITE_CHILD": "1"},
+                capture_output=True, text=True)
+            sys.stderr.write(r.stderr)
+            rec = None
+            for line in reversed(r.stdout.splitlines()):
+                line = line.strip()
+                if line.startswith("{"):
+                    try:
+                        rec = json.loads(line)
+                        break
+                    except Exception:
+                        pass
+            if rec is None:
+                rec = {"config": key,
+                       "error": f"child rc={r.returncode}, no JSON"}
+            if rec.get("verified"):
+                held = rec
+                break
+            if held is None or "msps" in rec:
+                held = rec       # keep the best labeled fallback
+            wait = 20 * (attempt + 1)
+            print(f"# config {key} attempt {attempt + 1}: "
+                  f"{'UNVERIFIED' if 'msps' in rec else rec.get('error')} — "
+                  f"fresh-process retry in {wait} s", file=sys.stderr)
+            if attempt + 1 < args.retries:
+                time.sleep(wait)
+        if held is not None:
+            results.append(held)
+            print(json.dumps(held), flush=True)
+    if args.out:
+        import datetime
+        payload = {"date": datetime.datetime.now(datetime.timezone.utc)
+                   .strftime("%Y-%m-%dT%H:%M:%SZ"),
+                   "protocol": "readback-terminated differential timing per "
+                               "config, fresh process per attempt, "
+                               "healthy-window hunting (verified=true) with "
+                               "labeled dispatch-rate fallback",
+                   "results": results}
+        with open(args.out, "w") as f:
+            json.dump(payload, f, indent=1)
+        print(f"# wrote {args.out}", file=sys.stderr)
 
 
 if __name__ == "__main__":

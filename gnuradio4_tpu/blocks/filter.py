@@ -159,6 +159,18 @@ class FreqXlatingFir(FirFilter):
         fs = self._fs(ctx.sample_rate)
         decim = int(self.settings.get("decim"))
         fc = float(self.settings.get("center_freq"))
+        if fc == 0.0:
+            # no translation: both NCO ramps are identically 1 (dphi = 0 and
+            # the phase state never leaves its initial 0) — plain FIR, no
+            # elementwise pass over the stream (config-3's channel filter)
+            self._fs_cached = fs
+            xt = x.astype(jnp.complex64 if jnp.issubdtype(
+                x.dtype, jnp.complexfloating) else jnp.float32)
+            y, hist = fir_apply(xt, self._taps_array(),
+                                state["hist"].astype(xt.dtype), decim=decim)
+            return ({"hist": hist.astype(state["hist"].dtype),
+                     "phase": state["phase"]},
+                    {"out": y.astype(jnp.complex64)})
         if jnp.issubdtype(x.dtype, jnp.complexfloating):
             # Rotate-then-filter: the heterodyned-taps form's output
             # de-rotation cancels the tap heterodyne EXACTLY —
@@ -207,6 +219,18 @@ class FreqXlatingFir(FirFilter):
         fc = float(self.settings.get("center_freq"))
         idx = jax.lax.axis_index(axis_name)
         size = jax.lax.axis_size(axis_name)
+        if fc == 0.0:
+            xt = x.astype(jnp.complex64 if jnp.issubdtype(
+                x.dtype, jnp.complexfloating) else jnp.float32)
+            self._fs_cached = fs
+            halo = halo_left(xt, h, axis_name,
+                             state["hist"].astype(xt.dtype)) \
+                if h > 0 else xt[..., :0]
+            y, _ = fir_apply(xt, self._taps_array(), halo, decim=decim)
+            tail = last_shard_tail(xt, h, axis_name)
+            return ({"hist": tail.astype(state["hist"].dtype),
+                     "phase": state["phase"]},
+                    {"out": y.astype(jnp.complex64)})
         if jnp.issubdtype(x.dtype, jnp.complexfloating):
             x = x.astype(jnp.complex64)
             n_in = x.shape[-1]
