@@ -17,7 +17,7 @@ import numpy as np
 from ..core.block import Block, Port
 from ..core.registry import register_block
 from ..core.settings import Setting
-from ..ops.fft import chunked_fft, fftshift, magnitude, magnitude_db, spectrum_scale
+from ..ops.fft import fftshift, magnitude, magnitude_db, spectrum_scale
 from ..ops.windows import WINDOWS, make_window
 
 
@@ -42,6 +42,28 @@ class FFT(Block):
     shift = Setting(default=False, kind="static", description="fftshift spectra")
     calibrate = Setting(default=True, kind="static",
                         description="scale by window coherent gain / N")
+    engine = Setting(default="auto", kind="static",
+                     choices=("auto", "xla", "matmul", "matmul_bf16"),
+                     description="auto/xla → FFT HLO; matmul → four-step MXU "
+                                 "FFT at ~f32 (3-pass); matmul_bf16 → one-pass "
+                                 "MXU FFT (~50 dB, monitoring-grade). 'auto' "
+                                 "honors GR4TPU_FFT_ENGINE for perf sweeps")
+
+    def _engine(self) -> str:
+        import os
+        eng = str(self.settings.get("engine"))
+        if eng == "auto":
+            eng = os.environ.get("GR4TPU_FFT_ENGINE", "xla").lower()
+        return eng
+
+    def _fft(self, frames: jnp.ndarray, n: int) -> jnp.ndarray:
+        eng = self._engine()
+        if eng in ("matmul", "matmul_bf16") and n >= 64 \
+                and (n & (n - 1)) == 0:
+            from ..ops.fft import matmul_fft
+            return matmul_fft(frames, n,
+                              mode="bf16" if eng.endswith("bf16") else "high")
+        return jnp.fft.fft(frames, axis=-1)
 
     def _stride(self) -> int:
         s = int(self.settings.get("stride"))
@@ -84,7 +106,10 @@ class FFT(Block):
         win = None if wname.lower() in ("none", "") else \
             jnp.asarray(make_window(wname, n))
         if s >= n:
-            spec = chunked_fft(x, n, window=win)
+            frames = x.reshape(*x.shape[:-1], -1, n)
+            if win is not None:
+                frames = frames * win.astype(jnp.real(frames).dtype)
+            spec = self._fft(frames, n)
         else:
             # overlapping windows: carried (n−s)-sample history + gather-free
             # framing (the Stride<stride<chunk> overlap semantics)
@@ -96,7 +121,7 @@ class FFT(Block):
             frames = _frame_overlapping_general(xc, s, n)   # [B, k, n]
             if win is not None:
                 frames = frames * win.astype(jnp.real(frames).dtype)
-            spec = jnp.fft.fft(frames, axis=-1)
+            spec = self._fft(frames, n)
             state = xc[..., -(n - s):]
             if squeeze:
                 spec = spec[0]

@@ -39,13 +39,35 @@ import numpy as np
 # emulated with bf16 passes: DEFAULT=1 pass (~8-bit mantissa), HIGH=3 passes
 # (~f32), HIGHEST=6 passes (exact f32). HIGH is ~2× HIGHEST's throughput and
 # passes the framework's golden-value tolerances; override with
-# GR4TPU_FIR_PRECISION=default|high|highest.
+# GR4TPU_FIR_PRECISION=default|high|highest|bf16|int8.
+# 'bf16' casts both operands to bf16 explicitly (one MXU pass, f32
+# accumulation): ~3× HIGH's MXU rate at ~45 dB SNR — the filter analog of an
+# 8-bit-mantissa front-end, for links whose budget allows it (int8 sits below
+# at ~40 dB and 2× the bf16 MACs/s).
+_MODE = os.environ.get("GR4TPU_FIR_PRECISION", "high").lower()
 _PRECISION = {
     "default": jax.lax.Precision.DEFAULT,
     "high": jax.lax.Precision.HIGH,
     "highest": jax.lax.Precision.HIGHEST,
-}.get(os.environ.get("GR4TPU_FIR_PRECISION", "high").lower(),
-      jax.lax.Precision.HIGH)  # 'int8' selects a method, not a dot precision
+}.get(_MODE, jax.lax.Precision.HIGH)  # 'bf16'/'int8' select op modes instead
+
+
+def _banded_dot(a: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """[B, n, j] @ [j, i] → [B, n, i] f32 under the configured precision mode."""
+    if _MODE == "bf16":
+        if jax.default_backend() == "tpu":
+            return jnp.einsum("bnj,ji->bni", a.astype(jnp.bfloat16),
+                              w.astype(jnp.bfloat16),
+                              preferred_element_type=jnp.float32)
+        # CPU dot thunks reject bf16 operands: emulate the single MXU pass
+        # bit-exactly (bf16-rounded products, f32 accumulation)
+        return jnp.einsum("bnj,ji->bni",
+                          a.astype(jnp.bfloat16).astype(jnp.float32),
+                          w.astype(jnp.bfloat16).astype(jnp.float32),
+                          precision=jax.lax.Precision.DEFAULT,
+                          preferred_element_type=jnp.float32)
+    return jnp.einsum("bnj,ji->bni", a, w, precision=_PRECISION,
+                      preferred_element_type=jnp.float32)
 
 
 def _as_cx(taps: jnp.ndarray) -> bool:
@@ -181,9 +203,7 @@ def _fir_matmul(xc: jnp.ndarray, taps_np: np.ndarray, decim: int) -> jnp.ndarray
         w_hi[: k - 1] = w[tile:]
         return jnp.asarray(w[:tile], real_dt), jnp.asarray(w_hi, real_dt)
 
-    dot = lambda a, w: jnp.einsum("bnj,ji->bni", a, w,
-                                  precision=_PRECISION,
-                                  preferred_element_type=real_dt)
+    dot = _banded_dot
 
     def banded(a_rows):             # [B, n+1, tile] → [B, n, n_out]
         return lambda lo, hi: dot(a_rows[:, :-1, :], lo) \
@@ -429,9 +449,7 @@ def fir_resample_matmul(xc: jnp.ndarray, taps_np: np.ndarray, interp: int,
         tuple(arr.tolist()), k_total, interp, decim, tile), real_dt)
     wr = mk(taps_np.real if cx_t else taps_np)
     wi = mk(taps_np.imag) if cx_t else None
-    dot = lambda a, w: jnp.einsum("bnj,ji->bni", a, w,
-                                  precision=_PRECISION,
-                                  preferred_element_type=real_dt)
+    dot = _banded_dot
     frame_len = tile + k_per_phase - 1
     if cx_x or cx_t:
         xr = jnp.real(xc).astype(real_dt)

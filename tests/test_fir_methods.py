@@ -187,3 +187,20 @@ class TestFreqXlatingGolden:
         got = snk.data()
         ref = self._reference(x, taps, fc, fs, decim)[: len(got)]
         np.testing.assert_allclose(got, ref, atol=2e-3)
+
+
+def test_bf16_one_pass_snr(rng, monkeypatch):
+    """GR4TPU_FIR_PRECISION=bf16 (one MXU pass, f32 accumulation): ~52 dB SNR
+    on a 127-tap complex chain — the middle rung of the precision ladder
+    (int8 ~40 dB < bf16 ~50 dB < high ~f32)."""
+    import gnuradio4_tpu.ops.fir as fir_mod
+    monkeypatch.setattr(fir_mod, "_MODE", "bf16")
+    taps = rng.standard_normal(127).astype(np.float32) / 10
+    x = (rng.standard_normal(1 << 14) + 1j * rng.standard_normal(1 << 14)
+         ).astype(np.complex64)
+    ref = np.convolve(x.astype(np.complex128), taps)[: len(x)]
+    y, _ = fir_apply(dev_put(x), taps, fir_init_state(0, 127, jnp.complex64),
+                     method="matmul")
+    err = np.abs(to_host(y) - ref)
+    snr = 10 * np.log10(np.mean(np.abs(ref) ** 2) / np.mean(err ** 2))
+    assert snr > 45.0, f"bf16 SNR {snr:.1f} dB"

@@ -470,3 +470,58 @@ class TestJacobiWideMatrices:
         for eng in ("xla", "jacobi"):
             y = svd_denoise(x, window=48, rank=2, method=eng)
             assert y.shape == x.shape
+
+
+class TestMatmulFFT:
+    """Four-step MXU FFT (ops/fft.matmul_fft): two dense matmul stages +
+    twiddle must match the FFT HLO — 'high' at f32 class (>120 dB), 'bf16'
+    at monitoring grade (>45 dB). Ref: reference algorithm/fourier/fft.hpp:91
+    (its radix engine); ours targets the MXU instead of SIMD lanes."""
+
+    def _snr(self, y, ref):
+        err = np.abs(np.asarray(y) - ref)
+        return 10 * np.log10(np.mean(np.abs(ref) ** 2) / np.mean(err ** 2))
+
+    @pytest.mark.parametrize("n,n1", [(4096, 64), (4096, 128), (1024, 32),
+                                      (256, 16)])
+    def test_high_matches_hlo(self, rng, n, n1):
+        from gnuradio4_tpu.ops.fft import matmul_fft
+        x = (rng.standard_normal((8, n)) + 1j * rng.standard_normal((8, n))
+             ).astype(np.complex64)
+        ref = np.fft.fft(x.astype(np.complex128), axis=-1)
+        assert self._snr(matmul_fft(jnp.asarray(x), n, n1=n1, mode="high"),
+                         ref) > 120.0
+
+    def test_bf16_monitoring_grade(self, rng):
+        from gnuradio4_tpu.ops.fft import matmul_fft
+        x = (rng.standard_normal((8, 4096)) + 1j
+             * rng.standard_normal((8, 4096))).astype(np.complex64)
+        ref = np.fft.fft(x.astype(np.complex128), axis=-1)
+        assert self._snr(matmul_fft(jnp.asarray(x), 4096, mode="bf16"),
+                         ref) > 45.0
+
+    def test_real_input(self, rng):
+        from gnuradio4_tpu.ops.fft import matmul_fft
+        x = rng.standard_normal((4, 1024)).astype(np.float32)
+        ref = np.fft.fft(x.astype(np.float64), axis=-1)
+        assert self._snr(matmul_fft(jnp.asarray(x), 1024, mode="high"),
+                         ref) > 120.0
+
+    def test_fft_block_engine_setting(self, rng):
+        """FFT(engine='matmul') through the Scheduler == engine='xla'."""
+        import gnuradio4_tpu as gr
+        x = (rng.standard_normal(8192) + 1j * rng.standard_normal(8192)
+             ).astype(np.complex64)
+        outs = {}
+        for eng in ("xla", "matmul"):
+            g = gr.Graph()
+            src = g.emplace("VectorSource")
+            src.data = x
+            fft = g.emplace("FFT", fft_size=1024, window="Hann",
+                            output="magnitude", engine=eng)
+            snk = g.emplace("VectorSink")
+            g.connect_chain(src, fft, snk)
+            gr.Scheduler(g, block_len=4096, sample_rate=1e6).run_and_wait()
+            outs[eng] = np.asarray(snk.data())
+        np.testing.assert_allclose(outs["matmul"], outs["xla"],
+                                   atol=1e-5, rtol=1e-4)
