@@ -1,0 +1,264 @@
+"""Round-4 on-device perf sweep: every candidate kernel variant, measured with
+the readback-terminated differential protocol (the only honest timing on the
+axon relay — NOTES.md timing-honesty finding).
+
+Groups (``--group``, default all, each in THIS process — run the script in a
+fresh process per attempt; a failed D2H poisons the PJRT client):
+
+  tone   direct per-sample NCO vs factored outer-product ramp
+  fir    freq-xlating old (heterodyned complex taps, 8 dots) vs new
+         (rotate + real taps, 4 dots) at precision high|bf16; plain FIR127;
+         audio FIR63 decim 8 at high|bf16; tile sweep
+  fft    FFT4096+mag: native HLO vs matmul four-step (high|bf16, n1=64|128)
+  chain  full headline graph (compile_graph) under engine/precision combos
+  wbfm   config-3 chain at the latency block (2^18) and throughput block (2^23)
+
+Prints one JSON line per measurement: {"name", "ms_per_step", "msps",
+"verified"}. A measurement is verified iff its checksum readback returned a
+finite positive float at both window sizes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _checksum_fn():
+    import jax.numpy as jnp
+
+    def checksum(v):
+        return jnp.broadcast_to(jnp.sum(jnp.abs(v)).astype(jnp.float32), (8,))
+    return checksum
+
+
+def measure(name: str, call, n_samples: int, wins=(4, 32)) -> dict:
+    """Differential timing of ``call`` (returns an 8-lane checksum array)."""
+    rec = {"name": name}
+    try:
+        h = np.asarray(call())
+        if not (np.isfinite(h[0]) and h[0] > 0):
+            rec.update(error=f"bad checksum {h[0]}")
+            return rec
+        walls = {}
+        for steps in wins:
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(steps):
+                out = call()
+            v = np.asarray(out)
+            if not (np.isfinite(v[0]) and v[0] > 0):
+                rec.update(error="checksum went bad mid-window")
+                return rec
+            walls[steps] = time.perf_counter() - t0
+        dt = (walls[wins[1]] - walls[wins[0]]) / (wins[1] - wins[0])
+        if dt <= 0:
+            rec.update(error=f"non-positive slope {walls}")
+            return rec
+        rec.update(ms_per_step=round(dt * 1e3, 3),
+                   msps=round(n_samples / dt / 1e6, 1), verified=True)
+    except Exception as e:
+        rec.update(error=f"{type(e).__name__}: {str(e)[:200]}")
+    return rec
+
+
+def group_tone(n):
+    import jax
+    import jax.numpy as jnp
+    from gnuradio4_tpu.ops.signal import complex_exp_ramp
+    checksum = _checksum_fn()
+    fs, f0 = 20e6, 1e6
+
+    def direct():
+        t = jnp.arange(n, dtype=jnp.float32)
+        ph = 2 * jnp.pi * (f0 / fs) * t
+        return checksum(jax.lax.complex(jnp.cos(ph), jnp.sin(ph)))
+
+    dphi = np.uint32(round((f0 / fs) * 2**32))
+
+    def factored():
+        return checksum(complex_exp_ramp(jnp.uint32(0), jnp.uint32(dphi), n))
+
+    jd, jf = jax.jit(direct), jax.jit(factored)
+    yield measure("tone_direct", lambda: jd(), n)
+    yield measure("tone_factored", lambda: jf(), n)
+
+
+def group_fir(n):
+    import jax
+    import jax.numpy as jnp
+    import gnuradio4_tpu.ops.fir as fir_mod
+    from gnuradio4_tpu.ops import filter_design as fd
+    from gnuradio4_tpu.ops.fir import fir_apply, fir_init_state
+    from gnuradio4_tpu.ops.signal import complex_exp_ramp
+    checksum = _checksum_fn()
+    fs = 20e6
+    taps = fd.design_fir("lowpass", 127, sample_rate=fs,
+                         f_low=2e6).astype(np.float32)
+    from gnuradio4_tpu.ops.fir import freq_xlating_taps
+    ctaps = freq_xlating_taps(taps, 3e6, fs)
+    audio_taps = fd.design_fir("lowpass", 63, sample_rate=fs,
+                               f_low=1e6).astype(np.float32)
+    x0 = jax.jit(lambda: complex_exp_ramp(
+        jnp.uint32(0), jnp.uint32(round(0.05 * 2**32)), n))()
+    xr0 = jax.jit(lambda x: jnp.real(x))(x0)
+    hist = jax.jit(lambda: fir_init_state(0, 127, jnp.complex64))()
+    ahist = jax.jit(lambda: fir_init_state(0, 63, jnp.float32))()
+    dphi = np.uint32(round((3e6 / fs) * 2**32))
+
+    def xlate_old(x, h):
+        y, _ = fir_apply(x, ctaps, h)
+        return checksum(y)
+
+    def xlate_new(x, h):
+        xrot = x * complex_exp_ramp(jnp.uint32(0), jnp.uint32(dphi), n)
+        y, _ = fir_apply(xrot.astype(jnp.complex64), taps, h)
+        return checksum(y)
+
+    def fir_plain(x, h):
+        y, _ = fir_apply(x, taps, h)
+        return checksum(y)
+
+    def audio(x, h):
+        y, _ = fir_apply(x, audio_taps, h, decim=8)
+        return checksum(y)
+
+    for mode in ("high", "bf16"):
+        fir_mod._MODE = mode
+        fir_mod._PRECISION = jax.lax.Precision.HIGH
+        for nm, fn, xin, h in (("xlate_old", xlate_old, x0, hist),
+                               ("xlate_new", xlate_new, x0, hist),
+                               ("fir127", fir_plain, x0, hist),
+                               ("audio_d8", audio, xr0, ahist)):
+            jf = jax.jit(fn)
+            yield measure(f"{nm}[{mode}]", lambda jf=jf, xin=xin, h=h:
+                          jf(xin, h), n)
+    fir_mod._MODE = "high"
+
+
+def group_fft(n):
+    import jax
+    import jax.numpy as jnp
+    from gnuradio4_tpu.ops.fft import matmul_fft
+    from gnuradio4_tpu.ops.signal import complex_exp_ramp
+    from gnuradio4_tpu.ops.windows import make_window
+    checksum = _checksum_fn()
+    win = make_window("Hann", 4096).astype(np.float32)
+    x0 = jax.jit(lambda: complex_exp_ramp(
+        jnp.uint32(0), jnp.uint32(round(0.05 * 2**32)), n))()
+
+    def native(x):
+        fr = x.reshape(-1, 4096) * win
+        return checksum(jnp.abs(jnp.fft.fft(fr, axis=-1)))
+
+    def mm(x, n1, mode):
+        fr = x.reshape(-1, 4096) * win
+        return checksum(jnp.abs(matmul_fft(fr, 4096, n1=n1, mode=mode)))
+
+    jn = jax.jit(native)
+    yield measure("fft_hlo", lambda: jn(x0), n)
+    for n1 in (64, 128):
+        for mode in ("high", "bf16"):
+            jm = jax.jit(lambda x, n1=n1, mode=mode: mm(x, n1, mode))
+            yield measure(f"fft_matmul[n1={n1},{mode}]",
+                          lambda jm=jm: jm(x0), n)
+
+
+def _chain_step(block_len):
+    import bench
+    compiled = bench.build_step(block_len)
+    states = compiled.init_states()
+    params = compiled.gather_params()
+    return compiled, states, params
+
+
+def group_chain(n):
+    import jax
+    import jax.numpy as jnp
+    import gnuradio4_tpu.ops.fir as fir_mod
+    checksum = _checksum_fn()
+    cs = jax.jit(lambda t: jnp.broadcast_to(
+        sum(jnp.sum(jnp.abs(v)) for ins in t.values()
+            for v in ins.values()).astype(jnp.float32), (8,)))
+    for fir_mode in ("high", "bf16"):
+        for fft_eng in ("xla", "matmul", "matmul_bf16"):
+            fir_mod._MODE = fir_mode
+            os.environ["GR4TPU_FFT_ENGINE"] = fft_eng
+            compiled, states, params = _chain_step(n)
+            box = {"s": states}
+
+            def call(compiled=compiled, params=params, box=box):
+                box["s"], sink_ins = compiled.step(box["s"], params, {})
+                return cs(sink_ins)
+
+            yield measure(f"chain[fir={fir_mode},fft={fft_eng}]", call, n)
+    fir_mod._MODE = "high"
+    os.environ.pop("GR4TPU_FFT_ENGINE", None)
+
+
+def group_wbfm(n):
+    import jax
+    import jax.numpy as jnp
+    import bench_suite
+    checksum = _checksum_fn()
+    cs = jax.jit(lambda t: jnp.broadcast_to(
+        sum(jnp.sum(jnp.abs(v)) for ins in t.values()
+            for v in ins.values()).astype(jnp.float32), (8,)))
+    for bl in (1 << 18, 1 << 23):
+        compiled = bench_suite.config3(bl)
+        states = compiled.init_states()
+        params = compiled.gather_params()
+        box = {"s": states}
+
+        def call(compiled=compiled, params=params, box=box):
+            box["s"], sink_ins = compiled.step(box["s"], params, {})
+            return cs(sink_ins)
+
+        yield measure(f"wbfm[bl=2^{bl.bit_length()-1}]", call, bl,
+                      wins=(4, 32) if bl >= (1 << 22) else (16, 128))
+
+
+GROUPS = {"tone": group_tone, "fir": group_fir, "fft": group_fft,
+          "chain": group_chain, "wbfm": group_wbfm}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--group", default="all")
+    ap.add_argument("--n", type=int, default=1 << 23)
+    ap.add_argument("--budget-s", type=float, default=600.0)
+    args = ap.parse_args()
+    import threading
+    threading.Thread(target=lambda: (time.sleep(args.budget_s), os._exit(7)),
+                     daemon=True).start()
+    import jax
+    try:
+        here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(here, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+    if os.environ.get("GR4_BENCH_FORCE_CPU") == "1":
+        jax.config.update("jax_platforms", "cpu")
+    platform = jax.devices()[0].platform
+    n = args.n if platform != "cpu" else min(args.n, 1 << 18)
+    keys = list(GROUPS) if args.group == "all" else args.group.split(",")
+    for key in keys:
+        for rec in GROUPS[key.strip()](n):
+            rec["platform"] = platform
+            rec["n"] = n
+            print(json.dumps(rec), flush=True)
+    os._exit(0)   # wedged readback threads must not abort teardown
+
+
+if __name__ == "__main__":
+    sys.exit(main())
