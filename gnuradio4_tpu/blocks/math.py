@@ -220,15 +220,16 @@ class Rotator(Block):
             inc = jnp.cumsum(dphi, dtype=jnp.uint32) - dphi  # exclusive, wraps
             ph = state + inc
             new_phase = state + jnp.sum(dphi, dtype=jnp.uint32)
-            lo = complex_exp(phase_to_frac(ph))
+            y = x * complex_exp(phase_to_frac(ph))
         else:
+            from ..ops.signal import nco_rotate
             new_phase = state + dphi * jnp.uint32(n)
-            lo = complex_exp_ramp(state, dphi, n)   # O(√n) transcendentals
+            y = nco_rotate(x, state, dphi)   # fused factored-ramp multiply
         phoff = jnp.asarray(ctx.params.get("_phoff", np.float32(0.0)),
                             jnp.float32)
-        lo = jnp.where(phoff != 0.0,
-                       lo * jnp.exp(1j * phoff).astype(jnp.complex64), lo)
-        return new_phase, {"out": (x * lo).astype(jnp.complex64)}
+        y = jnp.where(phoff != 0.0,
+                      y * jnp.exp(1j * phoff).astype(jnp.complex64), y)
+        return new_phase, {"out": y.astype(jnp.complex64)}
 
     def apply_sp(self, state, ins, ctx, local_ctx, axis_name):
         """Time-sharded lowering: per-shard integer phase offset (exact, no

@@ -104,3 +104,33 @@ def complex_exp_ramp(phase0, dphi, n: int, *, amplitude=1.0) -> jnp.ndarray:
     rot = complex_exp(phase_to_frac(coarse), amplitude=amplitude)
     base = complex_exp(phase_to_frac(fine))
     return (rot[:, None] * base[None, :]).reshape(n)
+
+
+def nco_rotate(x: jnp.ndarray, phase0, dphi, n: int | None = None
+               ) -> jnp.ndarray:
+    """``x · complex_exp_ramp(phase0, dphi, n)`` with the ramp kept FACTORED
+    through the multiply.
+
+    Materializing the outer-product ramp and then multiplying costs three
+    full-stream HBM passes (ramp write, ramp read, product write) — measured
+    ~0.6 ms / 8 Mi on v5e, 4× the 2-pass bound. Here ``x`` reshapes to [K, B]
+    (free, row-major) and the coarse/fine unit vectors broadcast into two
+    chained elementwise multiplies that XLA fuses into ONE read of x and one
+    write of y. Same uint32 phase grid as complex_exp_ramp → identical
+    rounding class (≤2 ulps vs the direct form)."""
+    m = x.shape[-1] if n is None else n
+    phase0 = jnp.asarray(phase0, jnp.uint32)
+    dphi = jnp.asarray(dphi, jnp.uint32)
+    B = 1024
+    if m % B:
+        return (x * complex_exp(phase_to_frac(nco_phases(phase0, dphi, m)))
+                ).astype(x.dtype)
+    k = m // B
+    coarse = complex_exp(phase_to_frac(
+        nco_phases(phase0, dphi * jnp.uint32(B), k)))         # [K]
+    fine = complex_exp(phase_to_frac(
+        nco_phases(jnp.uint32(0), dphi, B)))                  # [B]
+    lead = x.shape[:-1]
+    xr = x.reshape(*lead, k, B)
+    y = (xr * coarse[..., :, None]) * fine
+    return y.reshape(*lead, m).astype(x.dtype)

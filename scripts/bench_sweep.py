@@ -113,6 +113,8 @@ def group_fir(n):
     ahist = jax.jit(lambda: fir_init_state(0, 63, jnp.float32))()
     dphi = np.uint32(round((3e6 / fs) * 2**32))
 
+    from gnuradio4_tpu.ops.signal import nco_rotate
+
     def xlate_old(x, h):
         y, _ = fir_apply(x, ctaps, h)
         return checksum(y)
@@ -122,6 +124,14 @@ def group_fir(n):
         y, _ = fir_apply(xrot.astype(jnp.complex64), taps, h)
         return checksum(y)
 
+    def xlate_fused(x, h):
+        y, _ = fir_apply(nco_rotate(x, jnp.uint32(0), jnp.uint32(dphi)),
+                         taps, h)
+        return checksum(y)
+
+    def nco_only(x, h):
+        return checksum(nco_rotate(x, jnp.uint32(0), jnp.uint32(dphi)))
+
     def fir_plain(x, h):
         y, _ = fir_apply(x, taps, h)
         return checksum(y)
@@ -130,17 +140,25 @@ def group_fir(n):
         y, _ = fir_apply(x, audio_taps, h, decim=8)
         return checksum(y)
 
-    for mode in ("high", "bf16"):
+    prec = {"high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT,
+            "bf16": jax.lax.Precision.HIGH}
+    for mode in ("high", "default", "bf16"):
         fir_mod._MODE = mode
-        fir_mod._PRECISION = jax.lax.Precision.HIGH
+        fir_mod._PRECISION = prec[mode]
         for nm, fn, xin, h in (("xlate_old", xlate_old, x0, hist),
                                ("xlate_new", xlate_new, x0, hist),
+                               ("xlate_fused", xlate_fused, x0, hist),
+                               ("nco_only", nco_only, x0, hist),
                                ("fir127", fir_plain, x0, hist),
                                ("audio_d8", audio, xr0, ahist)):
+            if nm == "nco_only" and mode != "high":
+                continue                      # precision-independent
             jf = jax.jit(fn)
             yield measure(f"{nm}[{mode}]", lambda jf=jf, xin=xin, h=h:
                           jf(xin, h), n)
     fir_mod._MODE = "high"
+    fir_mod._PRECISION = jax.lax.Precision.HIGH
 
 
 def group_fft(n):
@@ -187,9 +205,14 @@ def group_chain(n):
     cs = jax.jit(lambda t: jnp.broadcast_to(
         sum(jnp.sum(jnp.abs(v)) for ins in t.values()
             for v in ins.values()).astype(jnp.float32), (8,)))
-    for fir_mode in ("high", "bf16"):
-        for fft_eng in ("xla", "matmul", "matmul_bf16"):
+    import jax.lax
+    prec = {"high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT,
+            "bf16": jax.lax.Precision.HIGH}
+    for fir_mode in ("high", "default", "bf16"):
+        for fft_eng in ("xla", "matmul_bf16"):
             fir_mod._MODE = fir_mode
+            fir_mod._PRECISION = prec[fir_mode]
             os.environ["GR4TPU_FFT_ENGINE"] = fft_eng
             compiled, states, params = _chain_step(n)
             box = {"s": states}
@@ -200,6 +223,7 @@ def group_chain(n):
 
             yield measure(f"chain[fir={fir_mode},fft={fft_eng}]", call, n)
     fir_mod._MODE = "high"
+    fir_mod._PRECISION = jax.lax.Precision.HIGH
     os.environ.pop("GR4TPU_FFT_ENGINE", None)
 
 
