@@ -63,11 +63,27 @@ def iir_apply(x: jnp.ndarray, b: np.ndarray, a: np.ndarray, state: jnp.ndarray
 
 def one_pole_apply(x: jnp.ndarray, pole: complex | jnp.ndarray,
                    y_prev: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Parallel first-order recurrence y[n] = pole·y[n-1] + x[n] in O(log T) depth.
+    """Parallel first-order recurrence y[n] = pole·y[n-1] + x[n].
 
-    Associative op on (c, v): (c2, v2)∘(c1, v1) = (c1·c2, c2·v1 + v2).
+    Host-constant poles on long streams take the BLOCKED two-level path
+    (:func:`_one_pole_blocked`): an O(log T)-depth associative scan costs
+    log₂T full-stream HBM passes (~1.5 GB for 8 Mi f32 — the dominant cost
+    of FM de-emphasis in the WBFM chain), while the blocked form is one
+    [L,L] Toeplitz matmul (MXU), a scan over T/L block carries (KB-sized),
+    and one fused correction pass: ~4 stream passes total. Traced poles
+    (dynamic settings) keep the associative scan.
+
     x: [..., T]; y_prev: [...] (y[-1]); returns (y, y[T-1]).
     """
+    host_pole = None
+    if isinstance(pole, (int, float, np.floating)):
+        host_pole = complex(float(pole), 0.0)
+    elif isinstance(pole, (complex, np.complexfloating)):
+        host_pole = complex(pole)
+    t = x.shape[-1]
+    if host_pole is not None and abs(host_pole) <= 1.0 and t >= 4096 \
+            and t % _BLK == 0:
+        return _one_pole_blocked(x, host_pole, y_prev)
     if isinstance(pole, (complex, np.complexfloating)):
         # lax.complex from float halves: jnp.asarray(<python complex>) would
         # ship a complex scalar through H2D, relay-unsafe (utils/transfer.py)
@@ -82,6 +98,48 @@ def one_pole_apply(x: jnp.ndarray, pole: complex | jnp.ndarray,
     # inlines at zero cost
     cs, ys = _one_pole_scan(c, v)
     return ys, ys[..., -1]
+
+
+_BLK = 128   # in-block Toeplitz size (MXU-native contraction width)
+
+
+def _one_pole_blocked(x: jnp.ndarray, pole: complex, y_prev: jnp.ndarray
+                      ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Two-level linear recurrence (host-constant pole, T % 128 == 0).
+
+    y_loc = in-block zero-init responses via a lower-triangular Toeplitz
+    matmul W[j,i] = p^{i−j}; block carries chain through a KB-sized
+    associative scan; the entering state folds back in one elementwise
+    correction pass (y[b,i] = y_loc[b,i] + p^{i+1}·ent_b). Exact algebra —
+    only f32/c64 rounding differs from the sequential scan."""
+    L = _BLK
+    t = x.shape[-1]
+    nb = t // L
+    cx = jnp.issubdtype(x.dtype, jnp.complexfloating) or pole.imag != 0.0
+    npdt = np.complex64 if cx else np.float32
+    idx = np.arange(L)
+    d = idx[None, :] - idx[:, None]          # i − j
+    with np.errstate(over="ignore", under="ignore", invalid="ignore"):
+        w = np.where(d >= 0, np.asarray(pole, np.complex128) ** np.maximum(d, 0),
+                     0.0)
+        pv = np.asarray(pole, np.complex128) ** (idx + 1)       # p^{i+1}
+        cl = complex(np.asarray(pole, np.complex128) ** L)       # p^L
+    w = np.ascontiguousarray((w.real if not cx else w).astype(npdt))
+    pv = np.ascontiguousarray((pv.real if not cx else pv).astype(npdt))
+    dt = jnp.complex64 if cx else x.dtype
+    xb = x.astype(dt).reshape(*x.shape[:-1], nb, L)
+    y_loc = jnp.einsum("...bj,ji->...bi", xb, jnp.asarray(w),
+                       precision=jax.lax.Precision.HIGHEST)
+    e = y_loc[..., :, L - 1]                 # end-of-block local responses
+    if cx:
+        cl_dev = jax.lax.complex(jnp.float32(cl.real), jnp.float32(cl.imag))
+    else:
+        cl_dev = jnp.asarray(cl.real, dt)
+    v = e.at[..., 0].add(cl_dev * y_prev.astype(dt))
+    _, s = _one_pole_scan(jnp.broadcast_to(cl_dev, v.shape), v)  # KB-sized
+    ent = jnp.concatenate([y_prev.astype(dt)[..., None], s[..., :-1]], axis=-1)
+    y = y_loc + ent[..., :, None] * jnp.asarray(pv)
+    return y.reshape(x.shape).astype(dt), s[..., -1]
 
 
 def _one_pole_combine(l, r):
@@ -142,7 +200,7 @@ def one_pole_ba_apply(x: jnp.ndarray, b: np.ndarray, a: np.ndarray,
     p = -a1
     K = b1 / a1
     A = b0 - b1 / a1
-    u, last = one_pole_apply(x.astype(jnp.float32), jnp.float32(p),
+    u, last = one_pole_apply(x.astype(jnp.float32), p,
                              u_prev.astype(jnp.float32))
     y = jnp.float32(K) * x + jnp.float32(A) * u
     return y.astype(x.dtype), last
@@ -202,9 +260,9 @@ def biquad_parallel_apply(x: jnp.ndarray, sos_row: np.ndarray,
     A = (b0 * p * p + b1 * p + b2) / (p * (p - np.conj(p)))
     xc = x.astype(jnp.complex64)
     # lax.complex from float halves — jnp.asarray(<python complex>) would
-    # ship a complex scalar through H2D, relay-unsafe (utils/transfer.py)
-    p_dev = jax.lax.complex(jnp.float32(p.real), jnp.float32(p.imag))
+    # ship a complex scalar through H2D, relay-unsafe (utils/transfer.py);
+    # p passes to one_pole_apply as a HOST complex (enables the blocked path)
     a_dev = jax.lax.complex(jnp.float32(A.real), jnp.float32(A.imag))
-    u, u_last = one_pole_apply(xc, p_dev, state)
+    u, u_last = one_pole_apply(xc, p, state)
     y = jnp.asarray(K, x.dtype) * x + 2.0 * jnp.real(a_dev * u)
     return y.astype(x.dtype), u_last

@@ -525,3 +525,53 @@ class TestMatmulFFT:
             outs[eng] = np.asarray(snk.data())
         np.testing.assert_allclose(outs["matmul"], outs["xla"],
                                    atol=1e-5, rtol=1e-4)
+
+
+class TestBlockedOnePole:
+    """Blocked two-level linear recurrence (ops/iir._one_pole_blocked): the
+    host-constant-pole fast path (Toeplitz matmul + carry scan + correction)
+    must match the sequential recurrence to f32 class, including the carry
+    across calls and the chunking-invariance the streaming contract needs."""
+
+    def _seq(self, x, pole, y_prev):
+        ref = np.empty(len(x), np.complex128)
+        acc = complex(y_prev)
+        for i, v in enumerate(x):
+            acc = pole * acc + complex(v)
+            ref[i] = acc
+        return ref
+
+    @pytest.mark.parametrize("pole", [0.88, -0.6, 0.9999])
+    def test_matches_sequential(self, rng, pole):
+        from gnuradio4_tpu.ops.iir import one_pole_apply
+        x = rng.standard_normal(8192).astype(np.float32)
+        ref = self._seq(x, pole, 0.7).real
+        y, last = one_pole_apply(jnp.asarray(x), pole, jnp.float32(0.7))
+        rel = np.max(np.abs(np.asarray(y) - ref)) / np.max(np.abs(ref))
+        assert rel < 2e-5, rel
+
+    def test_complex_pole_and_chunk_invariance(self, rng):
+        from gnuradio4_tpu.ops.iir import one_pole_apply
+        p = 0.92 * np.exp(1j * 0.3)
+        x = rng.standard_normal(16384).astype(np.float32)
+        ref = self._seq(x, p, 0.1 + 0.2j)
+        # one shot (blocked path)
+        y1, _ = one_pole_apply(jnp.asarray(x).astype(jnp.complex64), p,
+                               jnp.asarray(np.complex64(0.1 + 0.2j)))
+        # four chunks of 4096 (blocked path each, carry chained)
+        parts, carry = [], jnp.asarray(np.complex64(0.1 + 0.2j))
+        for c in np.split(x, 4):
+            yc, carry = one_pole_apply(jnp.asarray(c).astype(jnp.complex64),
+                                       p, carry)
+            parts.append(np.asarray(yc))
+        for got in (np.asarray(y1), np.concatenate(parts)):
+            rel = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
+            assert rel < 3e-5, rel
+
+    def test_short_and_unaligned_fall_back(self, rng):
+        from gnuradio4_tpu.ops.iir import one_pole_apply
+        for t in (100, 4100):   # < threshold / not a multiple of 128
+            x = rng.standard_normal(t).astype(np.float32)
+            ref = self._seq(x, 0.8, 0.0).real
+            y, _ = one_pole_apply(jnp.asarray(x), 0.8, jnp.float32(0.0))
+            assert np.max(np.abs(np.asarray(y) - ref)) < 1e-3
