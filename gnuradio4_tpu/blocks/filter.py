@@ -179,11 +179,14 @@ class FreqXlatingFir(FirFilter):
             # a fused elementwise pass) lets the FIR run with REAL taps:
             # 4 banded MXU dots instead of 8. History carries the rotated
             # stream; the uint32 phase accumulates at the INPUT rate.
-            from ..ops.signal import nco_rotate
             x = x.astype(jnp.complex64)
             n_in = x.shape[-1]
             dphi = phase_increment(-fc, fs)
-            xr = nco_rotate(x, state["phase"], dphi)
+            # measured on-device: the materialized-ramp multiply beats both
+            # the broadcast-fused nco_rotate (2.30 ms) and the 8-dot
+            # heterodyned-taps form + derotate (~2.1 ms) at 1.70 ms / 8 Mi
+            xr = (x * complex_exp_ramp(state["phase"], dphi, n_in)
+                  ).astype(jnp.complex64)
             self._fs_cached = fs              # design rate for f_cut mode
             y, hist = fir_apply(xr, self._taps_array(),
                                 state["hist"].astype(jnp.complex64),
@@ -234,10 +237,10 @@ class FreqXlatingFir(FirFilter):
         if jnp.issubdtype(x.dtype, jnp.complexfloating):
             x = x.astype(jnp.complex64)
             n_in = x.shape[-1]
-            from ..ops.signal import nco_rotate
             dphi = jnp.asarray(phase_increment(-fc, fs), jnp.uint32)
             phase0 = state["phase"] + dphi * (idx * n_in).astype(jnp.uint32)
-            xr = nco_rotate(x, phase0, dphi)
+            xr = (x * complex_exp_ramp(phase0, dphi, n_in)
+                  ).astype(jnp.complex64)
             self._fs_cached = fs              # design rate for f_cut mode
             halo = halo_left(xr, h, axis_name,
                              state["hist"].astype(xr.dtype)) \

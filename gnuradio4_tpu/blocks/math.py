@@ -222,9 +222,8 @@ class Rotator(Block):
             new_phase = state + jnp.sum(dphi, dtype=jnp.uint32)
             y = x * complex_exp(phase_to_frac(ph))
         else:
-            from ..ops.signal import nco_rotate
             new_phase = state + dphi * jnp.uint32(n)
-            y = nco_rotate(x, state, dphi)   # fused factored-ramp multiply
+            y = x * complex_exp_ramp(state, dphi, n)
         phoff = jnp.asarray(ctx.params.get("_phoff", np.float32(0.0)),
                             jnp.float32)
         y = jnp.where(phoff != 0.0,

@@ -378,14 +378,12 @@ class SsbDemod(Block):
         # Weaver: shift the sideband center (±bw/2) to 0, low-pass with a
         # symmetric bw/2 filter, shift BACK, take 2·Re (the second mixer —
         # without the shift-back the audio lands offset by bw/2)
-        from ..ops.signal import nco_rotate
         dphi = phase_increment(sign * bw / 2.0, fs)
         n = x.shape[-1]
-        xb = nco_rotate(x, state["phase"], dphi)
+        rot = complex_exp_ramp(state["phase"], dphi, n)
+        xb = x * rot
         y, hist = fir_apply(xb, self._taps(fs), state["hist"])
-        # conj(ramp) == ramp at the two's-complement-negated phase (exact)
-        y = nco_rotate(y, jnp.uint32(0) - state["phase"],
-                       jnp.uint32(0) - jnp.asarray(dphi, jnp.uint32))
+        y = y * jnp.conj(rot)
         new_phase = state["phase"] + jnp.asarray(dphi, jnp.uint32) * jnp.uint32(n)
         return ({"hist": hist, "phase": new_phase},
                 {"out": (2.0 * jnp.real(y)).astype(jnp.float32)})
