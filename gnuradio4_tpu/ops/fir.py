@@ -369,18 +369,26 @@ def fir_apply(x: jnp.ndarray, taps: jnp.ndarray, state: jnp.ndarray,
         if taps_np is None:
             method = "fft" if on_tpu else "conv"  # matmul needs host taps
         elif on_tpu:
-            method = ("matmul_int8" if os.environ.get(
-                "GR4TPU_FIR_PRECISION", "").lower() == "int8" else "matmul") \
-                if ntaps <= 512 else "fft"
+            if os.environ.get("GR4TPU_FIR_PRECISION", "").lower() == "int8":
+                method = "matmul_int8"
+            elif cx and os.environ.get("GR4TPU_FIR_LAYOUT", "").lower() == "ilv":
+                method = "matmul_ilv"     # interleaved-rail layout (sweeps)
+            else:
+                method = "matmul"
+            if ntaps > 512:
+                method = "fft"
         else:
             method = "conv"
-    if method in ("matmul", "matmul_int8") and ntaps > 1:
+    if method in ("matmul", "matmul_int8", "matmul_ilv") and ntaps > 1:
         if taps_np is None:
             # explicit opt-in only; relay-safe fetch (complex D2H would poison)
             from ..utils.transfer import safe_get
             taps_np = np.asarray(safe_get(taps))
-        y = (_fir_matmul_int8 if method == "matmul_int8"
-             else _fir_matmul)(xc, taps_np, decim)
+        if method == "matmul_ilv" and not cx:
+            method = "matmul"             # interleaved needs a complex stream
+        y = {"matmul_int8": _fir_matmul_int8,
+             "matmul_ilv": _fir_matmul_ilv,
+             "matmul": _fir_matmul}[method](xc, taps_np, decim)
     elif method == "fft" and ntaps > 1:
         y = _fir_fft(xc, taps, decim)
     else:
@@ -509,3 +517,53 @@ def freq_xlating_taps(taps: np.ndarray, center_freq: float, sample_rate: float
     n = np.arange(len(taps), dtype=np.float64)
     rot = np.exp(1j * 2.0 * np.pi * center_freq / sample_rate * n)
     return (np.asarray(taps, dtype=np.float64) * rot).astype(np.complex64)
+
+
+@lru_cache(maxsize=128)
+def _toeplitz_ilv_np(taps_key, ntaps: int, tile: int, decim: int) -> np.ndarray:
+    """INTERLEAVED banded Toeplitz: operates directly on the f32 view of a
+    complex64 stream (z[2m]=re x[m], z[2m+1]=im x[m]) and produces the f32
+    view of the complex output — no real/imag rail extraction, no
+    lax.complex recombination, ONE matmul pair instead of 4-8 rail dots.
+
+    Column 2i/2i+1 hold re/im of output i; row parity selects the input
+    component:  W[2j,2i]=+hre, W[2j+1,2i]=−him, W[2j,2i+1]=+him,
+    W[2j+1,2i+1]=+hre  with the usual band h[i·decim+K−1−j]."""
+    h = np.asarray(taps_key)           # complex128 (imag 0 for real taps)
+    t_re = _toeplitz_np(tuple(h.real.tolist()), ntaps, tile, decim)
+    t_im = _toeplitz_np(tuple(h.imag.tolist()), ntaps, tile, decim)
+    rows, cols = t_re.shape
+    w = np.zeros((2 * rows, 2 * cols), np.float32)
+    w[0::2, 0::2] = t_re
+    w[1::2, 0::2] = -t_im
+    w[0::2, 1::2] = t_im
+    w[1::2, 1::2] = t_re
+    return w
+
+
+def _fir_matmul_ilv(xc: jnp.ndarray, taps_np: np.ndarray, decim: int
+                    ) -> jnp.ndarray:
+    """Interleaved-rail MXU path: bitcast complex64 → f32, two banded dots
+    with the interleaved Toeplitz, bitcast back. Same zero-copy two-view
+    framing as _fir_matmul on doubled indices."""
+    b, tc = xc.shape
+    k = taps_np.shape[-1]
+    t = tc - (k - 1)
+    tile = _choose_tile(t, k, decim)
+    t_pad = -(-t // tile) * tile
+    n = t_pad // tile
+    total = (n + 1) * tile
+    if total != tc:
+        xc = jnp.pad(xc, ((0, 0), (0, total - tc)))
+    n_out_true = t // decim
+    h = np.asarray(taps_np, np.complex128)
+    w = _toeplitz_ilv_np(tuple(h.tolist()), k, tile, decim)  # [2(tile+k-1), 2no]
+    w_lo = jnp.asarray(w[: 2 * tile])
+    w_hi_np = np.zeros_like(w[: 2 * tile])
+    w_hi_np[: 2 * (k - 1)] = w[2 * tile:]
+    w_hi = jnp.asarray(w_hi_np)
+    z = xc.astype(jnp.complex64).view(jnp.float32)      # [B, 2·total], bitcast
+    z = z.reshape(b, n + 1, 2 * tile)          # rows of `tile` complex samples
+    y = _banded_dot(z[:, :-1, :], w_lo) + _banded_dot(z[:, 1:, :], w_hi)
+    y = y.reshape(b, -1)[:, : 2 * n_out_true]
+    return y.view(jnp.complex64)               # [B, n_out_true]

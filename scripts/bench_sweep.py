@@ -136,6 +136,20 @@ def group_fir(n):
         y, _ = fir_apply(x, taps, h)
         return checksum(y)
 
+    def fir_ilv(x, h):
+        y, _ = fir_apply(x, taps, h, method="matmul_ilv")
+        return checksum(y)
+
+    def xlate_old_ilv(x, h):
+        y, _ = fir_apply(x, ctaps, h, method="matmul_ilv")
+        return checksum(y)
+
+    def xlate_new_ilv(x, h):
+        xrot = x * complex_exp_ramp(jnp.uint32(0), jnp.uint32(dphi), n)
+        y, _ = fir_apply(xrot.astype(jnp.complex64), taps, h,
+                         method="matmul_ilv")
+        return checksum(y)
+
     def audio(x, h):
         y, _ = fir_apply(x, audio_taps, h, decim=8)
         return checksum(y)
@@ -151,9 +165,14 @@ def group_fir(n):
                                ("xlate_fused", xlate_fused, x0, hist),
                                ("nco_only", nco_only, x0, hist),
                                ("fir127", fir_plain, x0, hist),
+                               ("fir127_ilv", fir_ilv, x0, hist),
+                               ("xlate_old_ilv", xlate_old_ilv, x0, hist),
+                               ("xlate_new_ilv", xlate_new_ilv, x0, hist),
                                ("audio_d8", audio, xr0, ahist)):
             if nm == "nco_only" and mode != "high":
                 continue                      # precision-independent
+            if nm.endswith("_ilv") and mode != "high":
+                continue                      # layout question, not precision
             jf = jax.jit(fn)
             yield measure(f"{nm}[{mode}]", lambda jf=jf, xin=xin, h=h:
                           jf(xin, h), n)
