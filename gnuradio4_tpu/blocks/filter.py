@@ -153,12 +153,36 @@ class FreqXlatingFir(FirFilter):
         hist = fir_init_state(ch, ntaps, dt)
         return {"hist": hist, "phase": jnp.zeros((), jnp.uint32)}
 
+    def rotation_descriptor(self, ctx_rate: float):
+        """Compiler rotation-absorption hook: the residual linear phase this
+        block's output carries when its de-rotation NCO pass is skipped —
+        e^{j·2π·frac32(m·dphi_out)/2³²} per output sample m (plus a step/
+        shard-constant phase all absorbing consumers are invariant to)."""
+        from ..ops.signal import phase_increment
+        fc = float(self.settings.get("center_freq"))
+        if fc == 0.0:
+            return None
+        decim = int(self.settings.get("decim"))
+        return {"dphi_out": int(phase_increment(-fc * decim,
+                                                self._fs(ctx_rate)))}
+
     def apply(self, state, ins, ctx):
         from ..ops.signal import complex_exp_ramp, phase_increment
         x = ins["in"]
         fs = self._fs(ctx.sample_rate)
         decim = int(self.settings.get("decim"))
         fc = float(self.settings.get("center_freq"))
+        if getattr(self, "_rotation_absorbed", False) and fc != 0.0:
+            # every consumer absorbs the residual rotation: heterodyned-taps
+            # FIR with NO NCO pass anywhere (the de-rotation's phase0 term is
+            # step-constant; absorbers are invariant to it). History = raw x.
+            xt = x.astype(jnp.complex64 if jnp.issubdtype(
+                x.dtype, jnp.complexfloating) else jnp.float32)
+            y, hist = fir_apply(xt, self._rotated_taps(fs),
+                                state["hist"].astype(xt.dtype), decim=decim)
+            return ({"hist": hist.astype(state["hist"].dtype),
+                     "phase": state["phase"]},
+                    {"out": y.astype(jnp.complex64)})
         if fc == 0.0:
             # no translation: both NCO ramps are identically 1 (dphi = 0 and
             # the phase state never leaves its initial 0) — plain FIR, no
@@ -222,14 +246,20 @@ class FreqXlatingFir(FirFilter):
         fc = float(self.settings.get("center_freq"))
         idx = jax.lax.axis_index(axis_name)
         size = jax.lax.axis_size(axis_name)
-        if fc == 0.0:
+        absorbed = getattr(self, "_rotation_absorbed", False) and fc != 0.0
+        if fc == 0.0 or absorbed:
+            # fc=0: both NCO ramps are 1. Absorbed: consumers handle the
+            # residual rotation (it is linear in the GLOBAL index, which is
+            # exactly the form absorbers are built for) — either way the FIR
+            # runs raw with a ppermute halo and no elementwise pass.
             xt = x.astype(jnp.complex64 if jnp.issubdtype(
                 x.dtype, jnp.complexfloating) else jnp.float32)
+            taps = self._rotated_taps(fs) if absorbed else self._taps_array()
             self._fs_cached = fs
             halo = halo_left(xt, h, axis_name,
                              state["hist"].astype(xt.dtype)) \
                 if h > 0 else xt[..., :0]
-            y, _ = fir_apply(xt, self._taps_array(), halo, decim=decim)
+            y, _ = fir_apply(xt, taps, halo, decim=decim)
             tail = last_shard_tail(xt, h, axis_name)
             return ({"hist": tail.astype(state["hist"].dtype),
                      "phase": state["phase"]},

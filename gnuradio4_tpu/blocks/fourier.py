@@ -65,6 +65,28 @@ class FFT(Block):
                               mode="bf16" if eng.endswith("bf16") else "high")
         return jnp.fft.fft(frames, axis=-1)
 
+    def absorb_rotation(self, desc, port) -> bool:
+        """Rotation-absorption consumer hook: a residual linear phase
+        e^{j2π·frac32(m·dphi)/2³²} factors per frame into (unit phasor) ×
+        e^{j…·l} — the phasor cancels in magnitude-class views and the ramp
+        folds into a COMPLEX window at zero runtime cost. Complex output
+        keeps the phase, so it cannot absorb."""
+        return str(self.settings.get("output")) in ("magnitude",
+                                                    "magnitude_db", "power")
+
+    def _rotation_window(self, win_np, n: int):
+        """Fold the absorbed residual rotation into the window (exact uint32
+        phase grid; pure host NumPy — the result enters the trace as a jit
+        constant). ``win_np``: host real window or None."""
+        desc = (getattr(self, "_absorbed_rotation", None) or {}).get("in")
+        if desc is None:
+            return win_np
+        ph = (np.arange(n, dtype=np.uint64) * np.uint64(
+            desc["dphi_out"] % 4294967296)) & np.uint64(0xFFFFFFFF)
+        ramp = np.exp(2j * np.pi * (ph.astype(np.float64) / 4294967296.0))
+        w = ramp if win_np is None else np.asarray(win_np, np.float64) * ramp
+        return w.astype(np.complex64)
+
     def _stride(self) -> int:
         s = int(self.settings.get("stride"))
         return s if s > 0 else int(self.settings.get("fft_size"))
@@ -103,12 +125,18 @@ class FFT(Block):
         n = int(self.settings.get("fft_size"))
         s = self._stride()
         wname = str(self.settings.get("window"))
-        win = None if wname.lower() in ("none", "") else \
-            jnp.asarray(make_window(wname, n))
+        win_np = None if wname.lower() in ("none", "") else make_window(wname, n)
+        win_np = self._rotation_window(win_np, n)  # absorbed → complex window
+        win = None if win_np is None else jnp.asarray(win_np)
+        def _apply_win(frames):
+            if win is None:
+                return frames
+            if jnp.issubdtype(win.dtype, jnp.complexfloating):
+                return frames * win           # complex window (absorbed ramp)
+            return frames * win.astype(jnp.real(frames).dtype)
         if s >= n:
             frames = x.reshape(*x.shape[:-1], -1, n)
-            if win is not None:
-                frames = frames * win.astype(jnp.real(frames).dtype)
+            frames = _apply_win(frames)
             spec = self._fft(frames, n)
         else:
             # overlapping windows: carried (n−s)-sample history + gather-free
@@ -119,8 +147,7 @@ class FFT(Block):
             st2 = state[None, :] if state is not None and squeeze else state
             xc = jnp.concatenate([st2.astype(x2.dtype), x2], axis=-1)
             frames = _frame_overlapping_general(xc, s, n)   # [B, k, n]
-            if win is not None:
-                frames = frames * win.astype(jnp.real(frames).dtype)
+            frames = _apply_win(frames)
             spec = self._fft(frames, n)
             state = xc[..., -(n - s):]
             if squeeze:
@@ -130,7 +157,10 @@ class FFT(Block):
             spec = fftshift(spec)
         scale = 1.0
         if self.settings.get("calibrate"):
-            wnp = None if win is None else np.asarray(make_window(wname, n))
+            # the ORIGINAL real window decides calibration (an absorbed
+            # rotation ramp is unit-modulus — it moves the peak, not the gain)
+            wnp = None if wname.lower() in ("none", "") \
+                else np.asarray(make_window(wname, n))
             scale = spectrum_scale(n, wnp, power=False, density=False,
                                    sample_rate=ctx.sample_rate)
         view = self.settings.get("output")

@@ -35,9 +35,22 @@ class QuadratureDemod(Block):
         shape = () if ch == 0 else (ch,)
         return jnp.ones(shape, jnp.complex64)  # x[-1] = 1 (zero phase)
 
+    def absorb_rotation(self, desc, port) -> bool:
+        """Rotation-absorption consumer hook: a residual e^{jθ(m)} with θ
+        linear in m shifts arg(x[m]·x̄[m−1]) by the CONSTANT Δθ — absorbed as
+        a post-demod offset, saving the producer's full-rate NCO pass."""
+        return port == "in"
+
     def apply(self, state, ins, ctx):
-        y, last = quadrature_demod(ins["in"], state,
-                                   gain=jnp.asarray(ctx.p("gain", 1.0), jnp.float32))
+        gain = jnp.asarray(ctx.p("gain", 1.0), jnp.float32)
+        desc = getattr(self, "_absorbed_rotation", None) or {}
+        rot = None
+        if "in" in desc:
+            # residual per-sample phase increment → constant phasor folded
+            # INSIDE arg (exact (−π,π] wrap match with the de-rotated stream)
+            frac = (desc["in"]["dphi_out"] % 4294967296) / 4294967296.0
+            rot = complex(np.exp(2j * np.pi * frac))
+        y, last = quadrature_demod(ins["in"], state, gain=gain, rot=rot)
         return last, {"out": y}
 
     # time-sharding protocol: one-sample halo; state has no trailing time axis

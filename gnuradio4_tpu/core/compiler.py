@@ -487,6 +487,39 @@ def compile_graph(graph: Graph, *, block_len: int = 1 << 16,
                     f"{np.dtype(e.dtype).name}, {e.dst.name}.{e.dst_port} expects "
                     f"{np.dtype(p.dtype).name}")
 
+    # -- rotation absorption (graph-level algebraic pass) ---------------------
+    # A frequency-translating producer's output de-rotation y·e^{-jωm} is a
+    # full-rate elementwise HBM pass. Consumers that are invariant to (FFT
+    # magnitude views: a linear phase ramp folds into a COMPLEX window, the
+    # per-frame unit phasor cancels in |·|) or can correct for (quadrature
+    # demod: a constant offset) a residual linear phase absorb it instead, and
+    # the producer skips the NCO multiply entirely. The analog of GNU Radio's
+    # rotator-merging optimizations, done at compile time over the whole graph.
+    import os
+    for b in order:
+        b._rotation_absorbed = False                  # reset stale flags
+        if hasattr(b, "_absorbed_rotation"):
+            b._absorbed_rotation = {}
+    for b in order:
+        if os.environ.get("GR4TPU_NO_ROTATION_ABSORB") == "1":
+            break                                     # A/B + debugging escape
+        fn = getattr(b, "rotation_descriptor", None)
+        if fn is None:
+            continue
+        desc = fn(block_ctx[b.unique_name].sample_rate)
+        if desc is None:
+            continue
+        outs = [e for e in flat.edges if e.src is b]
+        if not outs or any(e.feedback for e in outs):
+            continue
+        if all(getattr(e.dst, "absorb_rotation", None) is not None
+               and e.dst.absorb_rotation(desc, e.dst_port) for e in outs):
+            b._rotation_absorbed = True
+            for e in outs:
+                if not getattr(e.dst, "_absorbed_rotation", None):
+                    e.dst._absorbed_rotation = {}
+                e.dst._absorbed_rotation[e.dst_port] = desc
+
     fed_blocks = [b for b in order if getattr(b, "FEED", False)]
     fed_names = {b.unique_name for b in fed_blocks}
     # sinks: terminal blocks + HOST_TAP blocks (mid-graph blocks whose inputs

@@ -11,15 +11,21 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def quadrature_demod(x: jnp.ndarray, last: jnp.ndarray, *, gain: float | jnp.ndarray
+def quadrature_demod(x: jnp.ndarray, last: jnp.ndarray, *, gain: float | jnp.ndarray,
+                     rot: complex | None = None
                      ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """FM discriminator: y[n] = gain · arg(x[n]·conj(x[n−1])).
+    """FM discriminator: y[n] = gain · arg(x[n]·conj(x[n−1])·rot).
 
     x: [..., T] complex64; last: [...] carried x[−1]. gain = fs/(2π·Δf_max) for
-    unit deviation.
+    unit deviation. ``rot`` (host complex, unit modulus) folds a constant phase
+    into the arg — the rotation-absorption correction, applied INSIDE arg so
+    the (−π, π] wrap matches the de-rotated stream exactly.
     """
+    import jax
     prev = jnp.concatenate([last[..., None], x[..., :-1]], axis=-1)
     d = x * jnp.conj(prev)
+    if rot is not None:
+        d = d * jax.lax.complex(jnp.float32(rot.real), jnp.float32(rot.imag))
     y = jnp.arctan2(jnp.imag(d), jnp.real(d)) * gain
     return y.astype(jnp.float32), x[..., -1]
 
