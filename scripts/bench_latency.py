@@ -29,7 +29,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def measure(block_len: int, pipeline_depth: int, steps: int) -> dict:
+def measure(block_len: int, pipeline_depth: int, steps: int,
+            async_delivery: bool = False) -> dict:
     import jax
     import gnuradio4_tpu as gr
     from gnuradio4_tpu.core.block import Port, SinkBlock
@@ -53,7 +54,8 @@ def measure(block_len: int, pipeline_depth: int, steps: int) -> dict:
     snk = g.add(LatencySink())
     g.connect_chain(src, fir, snk)
     sched = gr.Scheduler(g, block_len=block_len, sample_rate=1e6,
-                         pipeline_depth=pipeline_depth)
+                         pipeline_depth=pipeline_depth,
+                         async_delivery=async_delivery)
     sched.init()
 
     dispatches: list[float] = []
@@ -79,6 +81,7 @@ def measure(block_len: int, pipeline_depth: int, steps: int) -> dict:
     return {
         "block_len": block_len,
         "pipeline_depth": pipeline_depth,
+        "async_delivery": async_delivery,
         "steps_delivered": int(len(lat)),
         "latency_p50_ms": round(float(np.percentile(lat, 50)) * 1e3, 3),
         "latency_p95_ms": round(float(np.percentile(lat, 95)) * 1e3, 3),
@@ -93,7 +96,16 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=24)
     ap.add_argument("--depths", default="1,2,4")
     ap.add_argument("--block-lens", default="1024,16384,262144,2097152,8388608")
+    ap.add_argument("--async-modes", default="0,1",
+                    help="comma list of 0/1: sync and/or async delivery rows")
+    ap.add_argument("--out", default=None,
+                    help="also write all rows to this JSON file")
+    ap.add_argument("--budget-s", type=float, default=900.0,
+                    help="hard watchdog (transport hangs must not eat the round)")
     args = ap.parse_args()
+    import threading
+    threading.Thread(target=lambda: (time.sleep(args.budget_s), os._exit(7)),
+                     daemon=True).start()
     import jax
     if args.force_cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -101,11 +113,29 @@ def main() -> None:
     lens = [int(x) for x in args.block_lens.split(",")]
     if platform == "cpu":
         lens = [n for n in lens if n <= (1 << 18)]
-    for depth in [int(d) for d in args.depths.split(",")]:
-        for bl in lens:
-            r = measure(bl, depth, args.steps)
-            r["platform"] = platform
-            print(json.dumps(r), flush=True)
+    rows = []
+    for mode in [int(m) for m in args.async_modes.split(",")]:
+        for depth in [int(d) for d in args.depths.split(",")]:
+            for bl in lens:
+                try:
+                    r = measure(bl, depth, args.steps, async_delivery=bool(mode))
+                except Exception as e:
+                    r = {"block_len": bl, "pipeline_depth": depth,
+                         "async_delivery": bool(mode),
+                         "error": f"{type(e).__name__}: {e}"}
+                r["platform"] = platform
+                rows.append(r)
+                print(json.dumps(r), flush=True)
+    if args.out:
+        import datetime
+        with open(args.out, "w") as f:
+            json.dump({"date": datetime.datetime.now(datetime.timezone.utc)
+                       .strftime("%Y-%m-%dT%H:%M:%SZ"),
+                       "protocol": "dispatch->host-delivery round trip per "
+                                   "step through the real Scheduler, p50/p95"
+                                   " over delivered steps (first skipped: "
+                                   "jit compile)",
+                       "rows": rows}, f, indent=1)
 
 
 if __name__ == "__main__":
