@@ -86,9 +86,32 @@ def group_tone(n):
     def factored():
         return checksum(complex_exp_ramp(jnp.uint32(0), jnp.uint32(dphi), n))
 
-    jd, jf = jax.jit(direct), jax.jit(factored)
+    def poly():
+        # quadrant-folded minimax sin/cos pair on the uint32 phase grid:
+        # u = frac cycles in [0,1); fold to t in [-0.25, 0.25) and a swap bit
+        idx = jax.lax.broadcasted_iota(jnp.uint32, (n, 1), 0)[:, 0]
+        ph = idx * jnp.uint32(dphi)
+        u = ph.astype(jnp.float32) * jnp.float32(2.0**-32)      # [0,1)
+        q = jnp.floor(u * 4.0 + 0.5)                            # quadrant
+        t = u - q * 0.25                                        # [-0.125,0.125)
+        r = t * jnp.float32(2.0 * np.pi)                        # [-pi/4, pi/4)
+        r2 = r * r
+        # degree-7/6 minimax on [-pi/4, pi/4): ~1e-8 class
+        s = r * (1.0 + r2 * (-0.16666655 + r2 * (8.332899e-3
+                                                 + r2 * -1.9507e-4)))
+        c = 1.0 + r2 * (-0.49999997 + r2 * (4.166613e-2
+                                            + r2 * -1.3585e-3))
+        qi = q.astype(jnp.int32) & 3
+        cosv = jnp.where(qi == 0, c, jnp.where(qi == 1, -s,
+                         jnp.where(qi == 2, -c, s)))
+        sinv = jnp.where(qi == 0, s, jnp.where(qi == 1, c,
+                         jnp.where(qi == 2, -s, -c)))
+        return checksum(jax.lax.complex(cosv, sinv))
+
+    jd, jf, jp = jax.jit(direct), jax.jit(factored), jax.jit(poly)
     yield measure("tone_direct", lambda: jd(), n)
     yield measure("tone_factored", lambda: jf(), n)
+    yield measure("tone_poly", lambda: jp(), n)
 
 
 def group_fir(n):
