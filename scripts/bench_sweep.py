@@ -97,10 +97,10 @@ def group_tone(n):
         r = t * jnp.float32(2.0 * np.pi)                        # [-pi/4, pi/4)
         r2 = r * r
         # degree-7/6 minimax on [-pi/4, pi/4): ~1e-8 class
-        s = r * (1.0 + r2 * (-0.16666655 + r2 * (8.332899e-3
-                                                 + r2 * -1.9507e-4)))
-        c = 1.0 + r2 * (-0.49999997 + r2 * (4.166613e-2
-                                            + r2 * -1.3585e-3))
+        s = r * (1.0 + r2 * (-1.6666654611e-1 + r2 * (8.3321608736e-3
+                                                      + r2 * -1.9515295891e-4)))
+        c = 1.0 + r2 * (-0.5 + r2 * (4.166664568298827e-2
+                                     + r2 * -1.388731625493765e-3))
         qi = q.astype(jnp.int32) & 3
         cosv = jnp.where(qi == 0, c, jnp.where(qi == 1, -s,
                          jnp.where(qi == 2, -c, s)))
