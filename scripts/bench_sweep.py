@@ -99,8 +99,8 @@ def group_tone(n):
         # degree-7/6 minimax on [-pi/4, pi/4): ~1e-8 class
         s = r * (1.0 + r2 * (-1.6666654611e-1 + r2 * (8.3321608736e-3
                                                       + r2 * -1.9515295891e-4)))
-        c = 1.0 + r2 * (-0.5 + r2 * (4.166664568298827e-2
-                                     + r2 * -1.388731625493765e-3))
+        c = 1.0 + r2 * (-0.5 + r2 * (4.1666668e-2 + r2 * (
+            -1.3888889e-3 + r2 * 2.47955e-5)))
         qi = q.astype(jnp.int32) & 3
         cosv = jnp.where(qi == 0, c, jnp.where(qi == 1, -s,
                          jnp.where(qi == 2, -c, s)))
