@@ -373,21 +373,26 @@ def fir_apply(x: jnp.ndarray, taps: jnp.ndarray, state: jnp.ndarray,
                 method = "matmul_int8"
             elif cx and os.environ.get("GR4TPU_FIR_LAYOUT", "").lower() == "ilv":
                 method = "matmul_ilv"     # interleaved-rail layout (sweeps)
+            elif cx and os.environ.get("GR4TPU_FIR_LAYOUT",
+                                       "").lower() == "pallas":
+                method = "pallas_ilv"
             else:
                 method = "matmul"
             if ntaps > 512:
                 method = "fft"
         else:
             method = "conv"
-    if method in ("matmul", "matmul_int8", "matmul_ilv") and ntaps > 1:
+    if method in ("matmul", "matmul_int8", "matmul_ilv", "pallas_ilv") \
+            and ntaps > 1:
         if taps_np is None:
             # explicit opt-in only; relay-safe fetch (complex D2H would poison)
             from ..utils.transfer import safe_get
             taps_np = np.asarray(safe_get(taps))
-        if method == "matmul_ilv" and not cx:
+        if method in ("matmul_ilv", "pallas_ilv") and not cx:
             method = "matmul"             # interleaved needs a complex stream
         y = {"matmul_int8": _fir_matmul_int8,
              "matmul_ilv": _fir_matmul_ilv,
+             "pallas_ilv": _fir_matmul_pallas,
              "matmul": _fir_matmul}[method](xc, taps_np, decim)
     elif method == "fft" and ntaps > 1:
         y = _fir_fft(xc, taps, decim)
@@ -567,3 +572,37 @@ def _fir_matmul_ilv(xc: jnp.ndarray, taps_np: np.ndarray, decim: int
     y = _banded_dot(z[:, :-1, :], w_lo) + _banded_dot(z[:, 1:, :], w_hi)
     y = y.reshape(b, -1)[:, : 2 * n_out_true]
     return y.view(jnp.complex64)               # [B, n_out_true]
+
+
+def _fir_matmul_pallas(xc: jnp.ndarray, taps_np: np.ndarray, decim: int
+                       ) -> jnp.ndarray:
+    """Pallas interleaved banded FIR (ops/pallas_kernels.fir_ilv_pallas):
+    explicit VMEM streaming of the same interleaved two-dot formulation.
+    Single-channel complex streams with MXU-aligned output tiles only —
+    anything else falls back to the XLA interleaved path."""
+    b, tc = xc.shape
+    k = taps_np.shape[-1]
+    t = tc - (k - 1)
+    tile = _choose_tile(t, k, decim)
+    c2 = 2 * tile // decim
+    if b != 1 or c2 % 128 or c2 < 128 or (2 * tile) % 256 \
+            or jax.default_backend() not in ("tpu", "cpu"):
+        return _fir_matmul_ilv(xc, taps_np, decim)
+    t_pad = -(-t // tile) * tile
+    n = t_pad // tile
+    total = (n + 1) * tile
+    if total != tc:
+        xc = jnp.pad(xc, ((0, 0), (0, total - tc)))
+    n_out_true = t // decim
+    h = np.asarray(taps_np, np.complex128)
+    w = _toeplitz_ilv_np(tuple(h.tolist()), k, tile, decim)
+    w_lo = jnp.asarray(w[: 2 * tile])
+    w_hi_np = np.zeros_like(w[: 2 * tile])
+    w_hi_np[: 2 * (k - 1)] = w[2 * tile:]
+    from .pallas_kernels import fir_ilv_pallas
+    z = xc.astype(jnp.complex64).view(jnp.float32).reshape(n + 1, 2 * tile)
+    y = fir_ilv_pallas(z, w_lo, jnp.asarray(w_hi_np),
+                       precision=_PRECISION,
+                       interpret=jax.default_backend() != "tpu")
+    y = y.reshape(-1)[: 2 * n_out_true]
+    return y.view(jnp.complex64)[None, :]

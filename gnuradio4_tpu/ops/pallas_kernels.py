@@ -131,3 +131,64 @@ def nco_mix_pallas(x: jnp.ndarray, phase: jnp.ndarray, dphi,
     if squeeze:
         out = out[0]
     return out, ph_out[0, 0]
+
+
+# -- interleaved banded FIR (the hot FIR path, explicit memory movement) ------
+#
+# The XLA lowering of the banded-Toeplitz FIR measures far from both rooflines
+# (scripts/stage_mfu.py: ~11% MXU, ~28% modeled HBM at 8 Mi/step) — the gap is
+# layout glue XLA schedules around the dots. This kernel pins the movement:
+# each grid step streams G=128 interleaved rows (128 complex samples each)
+# through VMEM once, runs the two banded dots on the MXU, and writes the
+# interleaved output rows once. The shifted second view (zero-copy framing,
+# ops/fir.py) comes from a sublane roll + one row of the NEXT block — no
+# misaligned VMEM access, no overlap refetch.
+
+
+def _fir_ilv_kernel(g: int, prec, za_ref, zb_ref, wlo_ref, whi_ref, out_ref):
+    a = za_ref[:, :]                                   # rows i·G .. i·G+G
+    rolled = jnp.roll(a, -1, axis=0)                   # rolled[q] = a[q+1]
+    row = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
+    b = jnp.where(row == g - 1, zb_ref[0:1, :], rolled)
+    out_ref[:, :] = (
+        jnp.dot(a, wlo_ref[:, :], precision=prec,
+                preferred_element_type=jnp.float32)
+        + jnp.dot(b, whi_ref[:, :], precision=prec,
+                  preferred_element_type=jnp.float32))
+
+
+def fir_ilv_pallas(z: jnp.ndarray, w_lo: jnp.ndarray, w_hi: jnp.ndarray,
+                   *, rows_per_program: int = 128,
+                   precision=None, interpret: bool = False) -> jnp.ndarray:
+    """Banded FIR over interleaved rows: z [R+1, 2L] f32 → [R, 2C] f32 with
+    out[r] = z[r] @ w_lo + z[r+1] @ w_hi. The wrapper pads the row count so
+    the shifted operand's block (index i+1) stays in range."""
+    g = rows_per_program
+    r, l2 = z.shape
+    r_out = r - 1
+    c2 = w_lo.shape[1]
+    prec = precision or jax.lax.Precision.HIGH
+    n_prog = -(-r_out // g)
+    rows_needed = (n_prog + 1) * g
+    if rows_needed > r:
+        z = jnp.pad(z, ((0, rows_needed - r), (0, 0)))
+    import functools as _ft
+    out = pl.pallas_call(
+        _ft.partial(_fir_ilv_kernel, g, prec),
+        out_shape=jax.ShapeDtypeStruct((n_prog * g, c2), jnp.float32),
+        grid=(n_prog,),
+        in_specs=[
+            pl.BlockSpec((g, l2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, l2), lambda i: (i + 1, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((l2, c2), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((l2, c2), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((g, c2), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(z, z, w_lo, w_hi)
+    return out[:r_out]

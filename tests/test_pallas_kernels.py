@@ -59,3 +59,35 @@ class TestNcoMixPallas:
         y2, _ = nco_mix_pallas(jnp.asarray(x), ph, dphi, interpret=True)
         ref2 = np.exp(2j * np.pi * (float(dphi) / 2**32) * (t + n))
         np.testing.assert_allclose(np.asarray(y2), ref2, atol=4e-3)
+
+
+class TestFirIlvPallas:
+    """Interleaved banded FIR Pallas kernel vs NumPy reference (interpret
+    mode; the shifted operand comes from a sublane roll + the next block's
+    first row — the zero-copy framing without misaligned VMEM reads)."""
+
+    @pytest.mark.parametrize("ntaps,decim", [(127, 1), (63, 2), (31, 1)])
+    def test_matches_reference(self, rng, ntaps, decim):
+        from gnuradio4_tpu.ops.fir import fir_apply, fir_init_state
+        taps = rng.standard_normal(ntaps).astype(np.float32)
+        x = (rng.standard_normal(4096) + 1j * rng.standard_normal(4096)
+             ).astype(np.complex64)
+        y, _ = fir_apply(jnp.asarray(x), taps,
+                         fir_init_state(0, ntaps, jnp.complex64),
+                         decim=decim, method="pallas_ilv")
+        ref = np.convolve(x.astype(np.complex128), taps)[:4096][::decim]
+        np.testing.assert_allclose(np.asarray(y), ref, atol=2e-4)
+
+    def test_streaming_state_carry(self, rng):
+        from gnuradio4_tpu.ops.fir import fir_apply, fir_init_state
+        taps = rng.standard_normal(65).astype(np.float32)
+        x = (rng.standard_normal(8192) + 1j * rng.standard_normal(8192)
+             ).astype(np.complex64)
+        ref = np.convolve(x.astype(np.complex128), taps)[:8192]
+        st = fir_init_state(0, 65, jnp.complex64)
+        parts = []
+        for chunk in x.reshape(2, 4096):
+            y, st = fir_apply(jnp.asarray(chunk), taps, st,
+                              method="pallas_ilv")
+            parts.append(np.asarray(y))
+        np.testing.assert_allclose(np.concatenate(parts), ref, atol=2e-4)
