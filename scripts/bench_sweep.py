@@ -173,6 +173,14 @@ def group_fir(n):
                          method="matmul_ilv")
         return checksum(y)
 
+    def fir_pal(x, h):
+        y, _ = fir_apply(x, taps, h, method="pallas_ilv")
+        return checksum(y)
+
+    def xlate_old_pal(x, h):
+        y, _ = fir_apply(x, ctaps, h, method="pallas_ilv")
+        return checksum(y)
+
     def audio(x, h):
         y, _ = fir_apply(x, audio_taps, h, decim=8)
         return checksum(y)
@@ -191,10 +199,13 @@ def group_fir(n):
                                ("fir127_ilv", fir_ilv, x0, hist),
                                ("xlate_old_ilv", xlate_old_ilv, x0, hist),
                                ("xlate_new_ilv", xlate_new_ilv, x0, hist),
+                               ("fir127_pal", fir_pal, x0, hist),
+                               ("xlate_old_pal", xlate_old_pal, x0, hist),
                                ("audio_d8", audio, xr0, ahist)):
             if nm == "nco_only" and mode != "high":
                 continue                      # precision-independent
-            if nm.endswith("_ilv") and mode != "high":
+            if (nm.endswith("_ilv") or nm.endswith("_pal")) \
+                    and mode != "high":
                 continue                      # layout question, not precision
             jf = jax.jit(fn)
             yield measure(f"{nm}[{mode}]", lambda jf=jf, xin=xin, h=h:
