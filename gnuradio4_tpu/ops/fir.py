@@ -111,7 +111,9 @@ def _conv_valid_complex(x2: jnp.ndarray, taps: jnp.ndarray, stride: int) -> jnp.
         precision=jax.lax.Precision.HIGHEST)
     # lax.complex, not (a + 1j*b): the eager path would materialize the 1j
     # scalar as a complex constant -> complex H2D, relay-unsafe (transfer.py)
-    return jax.lax.complex(y[:, 0, :], y[:, 1, :]).astype(x2.dtype)
+    out = jax.lax.complex(y[:, 0, :], y[:, 1, :])
+    return out.astype(x2.dtype) if jnp.issubdtype(
+        x2.dtype, jnp.complexfloating) else out.astype(jnp.complex64)
 
 
 def _frame_overlapping(xc: jnp.ndarray, step: int, width: int) -> jnp.ndarray:
@@ -360,9 +362,11 @@ def fir_apply(x: jnp.ndarray, taps: jnp.ndarray, state: jnp.ndarray,
     squeeze = x.ndim == 1
     x2 = x[None, :] if squeeze else x
     st2 = state[None, :] if squeeze else state
-    cx = jnp.issubdtype(x2.dtype, jnp.complexfloating) or _as_cx(taps)
-    if cx and not jnp.issubdtype(x2.dtype, jnp.complexfloating):
-        x2 = x2.astype(jnp.complex64)
+    cx_stream = jnp.issubdtype(x2.dtype, jnp.complexfloating)
+    cx = cx_stream or _as_cx(taps)
+    # NOTE: a real stream with complex taps stays REAL here — every lowering
+    # handles the mixed case with half the rail dots (a forced complex cast
+    # would push a provably-zero imaginary rail through the matmuls)
     xc = jnp.concatenate([st2.astype(x2.dtype), x2], axis=-1)
     if method == "auto":
         on_tpu = jax.default_backend() == "tpu"
@@ -371,10 +375,11 @@ def fir_apply(x: jnp.ndarray, taps: jnp.ndarray, state: jnp.ndarray,
         elif on_tpu:
             if os.environ.get("GR4TPU_FIR_PRECISION", "").lower() == "int8":
                 method = "matmul_int8"
-            elif cx and os.environ.get("GR4TPU_FIR_LAYOUT", "").lower() == "ilv":
+            elif cx_stream and os.environ.get("GR4TPU_FIR_LAYOUT",
+                                               "").lower() == "ilv":
                 method = "matmul_ilv"     # interleaved-rail layout (sweeps)
-            elif cx and os.environ.get("GR4TPU_FIR_LAYOUT",
-                                       "").lower() == "pallas":
+            elif cx_stream and os.environ.get("GR4TPU_FIR_LAYOUT",
+                                              "").lower() == "pallas":
                 method = "pallas_ilv"
             else:
                 method = "matmul"
@@ -388,8 +393,8 @@ def fir_apply(x: jnp.ndarray, taps: jnp.ndarray, state: jnp.ndarray,
             # explicit opt-in only; relay-safe fetch (complex D2H would poison)
             from ..utils.transfer import safe_get
             taps_np = np.asarray(safe_get(taps))
-        if method in ("matmul_ilv", "pallas_ilv") and not cx:
-            method = "matmul"             # interleaved needs a complex stream
+        if method in ("matmul_ilv", "pallas_ilv") and not cx_stream:
+            method = "matmul"             # interleaved needs a complex STREAM
         y = {"matmul_int8": _fir_matmul_int8,
              "matmul_ilv": _fir_matmul_ilv,
              "pallas_ilv": _fir_matmul_pallas,
