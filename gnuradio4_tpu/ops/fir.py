@@ -555,7 +555,12 @@ def _fir_matmul_ilv(xc: jnp.ndarray, taps_np: np.ndarray, decim: int
                     ) -> jnp.ndarray:
     """Interleaved-rail MXU path: bitcast complex64 → f32, two banded dots
     with the interleaved Toeplitz, bitcast back. Same zero-copy two-view
-    framing as _fir_matmul on doubled indices."""
+    framing as _fir_matmul on doubled indices.
+
+    MEASURED (sweep3, v5e): 4-5× faster than the rail path ON CPU, but
+    ~330× SLOWER on TPU — the chip stores complex64 as separate planes, so
+    the ``.view()`` bitcast is a full interleave transpose (~390 ms / 8 Mi).
+    Keep this CPU-side / opt-in; the TPU auto path stays on rail matmuls."""
     b, tc = xc.shape
     k = taps_np.shape[-1]
     t = tc - (k - 1)

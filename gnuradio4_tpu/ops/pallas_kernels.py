@@ -135,6 +135,13 @@ def nco_mix_pallas(x: jnp.ndarray, phase: jnp.ndarray, dphi,
 
 # -- interleaved banded FIR (the hot FIR path, explicit memory movement) ------
 #
+# MEASURED VERDICT (sweep3, v5e): the interleaved formulation is a dead end
+# ON TPU — the complex64→f32 ``.view()`` bitcast costs ~390 ms / 8 Mi (the
+# chip stores complex PLANAR internally, so the interleaved view is a full
+# transpose, and conversely jnp.real/imag rail extraction is ~free). The
+# kernel is kept for the record and for CPU (where the interleaved XLA path
+# measures 4-5× faster than rails); the TPU default stays the XLA rail
+# matmul. Original motivation:
 # The XLA lowering of the banded-Toeplitz FIR measures far from both rooflines
 # (scripts/stage_mfu.py: ~11% MXU, ~28% modeled HBM at 8 Mi/step) — the gap is
 # layout glue XLA schedules around the dots. This kernel pins the movement:
@@ -167,7 +174,11 @@ def fir_ilv_pallas(z: jnp.ndarray, w_lo: jnp.ndarray, w_hi: jnp.ndarray,
     r, l2 = z.shape
     r_out = r - 1
     c2 = w_lo.shape[1]
-    prec = precision or jax.lax.Precision.HIGH
+    # Mosaic rejects Precision.HIGH inside kernels ("Unsupported dot
+    # precision", measured on v5e) — quantize the request to HIGHEST/DEFAULT
+    prec = precision or jax.lax.Precision.HIGHEST
+    if prec == jax.lax.Precision.HIGH:
+        prec = jax.lax.Precision.HIGHEST
     n_prog = -(-r_out // g)
     rows_needed = (n_prog + 1) * g
     if rows_needed > r:
