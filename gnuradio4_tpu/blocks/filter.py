@@ -33,6 +33,14 @@ class FirFilter(Block):
     OUT = (Port("out"),)
     taps = Setting(default=(1.0,), kind="static", description="FIR taps b[k]")
     decim = Setting(default=1, kind="static", limits=(1, 1 << 16))
+    precision = Setting(default="auto", kind="static",
+                        choices=("auto", "default", "high", "highest",
+                                 "bf16", "int8"),
+                        description="MXU precision for this block's matmuls: "
+                                    "auto → process-wide mode "
+                                    "(GR4TPU_FIR_PRECISION, default high "
+                                    "≈ f32); bf16 = one pass (~50 dB), "
+                                    "int8 ≈ 40 dB — per-link SNR budgeting")
     uncertain = Setting(default=False, kind="static",
                         description="input is a 2-plane (value, sigma) stream; "
                                     "sigma propagates as sqrt(fir(sigma^2, "
@@ -92,7 +100,9 @@ class FirFilter(Block):
             y = jnp.stack([yv, jnp.sqrt(jnp.maximum(s2, 0.0))], axis=-2)
             new_state = jnp.stack([hv, jnp.sqrt(jnp.maximum(hs, 0.0))], axis=-2)
             return new_state, {"out": y}
-        y, new_state = fir_apply(x, self._taps_array(), state, decim=d)
+        prec = str(self.settings.get("precision"))
+        y, new_state = fir_apply(x, self._taps_array(), state, decim=d,
+                                 precision=None if prec == "auto" else prec)
         return new_state, {"out": y}
 
     def sp_halo(self, ctx):

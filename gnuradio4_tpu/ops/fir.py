@@ -52,9 +52,18 @@ _PRECISION = {
 }.get(_MODE, jax.lax.Precision.HIGH)  # 'bf16'/'int8' select op modes instead
 
 
-def _banded_dot(a: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
-    """[B, n, j] @ [j, i] → [B, n, i] f32 under the configured precision mode."""
-    if _MODE == "bf16":
+_PREC_MAP = {"default": jax.lax.Precision.DEFAULT,
+             "high": jax.lax.Precision.HIGH,
+             "highest": jax.lax.Precision.HIGHEST}
+
+
+def _banded_dot(a: jnp.ndarray, w: jnp.ndarray, mode: str | None = None
+                ) -> jnp.ndarray:
+    """[B, n, j] @ [j, i] → [B, n, i] f32 under the given precision mode
+    (None → the process-wide GR4TPU_FIR_PRECISION mode)."""
+    if mode is None:
+        mode = _MODE
+    if mode == "bf16":
         if jax.default_backend() == "tpu":
             return jnp.einsum("bnj,ji->bni", a.astype(jnp.bfloat16),
                               w.astype(jnp.bfloat16),
@@ -66,7 +75,8 @@ def _banded_dot(a: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
                           w.astype(jnp.bfloat16).astype(jnp.float32),
                           precision=jax.lax.Precision.DEFAULT,
                           preferred_element_type=jnp.float32)
-    return jnp.einsum("bnj,ji->bni", a, w, precision=_PRECISION,
+    return jnp.einsum("bnj,ji->bni", a, w,
+                      precision=_PREC_MAP.get(mode, _PRECISION),
                       preferred_element_type=jnp.float32)
 
 
@@ -168,7 +178,8 @@ def _next_pow2(v: int) -> int:
     return p
 
 
-def _fir_matmul(xc: jnp.ndarray, taps_np: np.ndarray, decim: int) -> jnp.ndarray:
+def _fir_matmul(xc: jnp.ndarray, taps_np: np.ndarray, decim: int,
+                mode: str | None = None) -> jnp.ndarray:
     """MXU path with ZERO-COPY framing: two matmuls on two shifted views.
 
     The banded-Toeplitz product over overlapping frames splits exactly as
@@ -205,7 +216,7 @@ def _fir_matmul(xc: jnp.ndarray, taps_np: np.ndarray, decim: int) -> jnp.ndarray
         w_hi[: k - 1] = w[tile:]
         return jnp.asarray(w[:tile], real_dt), jnp.asarray(w_hi, real_dt)
 
-    dot = _banded_dot
+    dot = lambda a, w: _banded_dot(a, w, mode)
 
     def banded(a_rows):             # [B, n+1, tile] → [B, n, n_out]
         return lambda lo, hi: dot(a_rows[:, :-1, :], lo) \
@@ -343,7 +354,8 @@ def _frame_overlapping_general(xc: jnp.ndarray, step: int, width: int
 
 
 def fir_apply(x: jnp.ndarray, taps: jnp.ndarray, state: jnp.ndarray,
-              *, decim: int = 1, method: str = "auto"
+              *, decim: int = 1, method: str = "auto",
+              precision: str | None = None
               ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Overlap-save FIR step.
 
@@ -370,7 +382,11 @@ def fir_apply(x: jnp.ndarray, taps: jnp.ndarray, state: jnp.ndarray,
     xc = jnp.concatenate([st2.astype(x2.dtype), x2], axis=-1)
     if method == "auto":
         on_tpu = jax.default_backend() == "tpu"
-        if taps_np is None:
+        if precision is not None and taps_np is not None and ntaps <= 512:
+            # an explicit precision rung is a matmul-path request on every
+            # backend (conv/fft have no pass-count ladder)
+            method = "matmul_int8" if precision == "int8" else "matmul"
+        elif taps_np is None:
             method = "fft" if on_tpu else "conv"  # matmul needs host taps
         elif on_tpu:
             if os.environ.get("GR4TPU_FIR_PRECISION", "").lower() == "int8":
@@ -395,10 +411,14 @@ def fir_apply(x: jnp.ndarray, taps: jnp.ndarray, state: jnp.ndarray,
             taps_np = np.asarray(safe_get(taps))
         if method in ("matmul_ilv", "pallas_ilv") and not cx_stream:
             method = "matmul"             # interleaved needs a complex STREAM
-        y = {"matmul_int8": _fir_matmul_int8,
-             "matmul_ilv": _fir_matmul_ilv,
-             "pallas_ilv": _fir_matmul_pallas,
-             "matmul": _fir_matmul}[method](xc, taps_np, decim)
+        if precision == "int8" and method == "matmul":
+            method = "matmul_int8"        # per-call quantized path
+        if method == "matmul":
+            y = _fir_matmul(xc, taps_np, decim, mode=precision)
+        else:
+            y = {"matmul_int8": _fir_matmul_int8,
+                 "matmul_ilv": _fir_matmul_ilv,
+                 "pallas_ilv": _fir_matmul_pallas}[method](xc, taps_np, decim)
     elif method == "fft" and ntaps > 1:
         y = _fir_fft(xc, taps, decim)
     else:

@@ -204,3 +204,31 @@ def test_bf16_one_pass_snr(rng, monkeypatch):
     err = np.abs(to_host(y) - ref)
     snr = 10 * np.log10(np.mean(np.abs(ref) ** 2) / np.mean(err ** 2))
     assert snr > 45.0, f"bf16 SNR {snr:.1f} dB"
+
+
+def test_per_block_precision_setting(rng):
+    """FirFilter(precision='bf16'|'int8') overrides the process-wide mode:
+    outputs carry the rung's SNR class while a sibling at default stays f32."""
+    import gnuradio4_tpu as gr
+    taps = rng.standard_normal(63).astype(np.float32) / 8
+    x = (rng.standard_normal(8192) + 1j * rng.standard_normal(8192)
+         ).astype(np.complex64)
+    ref = np.convolve(x.astype(np.complex128), taps)[: len(x)]
+    outs = {}
+    for prec in ("auto", "bf16", "int8"):
+        g = gr.Graph()
+        src = g.emplace("VectorSource")
+        src.data = x
+        fir = g.emplace("FirFilter", taps=tuple(taps.tolist()),
+                        precision=prec)
+        snk = g.emplace("VectorSink")
+        g.connect_chain(src, fir, snk)
+        gr.Scheduler(g, block_len=4096, sample_rate=1e6).run_and_wait()
+        outs[prec] = np.asarray(snk.data())
+
+    def snr(y):
+        e = np.abs(y - ref)
+        return 10 * np.log10(np.mean(np.abs(ref) ** 2) / np.mean(e ** 2))
+    assert snr(outs["auto"]) > 90.0       # f32 class (conv path on CPU)
+    assert 40.0 < snr(outs["bf16"])       # one-pass class
+    assert 30.0 < snr(outs["int8"]) < snr(outs["auto"])
