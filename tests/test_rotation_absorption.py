@@ -82,3 +82,33 @@ def test_absorbed_sharded_matches_unsharded(rng):
     spec_s, dem_s = run(mesh)
     np.testing.assert_allclose(spec_s, spec_u, atol=2e-3)
     np.testing.assert_allclose(dem_s, dem_u, atol=2e-3)
+
+
+def test_mixed_consumers_decline(monkeypatch, rng):
+    """One absorbing consumer (FFT-mag) + one that cannot (VectorSink on the
+    raw stream): the pass must decline and keep the de-rotation, so the sink
+    sees the true translated stream."""
+    import gnuradio4_tpu as gr
+    from gnuradio4_tpu.blocks.filter import FreqXlatingFir
+    from gnuradio4_tpu.ops import filter_design as fd
+    fs, fc = 1e6, 123e3
+    taps = fd.design_fir("lowpass", 63, sample_rate=fs, f_low=100e3
+                         ).astype(np.float32)
+    x = (rng.standard_normal(8192) + 1j * rng.standard_normal(8192)
+         ).astype(np.complex64)
+    g = gr.Graph()
+    src = g.emplace("VectorSource")
+    src.data = x
+    fir = g.add(FreqXlatingFir(taps=taps, center_freq=fc, sample_rate_in=fs))
+    fft = g.emplace("FFT", fft_size=1024, window="Hann", output="magnitude")
+    s1, s2 = g.emplace("VectorSink"), g.emplace("VectorSink")
+    g.connect_chain(src, fir, fft, s1)
+    g.connect(fir, s2)     # raw-stream consumer: cannot absorb
+    gr.Scheduler(g, block_len=4096, sample_rate=fs).run_and_wait()
+    assert not getattr(fir, "_rotation_absorbed", False)
+    # and the sink's stream is the truly translated/filtered one
+    n = np.arange(len(x), dtype=np.float64)
+    xr = x.astype(np.complex128) * np.exp(-2j * np.pi * fc / fs * n)
+    ref = np.convolve(xr, taps.astype(np.float64))[: len(x)]
+    got = np.asarray(s2.data())
+    np.testing.assert_allclose(got, ref[: len(got)], atol=2e-3)
