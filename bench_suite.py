@@ -364,6 +364,9 @@ def main():
             if time.monotonic() > deadline - 60:
                 print(f"# suite deadline reached at config {key}",
                       file=sys.stderr)
+                if held is None:
+                    held = {"config": key, "error": "suite deadline reached "
+                            "before any attempt"}
                 break
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),

@@ -78,8 +78,10 @@ class FirFilter(Block):
     def init_state(self, ctx):
         t = self._taps_array()
         in_dt = np.dtype(ctx.dtype("in", jnp.float32))
-        dt = jnp.complex64 if (np.iscomplexobj(t)
-                               or in_dt == np.dtype(np.complex64)) else in_dt
+        # history follows the STREAM dtype — a real stream with complex taps
+        # stays real through every lowering (ops/fir.py keeps the real rail)
+        dt = jnp.complex64 if in_dt == np.dtype(np.complex64) \
+            else jnp.dtype(in_dt)
         ch = ctx.channels.get("in", 0)
         return fir_init_state(ch, len(t), dt)
 
@@ -94,9 +96,13 @@ class FirFilter(Block):
                 raise GrError(f"{self.name}: uncertain mode needs real taps")
             # state holds the raw input planes (value, sigma) — same layout as
             # the plain path, so halo sharding and checkpoints are unchanged
-            yv, hv = fir_apply(x[..., 0, :], t, state[..., 0, :], decim=d)
+            uprec = str(self.settings.get("precision"))
+            uprec = None if uprec == "auto" else uprec
+            yv, hv = fir_apply(x[..., 0, :], t, state[..., 0, :], decim=d,
+                               precision=uprec)
             s2, hs = fir_apply(jnp.square(x[..., 1, :]), (t * t),
-                               jnp.square(state[..., 1, :]), decim=d)
+                               jnp.square(state[..., 1, :]), decim=d,
+                               precision=uprec)
             y = jnp.stack([yv, jnp.sqrt(jnp.maximum(s2, 0.0))], axis=-2)
             new_state = jnp.stack([hv, jnp.sqrt(jnp.maximum(hs, 0.0))], axis=-2)
             return new_state, {"out": y}
@@ -135,6 +141,10 @@ class FreqXlatingFir(FirFilter):
         fs = float(self.settings.get("sample_rate_in"))
         return fs if fs > 0 else ctx_rate
 
+    def _prec(self):
+        p = str(self.settings.get("precision"))
+        return None if p == "auto" else p
+
     _fs_cached: float = 1.0
 
     def _taps_array(self):
@@ -164,10 +174,13 @@ class FreqXlatingFir(FirFilter):
         return {"hist": hist, "phase": jnp.zeros((), jnp.uint32)}
 
     def rotation_descriptor(self, ctx_rate: float):
-        """Compiler rotation-absorption hook: the residual linear phase this
-        block's output carries when its de-rotation NCO pass is skipped —
-        e^{j·2π·frac32(m·dphi_out)/2³²} per output sample m (plus a step/
-        shard-constant phase all absorbing consumers are invariant to)."""
+        """Compiler rotation-absorption hook. ``dphi_out`` is the uint32
+        increment of the SKIPPED de-rotation: consumers must RE-APPLY
+        e^{j·2π·frac32(m·dphi_out)/2³²} per output sample m (equivalently,
+        the raw output carries the conjugate residual), plus a step/shard-
+        constant phase all absorbing consumers are invariant to. See
+        FFT._rotation_window and QuadratureDemod.apply for the two
+        reference consumers."""
         from ..ops.signal import phase_increment
         fc = float(self.settings.get("center_freq"))
         if fc == 0.0:
@@ -189,7 +202,8 @@ class FreqXlatingFir(FirFilter):
             xt = x.astype(jnp.complex64 if jnp.issubdtype(
                 x.dtype, jnp.complexfloating) else jnp.float32)
             y, hist = fir_apply(xt, self._rotated_taps(fs),
-                                state["hist"].astype(xt.dtype), decim=decim)
+                                state["hist"].astype(xt.dtype), decim=decim,
+                                precision=self._prec())
             return ({"hist": hist.astype(state["hist"].dtype),
                      "phase": state["phase"]},
                     {"out": y.astype(jnp.complex64)})
@@ -201,7 +215,8 @@ class FreqXlatingFir(FirFilter):
             xt = x.astype(jnp.complex64 if jnp.issubdtype(
                 x.dtype, jnp.complexfloating) else jnp.float32)
             y, hist = fir_apply(xt, self._taps_array(),
-                                state["hist"].astype(xt.dtype), decim=decim)
+                                state["hist"].astype(xt.dtype), decim=decim,
+                                precision=self._prec())
             return ({"hist": hist.astype(state["hist"].dtype),
                      "phase": state["phase"]},
                     {"out": y.astype(jnp.complex64)})
@@ -224,7 +239,7 @@ class FreqXlatingFir(FirFilter):
             self._fs_cached = fs              # design rate for f_cut mode
             y, hist = fir_apply(xr, self._taps_array(),
                                 state["hist"].astype(jnp.complex64),
-                                decim=decim)
+                                decim=decim, precision=self._prec())
             new_phase = state["phase"] \
                 + jnp.asarray(dphi, jnp.uint32) * jnp.uint32(n_in)
             return ({"hist": hist, "phase": new_phase},
@@ -232,7 +247,8 @@ class FreqXlatingFir(FirFilter):
         # Real input: heterodyned complex taps over the REAL rail (4 dots) +
         # de-rotation at the decimated output rate (n/decim NCO samples).
         y, hist = fir_apply(x.astype(jnp.float32), self._rotated_taps(fs),
-                            state["hist"].astype(jnp.float32), decim=decim)
+                            state["hist"].astype(jnp.float32), decim=decim,
+                            precision=self._prec())
         n_out = y.shape[-1]
         dphi = phase_increment(-fc * decim, fs)
         y = (y * complex_exp_ramp(state["phase"], dphi, n_out)
@@ -269,7 +285,8 @@ class FreqXlatingFir(FirFilter):
             halo = halo_left(xt, h, axis_name,
                              state["hist"].astype(xt.dtype)) \
                 if h > 0 else xt[..., :0]
-            y, _ = fir_apply(xt, taps, halo, decim=decim)
+            y, _ = fir_apply(xt, taps, halo, decim=decim,
+                             precision=self._prec())
             tail = last_shard_tail(xt, h, axis_name)
             return ({"hist": tail.astype(state["hist"].dtype),
                      "phase": state["phase"]},
@@ -285,7 +302,8 @@ class FreqXlatingFir(FirFilter):
             halo = halo_left(xr, h, axis_name,
                              state["hist"].astype(xr.dtype)) \
                 if h > 0 else xr[..., :0]
-            y, _ = fir_apply(xr, self._taps_array(), halo, decim=decim)
+            y, _ = fir_apply(xr, self._taps_array(), halo, decim=decim,
+                             precision=self._prec())
             tail = last_shard_tail(xr, h, axis_name)
             new_phase = state["phase"] + dphi * jnp.uint32(size * n_in)
             return ({"hist": tail.astype(state["hist"].dtype),
@@ -294,7 +312,8 @@ class FreqXlatingFir(FirFilter):
         x = x.astype(jnp.float32)
         halo = halo_left(x, h, axis_name, state["hist"].astype(x.dtype)) \
             if h > 0 else x[..., :0]
-        y, _ = fir_apply(x, self._rotated_taps(fs), halo, decim=decim)
+        y, _ = fir_apply(x, self._rotated_taps(fs), halo, decim=decim,
+                         precision=self._prec())
         n_out = y.shape[-1]
         dphi = jnp.asarray(phase_increment(-fc * decim, fs), jnp.uint32)
         phase0 = state["phase"] + dphi * (idx * n_out).astype(jnp.uint32)

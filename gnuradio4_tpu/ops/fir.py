@@ -44,12 +44,23 @@ import numpy as np
 # accumulation): ~3× HIGH's MXU rate at ~45 dB SNR — the filter analog of an
 # 8-bit-mantissa front-end, for links whose budget allows it (int8 sits below
 # at ~40 dB and 2× the bf16 MACs/s).
-_MODE = os.environ.get("GR4TPU_FIR_PRECISION", "high").lower()
+_ENV_AT_IMPORT = os.environ.get("GR4TPU_FIR_PRECISION", "high").lower()
+_MODE = _ENV_AT_IMPORT
 _PRECISION = {
     "default": jax.lax.Precision.DEFAULT,
     "high": jax.lax.Precision.HIGH,
     "highest": jax.lax.Precision.HIGHEST,
 }.get(_MODE, jax.lax.Precision.HIGH)  # 'bf16'/'int8' select op modes instead
+
+
+def _live_mode() -> str:
+    """Effective process-wide mode: a direct _MODE override (tests, sweep)
+    wins; otherwise the env is consulted LIVE so GR4TPU_FIR_PRECISION set
+    after import still takes effect (the int8 method switch already reads
+    the env per call — this makes bf16 consistent with it)."""
+    if _MODE != _ENV_AT_IMPORT:
+        return _MODE
+    return os.environ.get("GR4TPU_FIR_PRECISION", _MODE).lower()
 
 
 _PREC_MAP = {"default": jax.lax.Precision.DEFAULT,
@@ -62,7 +73,7 @@ def _banded_dot(a: jnp.ndarray, w: jnp.ndarray, mode: str | None = None
     """[B, n, j] @ [j, i] → [B, n, i] f32 under the given precision mode
     (None → the process-wide GR4TPU_FIR_PRECISION mode)."""
     if mode is None:
-        mode = _MODE
+        mode = _live_mode()
     if mode == "bf16":
         if jax.default_backend() == "tpu":
             return jnp.einsum("bnj,ji->bni", a.astype(jnp.bfloat16),
@@ -386,6 +397,13 @@ def fir_apply(x: jnp.ndarray, taps: jnp.ndarray, state: jnp.ndarray,
             # an explicit precision rung is a matmul-path request on every
             # backend (conv/fft have no pass-count ladder)
             method = "matmul_int8" if precision == "int8" else "matmul"
+        elif precision is not None:
+            import warnings
+            warnings.warn(
+                f"fir_apply: precision={precision!r} requires the matmul "
+                f"path (host taps, ntaps<=512; got ntaps={ntaps}) — running "
+                f"the default lowering instead", stacklevel=2)
+            method = "fft" if jax.default_backend() == "tpu" else "conv"
         elif taps_np is None:
             method = "fft" if on_tpu else "conv"  # matmul needs host taps
         elif on_tpu:
@@ -571,16 +589,10 @@ def _toeplitz_ilv_np(taps_key, ntaps: int, tile: int, decim: int) -> np.ndarray:
     return w
 
 
-def _fir_matmul_ilv(xc: jnp.ndarray, taps_np: np.ndarray, decim: int
-                    ) -> jnp.ndarray:
-    """Interleaved-rail MXU path: bitcast complex64 → f32, two banded dots
-    with the interleaved Toeplitz, bitcast back. Same zero-copy two-view
-    framing as _fir_matmul on doubled indices.
-
-    MEASURED (sweep3, v5e): 4-5× faster than the rail path ON CPU, but
-    ~330× SLOWER on TPU — the chip stores complex64 as separate planes, so
-    the ``.view()`` bitcast is a full interleave transpose (~390 ms / 8 Mi).
-    Keep this CPU-side / opt-in; the TPU auto path stays on rail matmuls."""
+def _ilv_prep(xc: jnp.ndarray, taps_np: np.ndarray, decim: int):
+    """Shared prep for the interleaved lowerings: pad to the tile grid, build
+    the interleaved lo/hi weight split, bitcast the stream to f32 rows.
+    Returns (z [n+1, B? x 2·tile], w_lo, w_hi, n, n_out_true, tile)."""
     b, tc = xc.shape
     k = taps_np.shape[-1]
     t = tc - (k - 1)
@@ -592,12 +604,26 @@ def _fir_matmul_ilv(xc: jnp.ndarray, taps_np: np.ndarray, decim: int
         xc = jnp.pad(xc, ((0, 0), (0, total - tc)))
     n_out_true = t // decim
     h = np.asarray(taps_np, np.complex128)
-    w = _toeplitz_ilv_np(tuple(h.tolist()), k, tile, decim)  # [2(tile+k-1), 2no]
+    w = _toeplitz_ilv_np(tuple(h.tolist()), k, tile, decim)
     w_lo = jnp.asarray(w[: 2 * tile])
     w_hi_np = np.zeros_like(w[: 2 * tile])
     w_hi_np[: 2 * (k - 1)] = w[2 * tile:]
-    w_hi = jnp.asarray(w_hi_np)
-    z = xc.astype(jnp.complex64).view(jnp.float32)      # [B, 2·total], bitcast
+    z = xc.astype(jnp.complex64).view(jnp.float32)   # [B, 2·total], bitcast
+    return z, w_lo, jnp.asarray(w_hi_np), n, n_out_true, tile
+
+
+def _fir_matmul_ilv(xc: jnp.ndarray, taps_np: np.ndarray, decim: int
+                    ) -> jnp.ndarray:
+    """Interleaved-rail MXU path: bitcast complex64 → f32, two banded dots
+    with the interleaved Toeplitz, bitcast back. Same zero-copy two-view
+    framing as _fir_matmul on doubled indices.
+
+    MEASURED (sweep3, v5e): 4-5× faster than the rail path ON CPU, but
+    ~330× SLOWER on TPU — the chip stores complex64 as separate planes, so
+    the ``.view()`` bitcast is a full interleave transpose (~390 ms / 8 Mi).
+    Keep this CPU-side / opt-in; the TPU auto path stays on rail matmuls."""
+    b = xc.shape[0]
+    z, w_lo, w_hi, n, n_out_true, tile = _ilv_prep(xc, taps_np, decim)
     z = z.reshape(b, n + 1, 2 * tile)          # rows of `tile` complex samples
     y = _banded_dot(z[:, :-1, :], w_lo) + _banded_dot(z[:, 1:, :], w_hi)
     y = y.reshape(b, -1)[:, : 2 * n_out_true]
@@ -612,26 +638,14 @@ def _fir_matmul_pallas(xc: jnp.ndarray, taps_np: np.ndarray, decim: int
     anything else falls back to the XLA interleaved path."""
     b, tc = xc.shape
     k = taps_np.shape[-1]
-    t = tc - (k - 1)
-    tile = _choose_tile(t, k, decim)
+    tile = _choose_tile(tc - (k - 1), k, decim)
     c2 = 2 * tile // decim
     if b != 1 or c2 % 128 or c2 < 128 or (2 * tile) % 256 \
             or jax.default_backend() not in ("tpu", "cpu"):
         return _fir_matmul_ilv(xc, taps_np, decim)
-    t_pad = -(-t // tile) * tile
-    n = t_pad // tile
-    total = (n + 1) * tile
-    if total != tc:
-        xc = jnp.pad(xc, ((0, 0), (0, total - tc)))
-    n_out_true = t // decim
-    h = np.asarray(taps_np, np.complex128)
-    w = _toeplitz_ilv_np(tuple(h.tolist()), k, tile, decim)
-    w_lo = jnp.asarray(w[: 2 * tile])
-    w_hi_np = np.zeros_like(w[: 2 * tile])
-    w_hi_np[: 2 * (k - 1)] = w[2 * tile:]
+    z, w_lo, w_hi, n, n_out_true, tile = _ilv_prep(xc, taps_np, decim)
     from .pallas_kernels import fir_ilv_pallas
-    z = xc.astype(jnp.complex64).view(jnp.float32).reshape(n + 1, 2 * tile)
-    y = fir_ilv_pallas(z, w_lo, jnp.asarray(w_hi_np),
+    y = fir_ilv_pallas(z.reshape(n + 1, 2 * tile), w_lo, w_hi,
                        precision=_PRECISION,
                        interpret=jax.default_backend() != "tpu")
     y = y.reshape(-1)[: 2 * n_out_true]

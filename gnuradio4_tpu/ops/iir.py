@@ -116,7 +116,6 @@ def _one_pole_blocked(x: jnp.ndarray, pole: complex, y_prev: jnp.ndarray
     t = x.shape[-1]
     nb = t // L
     cx = jnp.issubdtype(x.dtype, jnp.complexfloating) or pole.imag != 0.0
-    npdt = np.complex64 if cx else np.float32
     idx = np.arange(L)
     d = idx[None, :] - idx[:, None]          # i − j
     with np.errstate(over="ignore", under="ignore", invalid="ignore"):
@@ -124,11 +123,20 @@ def _one_pole_blocked(x: jnp.ndarray, pole: complex, y_prev: jnp.ndarray
                      0.0)
         pv = np.asarray(pole, np.complex128) ** (idx + 1)       # p^{i+1}
         cl = complex(np.asarray(pole, np.complex128) ** L)       # p^L
-    w = np.ascontiguousarray((w.real if not cx else w).astype(npdt))
-    pv = np.ascontiguousarray((pv.real if not cx else pv).astype(npdt))
     dt = jnp.complex64 if cx else x.dtype
+    if cx:
+        # eager-safe complex constants: float planes + on-device lax.complex
+        # (a complex jnp.asarray outside jit would be a complex H2D — the
+        # relay rejects those, utils/transfer.py)
+        w_dev = jax.lax.complex(jnp.asarray(w.real.astype(np.float32)),
+                                jnp.asarray(w.imag.astype(np.float32)))
+        pv_dev = jax.lax.complex(jnp.asarray(pv.real.astype(np.float32)),
+                                 jnp.asarray(pv.imag.astype(np.float32)))
+    else:
+        w_dev = jnp.asarray(w.real.astype(np.float32))
+        pv_dev = jnp.asarray(pv.real.astype(np.float32))
     xb = x.astype(dt).reshape(*x.shape[:-1], nb, L)
-    y_loc = jnp.einsum("...bj,ji->...bi", xb, jnp.asarray(w),
+    y_loc = jnp.einsum("...bj,ji->...bi", xb, w_dev,
                        precision=jax.lax.Precision.HIGHEST)
     e = y_loc[..., :, L - 1]                 # end-of-block local responses
     if cx:
@@ -138,7 +146,7 @@ def _one_pole_blocked(x: jnp.ndarray, pole: complex, y_prev: jnp.ndarray
     v = e.at[..., 0].add(cl_dev * y_prev.astype(dt))
     _, s = _one_pole_scan(jnp.broadcast_to(cl_dev, v.shape), v)  # KB-sized
     ent = jnp.concatenate([y_prev.astype(dt)[..., None], s[..., :-1]], axis=-1)
-    y = y_loc + ent[..., :, None] * jnp.asarray(pv)
+    y = y_loc + ent[..., :, None] * pv_dev
     return y.reshape(x.shape).astype(dt), s[..., -1]
 
 
