@@ -295,6 +295,8 @@ def _run_one(key: str, block_len: int, steps: int) -> dict:
         bl = max(bl, 1 << 22) if not on_cpu else bl   # throughput point
     elif key == "5":
         bl = max(bl, 1 << 21) if not on_cpu else bl
+    elif key in ("1", "2", "4") and not on_cpu:
+        bl = max(bl, 1 << 22)          # amortize per-step relay overhead
     if on_cpu:
         bl = min(bl, 1 << 18)
         steps = min(steps, 8)
