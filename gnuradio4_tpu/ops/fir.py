@@ -414,21 +414,22 @@ def fir_apply(x: jnp.ndarray, taps: jnp.ndarray, state: jnp.ndarray,
                 method = "matmul_ilv"     # interleaved-rail layout (sweeps)
             elif cx_stream and os.environ.get("GR4TPU_FIR_LAYOUT",
                                               "").lower() == "pallas":
-                method = "pallas_ilv"
+                method = "pallas"
             else:
                 method = "matmul"
             if ntaps > 512:
                 method = "fft"
         else:
             method = "conv"
-    if method in ("matmul", "matmul_int8", "matmul_ilv", "pallas_ilv") \
-            and ntaps > 1:
+    if method in ("matmul", "matmul_int8", "matmul_ilv", "pallas",
+                  "pallas_ilv") and ntaps > 1:
         if taps_np is None:
             # explicit opt-in only; relay-safe fetch (complex D2H would poison)
             from ..utils.transfer import safe_get
             taps_np = np.asarray(safe_get(taps))
-        if method in ("matmul_ilv", "pallas_ilv") and not cx_stream:
-            method = "matmul"             # interleaved needs a complex STREAM
+        if method in ("matmul_ilv", "pallas", "pallas_ilv") \
+                and not cx_stream:
+            method = "matmul"             # these need a complex STREAM
         if precision == "int8" and method == "matmul":
             method = "matmul_int8"        # per-call quantized path
         if method == "matmul":
@@ -436,6 +437,7 @@ def fir_apply(x: jnp.ndarray, taps: jnp.ndarray, state: jnp.ndarray,
         else:
             y = {"matmul_int8": _fir_matmul_int8,
                  "matmul_ilv": _fir_matmul_ilv,
+                 "pallas": _fir_matmul_pallas,
                  "pallas_ilv": _fir_matmul_pallas}[method](xc, taps_np, decim)
     elif method == "fft" and ntaps > 1:
         y = _fir_fft(xc, taps, decim)
@@ -632,21 +634,34 @@ def _fir_matmul_ilv(xc: jnp.ndarray, taps_np: np.ndarray, decim: int
 
 def _fir_matmul_pallas(xc: jnp.ndarray, taps_np: np.ndarray, decim: int
                        ) -> jnp.ndarray:
-    """Pallas interleaved banded FIR (ops/pallas_kernels.fir_ilv_pallas):
-    explicit VMEM streaming of the same interleaved two-dot formulation.
-    Single-channel complex streams with MXU-aligned output tiles only —
-    anything else falls back to the XLA interleaved path."""
+    """Pallas PLANAR-rail banded FIR (pallas_kernels.fir_planar_pallas):
+    rails are free on TPU's planar complex storage; the kernel streams each
+    rail's rows through VMEM once and runs the banded dots on the MXU
+    (4 dots for real taps, 8 for complex). Single-channel complex streams
+    with MXU-aligned tiles only — else the XLA rail matmul."""
     b, tc = xc.shape
     k = taps_np.shape[-1]
-    tile = _choose_tile(tc - (k - 1), k, decim)
-    c2 = 2 * tile // decim
-    if b != 1 or c2 % 128 or c2 < 128 or (2 * tile) % 256 \
+    t = tc - (k - 1)
+    tile = _choose_tile(t, k, decim)
+    c = tile // decim
+    if b != 1 or c % 128 or tile % 128 \
             or jax.default_backend() not in ("tpu", "cpu"):
-        return _fir_matmul_ilv(xc, taps_np, decim)
-    z, w_lo, w_hi, n, n_out_true, tile = _ilv_prep(xc, taps_np, decim)
-    from .pallas_kernels import fir_ilv_pallas
-    y = fir_ilv_pallas(z.reshape(n + 1, 2 * tile), w_lo, w_hi,
-                       precision=_PRECISION,
-                       interpret=jax.default_backend() != "tpu")
-    y = y.reshape(-1)[: 2 * n_out_true]
-    return y.view(jnp.complex64)[None, :]
+        return _fir_matmul(xc, taps_np, decim)
+    t_pad = -(-t // tile) * tile
+    n = t_pad // tile
+    total = (n + 1) * tile
+    if total != tc:
+        xc = jnp.pad(xc, ((0, 0), (0, total - tc)))
+    n_out_true = t // decim
+    h = np.asarray(taps_np, np.complex128)
+    w = _toeplitz_np(tuple(h.tolist()), k, tile, decim)   # complex128
+    w_lo = w[:tile]
+    w_hi = np.zeros_like(w_lo)
+    w_hi[: k - 1] = w[tile:]
+    xr = jnp.real(xc[0]).astype(jnp.float32).reshape(n + 1, tile)
+    xi = jnp.imag(xc[0]).astype(jnp.float32).reshape(n + 1, tile)
+    from .pallas_kernels import fir_planar_pallas
+    yr, yi = fir_planar_pallas(xr, xi, w_lo, w_hi, precision=_PRECISION,
+                               interpret=jax.default_backend() != "tpu")
+    y = jax.lax.complex(yr, yi).reshape(-1)[:n_out_true]
+    return y[None, :]

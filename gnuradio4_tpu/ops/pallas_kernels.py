@@ -203,3 +203,82 @@ def fir_ilv_pallas(z: jnp.ndarray, w_lo: jnp.ndarray, w_hi: jnp.ndarray,
         interpret=interpret,
     )(z, z, w_lo, w_hi)
     return out[:r_out]
+
+
+# -- planar-rail banded FIR ---------------------------------------------------
+#
+# The TPU-native formulation: complex64 is stored PLANAR on TPU (sweep3
+# verdict above), so the real/imag rails are free to extract — the kernel
+# streams each rail's rows through VMEM once, runs the banded dots on the
+# MXU (4 dots for real taps, 8 for complex), and writes the output rails
+# once. The shifted zero-copy view again comes from a sublane roll + the
+# first row of the block at index i+1.
+
+
+def _fir_planar_kernel(g: int, cx_taps: bool, prec,
+                       ar_ref, br_ref, ai_ref, bi_ref,
+                       lor_ref, hir_ref, loi_ref, hii_ref,
+                       yr_ref, yi_ref):
+    def shifted(a_ref, b_ref):
+        a = a_ref[:, :]
+        rolled = jnp.roll(a, -1, axis=0)
+        row = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
+        return a, jnp.where(row == g - 1, b_ref[0:1, :], rolled)
+
+    ar, arn = shifted(ar_ref, br_ref)
+    ai, ain = shifted(ai_ref, bi_ref)
+    dot = lambda a, w: jnp.dot(a, w, precision=prec,
+                               preferred_element_type=jnp.float32)
+    rr = dot(ar, lor_ref[:, :]) + dot(arn, hir_ref[:, :])
+    ii = dot(ai, lor_ref[:, :]) + dot(ain, hir_ref[:, :])
+    if cx_taps:
+        ri = dot(ar, loi_ref[:, :]) + dot(arn, hii_ref[:, :])
+        ir = dot(ai, loi_ref[:, :]) + dot(ain, hii_ref[:, :])
+        yr_ref[:, :] = rr - ir
+        yi_ref[:, :] = ri + ii
+    else:
+        yr_ref[:, :] = rr
+        yi_ref[:, :] = ii
+
+
+def fir_planar_pallas(xr: jnp.ndarray, xi: jnp.ndarray,
+                      w_lo: np.ndarray, w_hi: np.ndarray,
+                      *, rows_per_program: int = 128,
+                      precision=None, interpret: bool = False
+                      ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """xr/xi: [R+1, L] f32 rail rows; w_lo/w_hi: [L, C] complex128 host
+    weights (imag all-zero → real-tap fast path). Returns (yr, yi) [R, C]."""
+    g = rows_per_program
+    r, l = xr.shape
+    r_out = r - 1
+    c = w_lo.shape[1]
+    prec = precision or jax.lax.Precision.HIGHEST
+    if prec == jax.lax.Precision.HIGH:
+        prec = jax.lax.Precision.HIGHEST   # Mosaic rejects HIGH in-kernel
+    cx_taps = bool(np.any(w_lo.imag) or np.any(w_hi.imag))
+    n_prog = -(-r_out // g)
+    rows_needed = (n_prog + 1) * g
+    if rows_needed > r:
+        pad = ((0, rows_needed - r), (0, 0))
+        xr, xi = jnp.pad(xr, pad), jnp.pad(xi, pad)
+    f32 = lambda a: jnp.asarray(np.ascontiguousarray(a, np.float32))
+    import functools as _ft
+    blk = lambda idx_map: pl.BlockSpec((g, l), idx_map,
+                                       memory_space=pltpu.VMEM)
+    wblk = pl.BlockSpec((l, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    yr, yi = pl.pallas_call(
+        _ft.partial(_fir_planar_kernel, g, cx_taps, prec),
+        out_shape=(jax.ShapeDtypeStruct((n_prog * g, c), jnp.float32),
+                   jax.ShapeDtypeStruct((n_prog * g, c), jnp.float32)),
+        grid=(n_prog,),
+        in_specs=[blk(lambda i: (i, 0)), blk(lambda i: (i + 1, 0)),
+                  blk(lambda i: (i, 0)), blk(lambda i: (i + 1, 0)),
+                  wblk, wblk, wblk, wblk],
+        out_specs=(pl.BlockSpec((g, c), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((g, c), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)),
+        interpret=interpret,
+    )(xr, xr, xi, xi, f32(w_lo.real), f32(w_hi.real),
+      f32(w_lo.imag), f32(w_hi.imag))
+    return yr[:r_out], yi[:r_out]

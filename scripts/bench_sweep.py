@@ -174,11 +174,11 @@ def group_fir(n):
         return checksum(y)
 
     def fir_pal(x, h):
-        y, _ = fir_apply(x, taps, h, method="pallas_ilv")
+        y, _ = fir_apply(x, taps, h, method="pallas")
         return checksum(y)
 
     def xlate_old_pal(x, h):
-        y, _ = fir_apply(x, ctaps, h, method="pallas_ilv")
+        y, _ = fir_apply(x, ctaps, h, method="pallas")
         return checksum(y)
 
     def audio(x, h):

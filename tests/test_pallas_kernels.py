@@ -74,7 +74,7 @@ class TestFirIlvPallas:
              ).astype(np.complex64)
         y, _ = fir_apply(jnp.asarray(x), taps,
                          fir_init_state(0, ntaps, jnp.complex64),
-                         decim=decim, method="pallas_ilv")
+                         decim=decim, method="pallas")
         ref = np.convolve(x.astype(np.complex128), taps)[:4096][::decim]
         np.testing.assert_allclose(np.asarray(y), ref, atol=2e-4)
 
@@ -88,6 +88,6 @@ class TestFirIlvPallas:
         parts = []
         for chunk in x.reshape(2, 4096):
             y, st = fir_apply(jnp.asarray(chunk), taps, st,
-                              method="pallas_ilv")
+                              method="pallas")
             parts.append(np.asarray(y))
         np.testing.assert_allclose(np.concatenate(parts), ref, atol=2e-4)
