@@ -215,14 +215,19 @@ def one_pole_ba_apply(x: jnp.ndarray, b: np.ndarray, a: np.ndarray,
 
 
 def sos_supports_parallel(sos: np.ndarray) -> bool:
-    """True when every section has complex-conjugate poles (or is pure FIR) —
-    the condition for the O(log T) partial-fraction path."""
+    """True when every section's poles admit the O(log T) / blocked
+    partial-fraction path: complex-conjugate pairs OR two DISTINCT real
+    poles (round 4). Repeated/near-repeated real poles and first-order
+    leftovers (a2 == 0) keep the sequential scan."""
     sos = np.atleast_2d(np.asarray(sos, np.float64))
     for row in sos:
         b0, b1, b2, a0, a1, a2 = row
         a1, a2 = a1 / a0, a2 / a0
-        if a2 == 0.0 or a1 * a1 - 4.0 * a2 >= -1e-12:
-            return False  # FIR/first-order/real-pole section → scan path
+        if a2 == 0.0:
+            return False  # FIR/first-order section → scan path
+        disc = a1 * a1 - 4.0 * a2
+        if -1e-12 <= disc <= 1e-12:
+            return False  # repeated real pole → scan path
     return True
 
 
@@ -258,8 +263,26 @@ def biquad_parallel_apply(x: jnp.ndarray, sos_row: np.ndarray,
     b0, b1, b2, a0, a1, a2 = (float(v) for v in np.asarray(sos_row, np.float64))
     b0, b1, b2, a1, a2 = b0 / a0, b1 / a0, b2 / a0, a1 / a0, a2 / a0
     disc = a1 * a1 - 4.0 * a2
-    if disc >= -1e-12:  # real poles → sequential path handles it
-        raise ValueError("biquad_parallel_apply requires complex-conjugate poles")
+    if -1e-12 <= disc <= 1e-12:
+        raise ValueError("biquad_parallel_apply requires distinct poles "
+                         "(repeated real pole → scan path)")
+    if disc > 1e-12:
+        # two DISTINCT REAL poles: H = K + A1/(1−p1·w) + A2/(1−p2·w) — two
+        # real one-pole rails (both take the blocked fast path); their
+        # carries pack as (re, im) of the section's one complex state slot,
+        # keeping the state pytree identical to the conjugate-pair case.
+        sq = float(np.sqrt(disc))
+        p1, p2 = (-a1 + sq) / 2.0, (-a1 - sq) / 2.0
+        K = b2 / a2
+        A1 = (b0 * p1 * p1 + b1 * p1 + b2) / (p1 * (p1 - p2))
+        A2 = (b0 * p2 * p2 + b1 * p2 + b2) / (p2 * (p2 - p1))
+        xf = x.astype(jnp.float32)
+        u1, l1 = one_pole_apply(xf, p1, jnp.real(state).astype(jnp.float32))
+        u2, l2 = one_pole_apply(xf, p2, jnp.imag(state).astype(jnp.float32))
+        y = (jnp.asarray(K, x.dtype) * x
+             + jnp.float32(A1) * u1 + jnp.float32(A2) * u2)
+        return y.astype(x.dtype), jax.lax.complex(
+            l1.astype(jnp.float32), l2.astype(jnp.float32))
     p = complex(-a1 / 2.0, np.sqrt(-disc) / 2.0)
     # Exact partial fractions in w = z⁻¹:  H = K + A/(1−p w) + Ā/(1−p̄ w)
     # with K = b2/a2 and A = (b0 p² + b1 p + b2)/(p (p − p̄)); the k=0 term checks

@@ -575,3 +575,30 @@ class TestBlockedOnePole:
             ref = self._seq(x, 0.8, 0.0).real
             y, _ = one_pole_apply(jnp.asarray(x), 0.8, jnp.float32(0.0))
             assert np.max(np.abs(np.asarray(y) - ref)) < 1e-3
+
+
+class TestRealPoleParallelBiquad:
+    """Round-4: distinct REAL poles take the partial-fraction path too (two
+    blocked real one-pole rails; carries packed as re/im of the section's
+    complex state slot — state pytree unchanged vs the conjugate-pair case)."""
+
+    @pytest.mark.parametrize("p1,p2", [(0.9, 0.4), (-0.5, 0.8), (0.99, 0.95)])
+    def test_matches_scan(self, rng, p1, p2):
+        from gnuradio4_tpu.ops.iir import (biquad_parallel_apply, sos_apply,
+                                           sos_init_state,
+                                           sos_supports_parallel)
+        row = np.array([0.7, -0.3, 0.2, 1.0, -(p1 + p2), p1 * p2])
+        assert sos_supports_parallel(row[None])
+        x = rng.standard_normal(8192).astype(np.float32)
+        y_ref, _ = sos_apply(jnp.asarray(x), row[None], sos_init_state(0, 1))
+        y, _ = biquad_parallel_apply(jnp.asarray(x), row,
+                                     jnp.zeros((), jnp.complex64))
+        rel = np.max(np.abs(np.asarray(y) - np.asarray(y_ref))) \
+            / np.max(np.abs(np.asarray(y_ref)))
+        assert rel < 2e-4, rel
+
+    def test_repeated_pole_declines(self):
+        from gnuradio4_tpu.ops.iir import sos_supports_parallel
+        p = 0.8           # repeated real pole: a1=-2p, a2=p^2 -> disc == 0
+        row = np.array([1.0, 0.0, 0.0, 1.0, -2 * p, p * p])
+        assert not sos_supports_parallel(row[None])
