@@ -284,10 +284,12 @@ def _report_roofline(msps: float, platform: str) -> None:
             "mxu_fraction_bf16": round(sps * total_fl / 1e12
                                        / _V5E_PEAK_BF16_TFLOPS, 4),
             "hbm_write_gbps": round(sps * (4 + 4 / 8) / 1e9, 1),
-            "note": "analytic per-sample costs. stream bytes are an upper "
-                    "bound — the tone source is generated on-device and XLA "
-                    "keeps fused intermediates VMEM-resident, so real HBM "
-                    "traffic is dominated by the sink writes (hbm_write_gbps)",
+            "note": "analytic per-sample costs (secondary diagnostic). The "
+                    "PRIMARY per-stage MFU/HBM fractions are SLOPE-MEASURED "
+                    "on device: SWEEP_r04.json + scripts/stage_mfu.py "
+                    "(round-4). Stream bytes here are an upper bound — "
+                    "sources generate on-device and XLA keeps fused "
+                    "intermediates VMEM-resident",
         }
     }
     print("# " + json.dumps(rep), file=sys.stderr)
