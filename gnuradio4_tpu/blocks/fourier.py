@@ -181,19 +181,35 @@ class FFT(Block):
 
 @register_block("IFFT")
 class IFFT(Block):
-    """Inverse chunked FFT (complex in → complex out)."""
+    """Inverse chunked FFT (complex in → complex out). ``engine=matmul*``
+    runs the inverse as the conjugate of the four-step MXU transform
+    (IFFT(x) = conj(FFT(conj(x)))/N)."""
 
     IN = (Port("in", dtype="complex64"),)
     OUT = (Port("out", dtype="complex64"),)
     fft_size = Setting(default=1024, kind="static", limits=(2, 1 << 24))
+    engine = Setting(default="auto", kind="static",
+                     choices=("auto", "xla", "matmul", "matmul_bf16"))
 
     @property
     def alignment(self):
         return int(self.settings.get("fft_size"))
 
     def apply(self, state, ins, ctx):
+        import os
         x = ins["in"]
         n = int(self.settings.get("fft_size"))
         xr = x.reshape(*x.shape[:-1], -1, n)
-        y = jnp.fft.ifft(xr, axis=-1).astype(jnp.complex64)
+        eng = str(self.settings.get("engine"))
+        if eng == "auto":
+            eng = os.environ.get("GR4TPU_FFT_ENGINE", "xla").lower()
+        if eng in ("matmul", "matmul_bf16") and n >= 64 and (n & (n - 1)) == 0:
+            from ..ops.fft import matmul_fft
+            y = jnp.conj(matmul_fft(
+                jnp.conj(xr), n,
+                mode="bf16" if eng.endswith("bf16") else "high")) \
+                * jnp.float32(1.0 / n)
+            y = y.astype(jnp.complex64)
+        else:
+            y = jnp.fft.ifft(xr, axis=-1).astype(jnp.complex64)
         return state, {"out": y.reshape(*x.shape[:-1], -1)}

@@ -602,3 +602,21 @@ class TestRealPoleParallelBiquad:
         p = 0.8           # repeated real pole: a1=-2p, a2=p^2 -> disc == 0
         row = np.array([1.0, 0.0, 0.0, 1.0, -2 * p, p * p])
         assert not sos_supports_parallel(row[None])
+
+
+def test_ifft_matmul_engine(rng):
+    """IFFT(engine='matmul') == IFFT HLO (conjugate four-step)."""
+    import gnuradio4_tpu as gr
+    x = (rng.standard_normal(4096) + 1j * rng.standard_normal(4096)
+         ).astype(np.complex64)
+    outs = {}
+    for eng in ("xla", "matmul"):
+        g = gr.Graph()
+        src = g.emplace("VectorSource")
+        src.data = x
+        ifft = g.emplace("IFFT", fft_size=1024, engine=eng)
+        snk = g.emplace("VectorSink")
+        g.connect_chain(src, ifft, snk)
+        gr.Scheduler(g, block_len=2048, sample_rate=1e6).run_and_wait()
+        outs[eng] = np.asarray(snk.data())
+    np.testing.assert_allclose(outs["matmul"], outs["xla"], atol=1e-5)
