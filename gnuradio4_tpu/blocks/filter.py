@@ -40,7 +40,11 @@ class FirFilter(Block):
                                     "auto → process-wide mode "
                                     "(GR4TPU_FIR_PRECISION, default high "
                                     "≈ f32); bf16 = one pass (~50 dB), "
-                                    "int8 ≈ 40 dB — per-link SNR budgeting")
+                                    "int8 ≈ 40 dB — per-link SNR budgeting. "
+                                    "Explicit rungs need the matmul path "
+                                    "(host taps, ntaps<=512) and raise "
+                                    "GrError otherwise; 'auto' falls back "
+                                    "to fft/conv at full precision")
     uncertain = Setting(default=False, kind="static",
                         description="input is a 2-plane (value, sigma) stream; "
                                     "sigma propagates as sqrt(fir(sigma^2, "

@@ -58,7 +58,11 @@ class FFT(Block):
 
     def _fft(self, frames: jnp.ndarray, n: int) -> jnp.ndarray:
         eng = self._engine()
-        if eng in ("matmul", "matmul_bf16") and n >= 64 \
+        # matmul engine bounds: the four-step factor matrices are dense host
+        # complex128 of ~n entries each in an lru_cache — unbounded n would
+        # exhaust host memory (n=2²⁴ → ~3×256 MB per entry). Above 65536 the
+        # FFT HLO wins anyway; fall back to it (mirrors the n >= 64 guard).
+        if eng in ("matmul", "matmul_bf16") and 64 <= n <= 65536 \
                 and (n & (n - 1)) == 0:
             from ..ops.fft import matmul_fft
             return matmul_fft(frames, n,
@@ -203,7 +207,9 @@ class IFFT(Block):
         eng = str(self.settings.get("engine"))
         if eng == "auto":
             eng = os.environ.get("GR4TPU_FFT_ENGINE", "xla").lower()
-        if eng in ("matmul", "matmul_bf16") and n >= 64 and (n & (n - 1)) == 0:
+        # same 64..65536 bounds as FFT._fft (dense host factor matrices)
+        if eng in ("matmul", "matmul_bf16") and 64 <= n <= 65536 \
+                and (n & (n - 1)) == 0:
             from ..ops.fft import matmul_fft
             y = jnp.conj(matmul_fft(
                 jnp.conj(xr), n,

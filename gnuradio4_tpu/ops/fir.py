@@ -398,12 +398,18 @@ def fir_apply(x: jnp.ndarray, taps: jnp.ndarray, state: jnp.ndarray,
             # backend (conv/fft have no pass-count ladder)
             method = "matmul_int8" if precision == "int8" else "matmul"
         elif precision is not None:
-            import warnings
-            warnings.warn(
+            # An explicit precision rung is UNSATISFIABLE here (the matmul
+            # ladder needs host taps and ntaps<=512). A trace-time warning
+            # vanishes inside compiled pipelines, so fail loudly instead —
+            # users who want the fallback can say precision='auto' +
+            # GR4TPU_FIR_PRECISION. (round-4 advisor finding)
+            from ..core.errors import GrError
+            raise GrError(
                 f"fir_apply: precision={precision!r} requires the matmul "
-                f"path (host taps, ntaps<=512; got ntaps={ntaps}) — running "
-                f"the default lowering instead", stacklevel=2)
-            method = "fft" if jax.default_backend() == "tpu" else "conv"
+                f"path (host taps, ntaps<=512; got ntaps={ntaps}, "
+                f"host_taps={taps_np is not None}). Drop the explicit "
+                f"precision setting (use 'auto') to run the default "
+                f"fft/conv lowering at full precision.")
         elif taps_np is None:
             method = "fft" if on_tpu else "conv"  # matmul needs host taps
         elif on_tpu:

@@ -214,11 +214,26 @@ def one_pole_ba_apply(x: jnp.ndarray, b: np.ndarray, a: np.ndarray,
     return y.astype(x.dtype), last
 
 
+# Partial fractions carry an A ∝ 1/(p1−p2) amplitude: as the poles cluster the
+# two rails cancel catastrophically in f32 (measured ~68 dB SNR loss at
+# separation 2e-5 vs the sequential scan). Require |disc| ≥ EPS_REL·scale with
+# scale = max(a1², 4|a2|) — i.e. RELATIVE pole separation ≳ 1e-3 — on BOTH the
+# real branch (p1−p2 = √disc) and the conjugate branch (p−p̄ = i√−disc);
+# anything closer takes the sequential scan. (round-4 advisor finding)
+_POLE_SEP_EPS_REL = 1e-6
+
+
+def _disc_scale(a1: float, a2: float) -> float:
+    return max(a1 * a1, 4.0 * abs(a2), 1e-300)
+
+
 def sos_supports_parallel(sos: np.ndarray) -> bool:
     """True when every section's poles admit the O(log T) / blocked
     partial-fraction path: complex-conjugate pairs OR two DISTINCT real
-    poles (round 4). Repeated/near-repeated real poles and first-order
-    leftovers (a2 == 0) keep the sequential scan."""
+    poles (round 4) with RELATIVE separation ≥ ~1e-3. Near-repeated poles
+    (either sign of the discriminant) and first-order leftovers (a2 == 0)
+    keep the sequential scan — the partial-fraction amplitudes ∝ 1/(p1−p2)
+    cancel catastrophically in f32 otherwise."""
     sos = np.atleast_2d(np.asarray(sos, np.float64))
     for row in sos:
         b0, b1, b2, a0, a1, a2 = row
@@ -226,8 +241,8 @@ def sos_supports_parallel(sos: np.ndarray) -> bool:
         if a2 == 0.0:
             return False  # FIR/first-order section → scan path
         disc = a1 * a1 - 4.0 * a2
-        if -1e-12 <= disc <= 1e-12:
-            return False  # repeated real pole → scan path
+        if abs(disc) < _POLE_SEP_EPS_REL * _disc_scale(a1, a2):
+            return False  # (near-)repeated pole → scan path
     return True
 
 
@@ -262,11 +277,19 @@ def biquad_parallel_apply(x: jnp.ndarray, sos_row: np.ndarray,
     """
     b0, b1, b2, a0, a1, a2 = (float(v) for v in np.asarray(sos_row, np.float64))
     b0, b1, b2, a1, a2 = b0 / a0, b1 / a0, b2 / a0, a1 / a0, a2 / a0
+    if a2 == 0.0:
+        raise ValueError(
+            "biquad_parallel_apply requires a full second-order section "
+            "(a2 != 0); first-order/FIR sections take the sequential scan "
+            "path (sos_supports_parallel gates this)")
     disc = a1 * a1 - 4.0 * a2
-    if -1e-12 <= disc <= 1e-12:
-        raise ValueError("biquad_parallel_apply requires distinct poles "
-                         "(repeated real pole → scan path)")
-    if disc > 1e-12:
+    if abs(disc) < _POLE_SEP_EPS_REL * _disc_scale(a1, a2):
+        raise ValueError(
+            "biquad_parallel_apply requires well-separated poles "
+            "(relative separation >= ~1e-3): near-repeated poles make the "
+            "partial-fraction amplitudes cancel in f32 — use the sequential "
+            "scan path (sos_supports_parallel gates this)")
+    if disc > 0.0:
         # two DISTINCT REAL poles: H = K + A1/(1−p1·w) + A2/(1−p2·w) — two
         # real one-pole rails (both take the blocked fast path); their
         # carries pack as (re, im) of the section's one complex state slot,

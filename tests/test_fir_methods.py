@@ -232,3 +232,25 @@ def test_per_block_precision_setting(rng):
     assert snr(outs["auto"]) > 90.0       # f32 class (conv path on CPU)
     assert 40.0 < snr(outs["bf16"])       # one-pass class
     assert 30.0 < snr(outs["int8"]) < snr(outs["auto"])
+
+
+def test_explicit_precision_unsatisfiable_raises(rng):
+    """An explicit precision rung with ntaps > 512 (no matmul path) must fail
+    loudly with GrError at trace time, not silently run the full-precision
+    fallback (round-4 advisor finding)."""
+    from gnuradio4_tpu.core.errors import GrError
+    taps = rng.standard_normal(1024).astype(np.float32)
+    x = rng.standard_normal(4096).astype(np.float32)
+    with pytest.raises(GrError, match="precision"):
+        fir_apply(jnp.asarray(x), taps,
+                  fir_init_state(0, len(taps), np.float32),
+                  precision="bf16")
+    # traced taps (no host constants) are equally unsatisfiable
+    with pytest.raises(GrError, match="precision"):
+        fir_apply(jnp.asarray(x), jnp.asarray(taps[:63]) * 2.0,
+                  fir_init_state(0, 63, np.float32), precision="int8")
+    # 'auto' (precision=None) still runs the default lowering
+    y, _ = fir_apply(jnp.asarray(x), taps,
+                     fir_init_state(0, len(taps), np.float32))
+    ref = np.convolve(x.astype(np.float64), taps.astype(np.float64))[:4096]
+    assert np.max(np.abs(np.asarray(y) - ref)) < 1e-2

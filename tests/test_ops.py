@@ -526,6 +526,33 @@ class TestMatmulFFT:
         np.testing.assert_allclose(outs["matmul"], outs["xla"],
                                    atol=1e-5, rtol=1e-4)
 
+    def test_matmul_engine_size_cap_falls_back_to_hlo(self, rng):
+        """engine='matmul' above 65536 must NOT build the dense four-step
+        factor matrices (~n-entry complex128 host arrays in an lru_cache —
+        memory hazard, round-4 advisor) — the block falls back to the FFT
+        HLO and the cache stays untouched."""
+        from gnuradio4_tpu.ops.fft import _fft_mats
+        import gnuradio4_tpu as gr
+        n = 1 << 17
+        _fft_mats.cache_clear()
+        x = (rng.standard_normal(2 * n) + 1j * rng.standard_normal(2 * n)
+             ).astype(np.complex64)
+        for name, kw in (("FFT", dict(window="none", output="complex",
+                                      calibrate=False)),
+                         ("IFFT", {})):
+            g = gr.Graph()
+            src = g.emplace("VectorSource")
+            src.data = x
+            blk = g.emplace(name, fft_size=n, engine="matmul", **kw)
+            snk = g.emplace("VectorSink")
+            g.connect_chain(src, blk, snk)
+            gr.Scheduler(g, block_len=n, sample_rate=1e6).run_and_wait()
+            got = np.asarray(snk.data())
+            ref = (np.fft.fft if name == "FFT" else np.fft.ifft)(
+                x.reshape(-1, n).astype(np.complex128), axis=-1).reshape(-1)
+            assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 1e-4
+        assert _fft_mats.cache_info().currsize == 0
+
 
 class TestBlockedOnePole:
     """Blocked two-level linear recurrence (ops/iir._one_pole_blocked): the
@@ -602,6 +629,44 @@ class TestRealPoleParallelBiquad:
         p = 0.8           # repeated real pole: a1=-2p, a2=p^2 -> disc == 0
         row = np.array([1.0, 0.0, 0.0, 1.0, -2 * p, p * p])
         assert not sos_supports_parallel(row[None])
+
+    @pytest.mark.parametrize("sep", [2e-5, 1e-4])
+    def test_near_repeated_real_poles_decline(self, sep):
+        """Round-4 advisor (medium): A1,A2 ∝ 1/(p1−p2) cancel catastrophically
+        in f32 for clustered real poles (~68 dB SNR loss at sep 2e-5) — the
+        relative-separation guard must route them to the sequential scan."""
+        from gnuradio4_tpu.ops.iir import (biquad_parallel_apply,
+                                           sos_supports_parallel)
+        p1, p2 = 0.9, 0.9 - sep
+        row = np.array([0.7, -0.3, 0.2, 1.0, -(p1 + p2), p1 * p2])
+        assert not sos_supports_parallel(row[None])
+        with pytest.raises(ValueError, match="well-separated"):
+            biquad_parallel_apply(jnp.zeros(64), row,
+                                  jnp.zeros((), jnp.complex64))
+
+    def test_near_repeated_complex_poles_decline(self):
+        """The conjugate branch has the same A ∝ 1/(p−p̄) cancellation."""
+        from gnuradio4_tpu.ops.iir import sos_supports_parallel
+        p = complex(0.9, 1e-5)          # |Im p| tiny → p−p̄ ≈ 0
+        row = np.array([1.0, 0.3, 0.1, 1.0, -2 * p.real, abs(p) ** 2])
+        assert not sos_supports_parallel(row[None])
+
+    def test_separated_poles_still_accepted(self):
+        """The guard is RELATIVE: ordinary designs (e.g. cheby2 sections,
+        round-4 fast-path rows) must keep the parallel path."""
+        from gnuradio4_tpu.ops.iir import sos_supports_parallel
+        for p1, p2 in [(0.9, 0.4), (0.99, 0.95)]:
+            row = np.array([0.7, -0.3, 0.2, 1.0, -(p1 + p2), p1 * p2])
+            assert sos_supports_parallel(row[None]), (p1, p2)
+
+    def test_first_order_section_raises_descriptive(self):
+        """a2 == 0 must raise the descriptive ValueError, not hit a bare
+        ZeroDivisionError in the partial-fraction algebra (round-4 advisor)."""
+        from gnuradio4_tpu.ops.iir import biquad_parallel_apply
+        row = np.array([1.0, 0.5, 0.0, 1.0, -0.9, 0.0])
+        with pytest.raises(ValueError, match="second-order"):
+            biquad_parallel_apply(jnp.zeros(64), row,
+                                  jnp.zeros((), jnp.complex64))
 
 
 def test_ifft_matmul_engine(rng):
