@@ -49,6 +49,7 @@ class CompiledGraph:
     mesh: Any = None
     loop_groups: list = dataclasses.field(default_factory=list)
     fb_init_states: dict = dataclasses.field(default_factory=dict)
+    batch_steps: int = 1              # sub-steps fused per dispatch (lax.scan)
 
     # -- runtime-facing helpers ------------------------------------------------
     def init_states(self) -> dict[str, Any]:
@@ -185,7 +186,10 @@ class CompiledGraph:
             self._in_edges_cache = m
         return self._in_edges_cache
 
-    def step(self, states, params, feeds):
+    def step(self, states, params, feeds, overlays=None):
+        if self.batch_steps > 1:
+            return self.step_fn(states, params, feeds,
+                                {} if overlays is None else overlays)
         return self.step_fn(states, params, feeds)
 
 
@@ -400,7 +404,8 @@ def _feed_dtype(block: Block, port: str):
 def compile_graph(graph: Graph, *, block_len: int = 1 << 16,
                   sample_rate: float = 1.0, mesh: Any = None,
                   jit: bool = True, donate_state: bool = True,
-                  barrier_edges: bool = True) -> CompiledGraph:
+                  barrier_edges: bool = True,
+                  batch_steps: int = 1) -> CompiledGraph:
     """Flatten, validate, solve rates/dtypes/channels, trace, and jit the graph.
 
     Mesh lowering: a mesh axis named ``sp`` time-shards the WHOLE graph — the
@@ -718,6 +723,38 @@ def compile_graph(graph: Graph, *, block_len: int = 1 << 16,
             step, mesh=mesh, in_specs=(state_specs, P(), feed_specs),
             out_specs=(state_specs, sink_specs), axis_names={"sp"},
             check_vma=False)
+    batch_steps = int(batch_steps)
+    if batch_steps < 1:
+        raise GrError(f"batch_steps must be >= 1, got {batch_steps}")
+    if batch_steps > 1:
+        # -- step batching (the round-4 measured ~6 ms per-dispatch relay/host
+        # floor dominates small blocks): fuse S scheduler sub-steps into ONE
+        # jitted dispatch via lax.scan. Feeds arrive stacked [S, ...]; sink
+        # inputs return stacked; block states thread through the scan carry
+        # exactly as they thread across dispatches. ``overlays`` is a per-
+        # sub-step params pytree (scan xs) carrying tag-accurate ramps and
+        # mid-batch dynamic-settings changes — merged over the constant
+        # ``params`` per sub-step, so per-key overrides keep the same
+        # semantics as the unbatched per-step param refresh.
+        # The analog of the reference amortizing per-work() overhead in its
+        # hot loop (Scheduler.hpp:722).
+        inner_fn = step_fn
+        S = batch_steps
+
+        def step_batched(states, params, feeds_stacked, overlays):
+            def body(st, xs):
+                fd, ov = xs
+                p = params
+                if ov:                      # static structure check (pytree)
+                    p = dict(p)
+                    for uname_, od in ov.items():
+                        p[uname_] = {**p.get(uname_, {}), **od}
+                return inner_fn(st, p, fd)
+
+            return jax.lax.scan(body, states, (feeds_stacked, overlays),
+                                length=S)
+
+        step_fn = step_batched
     if jit:
         donate = (0,) if donate_state else ()
         step_fn = jax.jit(step_fn, donate_argnums=donate)
@@ -730,4 +767,5 @@ def compile_graph(graph: Graph, *, block_len: int = 1 << 16,
         mesh=mesh, loop_groups=loop_groups,
         fb_init_states={g["state_key"]:
                         _fb_init_values(g, out_channels, out_dtypes)
-                        for g in loop_groups})
+                        for g in loop_groups},
+        batch_steps=batch_steps)

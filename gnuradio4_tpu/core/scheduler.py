@@ -45,6 +45,16 @@ from ..utils.transfer import host_array
 
 
 @dataclasses.dataclass
+class _SubStep:
+    """Per-sub-step host bookkeeping of a batched dispatch (batch_steps > 1)."""
+    step: int
+    sink_tags: dict[str, dict[str, list[Tag]]]
+    n_valid: dict[str, int]
+    abs_in: dict[str, int]
+    n_valid_ports: dict[str, dict[str, int]]
+
+
+@dataclasses.dataclass
 class _InFlight:
     step: int
     sink_ins: dict[str, dict[str, Any]]
@@ -54,6 +64,8 @@ class _InFlight:
     t_dispatch: float
     n_valid_ports: dict[str, dict[str, int]] = dataclasses.field(
         default_factory=dict)   # PER_PORT_VALID sinks: per-port counts
+    batch: list[_SubStep] | None = None   # batched dispatch: sink_ins leaves
+                                          # carry a leading [S] axis
 
 
 class Scheduler:
@@ -66,12 +78,23 @@ class Scheduler:
                  watchdog_action: str = "notify",
                  max_tags_per_step: int = 64, name: str = "scheduler",
                  on_block_error: str = "shutdown",
-                 async_delivery: bool = False):
+                 async_delivery: bool = False, batch_steps: int = 1):
         self.name = name
         self.graph = graph
         self.block_len = block_len
         self.sample_rate = sample_rate
         self.mesh = mesh
+        # step batching: fuse S sub-steps into one jitted dispatch (lax.scan)
+        # to amortize the per-dispatch host/relay floor (≈ the reference
+        # amortizing per-work() overhead in its hot loop, Scheduler.hpp:722).
+        # Semantics at batch granularity: STATIC/structural settings changes
+        # and block state resets staged mid-batch take effect at the next
+        # super-step boundary (up to S-1 logical steps late); tag-accurate
+        # SAMPLE_ACCURATE ramps and dynamic settings changes still hit their
+        # exact sub-block via per-sub-step param overlays.
+        self.batch_steps = int(batch_steps)
+        if self.batch_steps < 1:
+            raise GrError(f"batch_steps must be >= 1, got {batch_steps}")
         # multi-host (multi-controller jax): every process runs this same
         # scheduler; feeds are assembled into global arrays from per-process
         # local time shards, sinks drain only addressable shards
@@ -267,7 +290,19 @@ class Scheduler:
             try:
                 self.compiled = compile_graph(
                     self.graph, block_len=self.block_len,
-                    sample_rate=self.sample_rate, mesh=self.mesh)
+                    sample_rate=self.sample_rate, mesh=self.mesh,
+                    batch_steps=self.batch_steps)
+                if self.batch_steps > 1 and any(
+                        getattr(b, "FEED", False) and hasattr(b, "consume")
+                        for b in self.compiled.order):
+                    # a ring-bridged subgraph's feed depends on the PREVIOUS
+                    # step's delivery — batching would starve it S steps deep
+                    raise GrError(
+                        "batch_steps > 1 is incompatible with ring-bridged "
+                        "subgraphs (a block with both FEED and consume): its "
+                        "feed consumes the previous step's delivery, which a "
+                        "batched dispatch only produces at the super-step "
+                        "boundary. Run this graph with batch_steps=1.")
                 break
             except GrError as e:
                 # zombie path: remove the failing block (+ its dependent
@@ -354,63 +389,24 @@ class Scheduler:
         self._dirty = True
         return True
 
-    # -- the pump --------------------------------------------------------------
-    def _pump(self, n_steps: int | None) -> None:
-        while True:
-            st = self.fsm.state
-            if st is State.REQUESTED_STOP or st is State.ERROR:
-                return
-            if st is State.REQUESTED_PAUSE:
-                self.fsm.transition_to(State.PAUSED)
-                self._call_hooks("pause")
-                st = self.fsm.state
-            if st is State.PAUSED:
-                self._process_messages()
-                time.sleep(0.001)
-                continue
-            if n_steps is not None and self._step >= n_steps:
-                return
-            if not self._pump_once():
-                return
+    # -- per-step planning (shared by the unbatched and batched pumps) ---------
+    def _plan_substep(self, c, feed_failures: list | None = None):
+        """Collect feeds + per-source valid counts and propagate validity
+        through the DAG for ONE logical step (the former inline steps 1-2 of
+        the pump). Reads/updates ``_finished_sources`` and reads the abs
+        counters (advanced by the caller afterwards).
 
-    def _pump_once(self) -> bool:
-        """One scheduler step. Returns False on EOS completion."""
-        with self.step_lock, \
-                self.profiler.duration("scheduler.step", step=self._step):
-            return self._pump_once_inner()
-
-    def _pump_once_inner(self) -> bool:
-        self._process_messages()
-        if self.fsm.state in (State.REQUESTED_STOP, State.ERROR):
-            return False
-        # block-to-block message edges (≈ MsgPortIn/Out): deliver posted
-        # property maps before settings staging so they apply this step
-        if self.compiled is not None:
-            for src, dst in self.compiled.graph.message_edges:
-                for m in src.drain_messages():
-                    dst.handle_message(m, from_block=src)
-        self._apply_staged_settings()
-        if self._dirty:
-            with self.profiler.duration("scheduler.compile"):
-                self._recompile(reset_state=False)
-        c = self.compiled
-
-        # 0. deliver matured in-flight results FIRST — feeds may depend on sink
-        # deliveries (ring-bridged subgraphs); delivering after dispatch would
-        # deadlock two coupled schedulers
-        if self._async_delivery_active():
-            self._flush_deferred_errors()
-            while len(self._inflight) >= self.pipeline_depth:
-                # bounded queue (maxsize = pipeline_depth) gives backpressure:
-                # put() blocks when the delivery worker lags too far behind
-                self._dq.put(self._inflight.popleft())
-        else:
-            while len(self._inflight) >= self.pipeline_depth:
-                self._deliver(self._inflight.popleft())
-
-        # 1. collect feeds + per-source valid counts ("source" = no *connected*
-        # inputs: a block with only unconnected optional ports, e.g. a
-        # FunctionGenerator without its clk_in, still self-terminates)
+        Returns ``(feeds, n_valid, n_valid_deliver, n_valid_ports,
+        produced_any, graph_done)`` or None when a feed failure was contained
+        by zombie-pruning (caller should retry the pump on the pruned graph).
+        With ``feed_failures`` (batched planning), failing feed blocks are NOT
+        pruned mid-batch — they are recorded as ``(block, err)``, treated as
+        finished sources for the remaining sub-steps (zero feeds), and the
+        caller prunes after the batched dispatch completes.
+        """
+        # "source" = no *connected* inputs: a block with only unconnected
+        # optional ports, e.g. a FunctionGenerator without its clk_in, still
+        # self-terminates
         in_edges = c.in_edges_by_dst()
         plan = c.pump_plan()
         feeds: dict[str, dict[str, np.ndarray]] = {}
@@ -425,8 +421,17 @@ class Scheduler:
                 try:
                     got = b.host_feed(c.out_len[uname], self._abs_out[uname])
                 except Exception as err:
+                    if feed_failures is not None \
+                            and self.on_block_error == "prune":
+                        # batched planning: keep the compiled program intact —
+                        # feed zeros from here on; prune at the batch boundary
+                        feed_failures.append((b, err))
+                        self._finished_sources.add(uname)
+                        n_valid[uname] = 0
+                        feeds[uname] = c.zero_feeds()[uname]
+                        continue
                     if self._contain_block_error(b, err, "host_feed"):
-                        return True   # retry next pump on the pruned graph
+                        return None   # retry next pump on the pruned graph
                     raise
                 if got is None:
                     self._finished_sources.add(uname)
@@ -503,6 +508,73 @@ class Scheduler:
                     e.dst_port: nv_get(e.src.unique_name,
                                        c.out_len[e.src.unique_name])
                     for e in in_edges[uname]}
+        return (feeds, n_valid, n_valid_deliver, n_valid_ports,
+                produced_any, graph_done)
+
+    # -- the pump --------------------------------------------------------------
+    def _pump(self, n_steps: int | None) -> None:
+        while True:
+            st = self.fsm.state
+            if st is State.REQUESTED_STOP or st is State.ERROR:
+                return
+            if st is State.REQUESTED_PAUSE:
+                self.fsm.transition_to(State.PAUSED)
+                self._call_hooks("pause")
+                st = self.fsm.state
+            if st is State.PAUSED:
+                self._process_messages()
+                time.sleep(0.001)
+                continue
+            if n_steps is not None and self._step >= n_steps:
+                return
+            if not self._pump_once():
+                return
+
+    def _pump_once(self) -> bool:
+        """One scheduler step (a SUPER-step of ``batch_steps`` logical steps
+        when batching). Returns False on EOS completion."""
+        with self.step_lock, \
+                self.profiler.duration("scheduler.step", step=self._step):
+            if self.batch_steps > 1:
+                return self._pump_once_batched()
+            return self._pump_once_inner()
+
+    def _pump_once_inner(self) -> bool:
+        self._process_messages()
+        if self.fsm.state in (State.REQUESTED_STOP, State.ERROR):
+            return False
+        # block-to-block message edges (≈ MsgPortIn/Out): deliver posted
+        # property maps before settings staging so they apply this step
+        if self.compiled is not None:
+            for src, dst in self.compiled.graph.message_edges:
+                for m in src.drain_messages():
+                    dst.handle_message(m, from_block=src)
+        self._apply_staged_settings()
+        if self._dirty:
+            with self.profiler.duration("scheduler.compile"):
+                self._recompile(reset_state=False)
+        c = self.compiled
+
+        # 0. deliver matured in-flight results FIRST — feeds may depend on sink
+        # deliveries (ring-bridged subgraphs); delivering after dispatch would
+        # deadlock two coupled schedulers
+        if self._async_delivery_active():
+            self._flush_deferred_errors()
+            while len(self._inflight) >= self.pipeline_depth:
+                # bounded queue (maxsize = pipeline_depth) gives backpressure:
+                # put() blocks when the delivery worker lags too far behind
+                self._dq.put(self._inflight.popleft())
+        else:
+            while len(self._inflight) >= self.pipeline_depth:
+                self._deliver(self._inflight.popleft())
+
+        # 1-2. collect feeds + propagate valid counts (extracted so the
+        # batched pump can plan S sub-steps per dispatch)
+        planned = self._plan_substep(c)
+        if planned is None:
+            return True   # feed failure contained (prune): retry next pump
+        (feeds, n_valid, n_valid_deliver, n_valid_ports, produced_any,
+         graph_done) = planned
 
         # multi-host: every process computed the full (global) feed blocks —
         # slice out this process's time shard and assemble global jax.Arrays
@@ -623,13 +695,233 @@ class Scheduler:
         # a completed terminate-graph block (HeadBlock) also ends the run.
         # Mid-graph FEED bridges (ScheduledSubgraph) count as sources: the
         # graph is not done while their inner pipeline still holds data.
-        sources = [uname for _b, uname, is_feed, has_ins, *_ in plan
+        sources = [uname for _b, uname, is_feed, has_ins, *_ in c.pump_plan()
                    if not has_ins or is_feed]
         all_done = sources and all(u in self._finished_sources
                                    for u in sources)
         if (all_done and not produced_any) or graph_done:
             return False
         return True
+
+    # -- batched pump (batch_steps > 1) ----------------------------------------
+    def _pump_once_batched(self) -> bool:
+        """One SUPER-step: plan ``batch_steps`` logical sub-steps on the host
+        (feeds, validity, tag walk, staged settings — advancing the abs
+        counters per sub-step), then dispatch them all in ONE jitted lax.scan
+        program. Tag-accurate ramps and mid-batch dynamic-settings changes
+        ride a per-sub-step params overlay (scan xs); static/structural
+        changes and state resets land at the next super-step boundary.
+        """
+        self._process_messages()
+        if self.fsm.state in (State.REQUESTED_STOP, State.ERROR):
+            return False
+        if self.compiled is not None:
+            for src, dst in self.compiled.graph.message_edges:
+                for m in src.drain_messages():
+                    dst.handle_message(m, from_block=src)
+        self._apply_staged_settings()
+        if self._dirty:
+            with self.profiler.duration("scheduler.compile"):
+                self._recompile(reset_state=False)
+        c = self.compiled
+        S = c.batch_steps
+
+        # deliver matured in-flight results first (same ordering contract as
+        # the unbatched pump)
+        if self._async_delivery_active():
+            self._flush_deferred_errors()
+            while len(self._inflight) >= self.pipeline_depth:
+                self._dq.put(self._inflight.popleft())
+        else:
+            while len(self._inflight) >= self.pipeline_depth:
+                self._deliver(self._inflight.popleft())
+
+        # params snapshot for the whole batch; blocks whose params change
+        # mid-batch (or that derive params from the per-step tag walk) get
+        # per-sub-step overlays instead
+        params_base = c.gather_params()
+        by_uname = {b.unique_name: b for b in c.order}
+        prep_overriders = [b.unique_name for b in c.order
+                           if type(b).prepare_params is not Block.prepare_params]
+
+        feeds_list: list[dict] = []
+        sub_meta: list[_SubStep] = []
+        snaps: dict[str, dict[int, dict]] = {}
+        feed_failures: list[tuple[Block, Exception]] = []
+        deferred_resets: list[Block] = []
+        produced_any = False
+        graph_done = False
+
+        for k in range(S):
+            planned = self._plan_substep(c, feed_failures=feed_failures)
+            if planned is None:   # only reachable when on_block_error=shutdown
+                return True
+            (feeds_k, n_valid, n_valid_deliver, n_valid_ports,
+             produced_k, done_k) = planned
+            with self.profiler.duration("scheduler.tags"):
+                sink_tags = self._advance_tags(n_valid)
+            ramp_events = self._tag_ramps
+            self._tag_ramps = {}
+            # ramps use the PRE-apply baseline (old value before the tag)
+            ramp_over: dict[str, dict] = {}
+            for uname, events in ramp_events.items():
+                blk = by_uname.get(uname)
+                if blk is None:
+                    continue
+                over = blk.tag_param_ramps(events, c.in_len[uname])
+                if over:
+                    ramp_over[uname] = over
+            applied = self._apply_staged_settings(
+                defer_state_reset=deferred_resets)
+            # snapshot effective params for this sub-step: tag-walk-derived
+            # (prepare_params overriders refresh every step in the unbatched
+            # pump too), freshly-applied settings, and ramped blocks
+            for uname in set(prep_overriders) | set(applied) | set(ramp_over):
+                blk = by_uname.get(uname)
+                if blk is None:
+                    continue
+                snap = blk.prepare_params(blk.settings.dynamic_params())
+                if uname in ramp_over:
+                    snap = {**snap, **ramp_over[uname]}
+                snaps.setdefault(uname, {})[k] = snap
+                if uname in ramp_over and k + 1 < S:
+                    # the sub-step after a ramp reverts to the (new) scalar
+                    # params; a later snapshot at k+1 overwrites this
+                    snaps[uname][k + 1] = blk.prepare_params(
+                        blk.settings.dynamic_params())
+            abs_in_snapshot = dict(self._abs_in)
+            for b in c.order:
+                uname = b.unique_name
+                self._abs_in[uname] += c.in_len[uname]
+                self._abs_out[uname] += c.out_len[uname]
+            sub_meta.append(_SubStep(
+                step=self._step, sink_tags=sink_tags,
+                n_valid=n_valid_deliver, abs_in=abs_in_snapshot,
+                n_valid_ports=n_valid_ports))
+            feeds_list.append(feeds_k)
+            produced_any = produced_any or produced_k
+            graph_done = graph_done or done_k
+            self._step += 1
+
+        # stack feeds [S, ...] (every sub-step's dict has identical structure:
+        # zero_feeds fills finished sources)
+        feeds: dict[str, dict[str, np.ndarray]] = {}
+        if feeds_list and feeds_list[0]:
+            for uname, d0 in feeds_list[0].items():
+                feeds[uname] = {
+                    p: np.stack([fl[uname][p] for fl in feeds_list])
+                    for p in d0}
+        overlays = self._build_overlays(c, snaps, params_base, S)
+        if self._multihost and feeds:
+            feeds = self._globalize_feeds(feeds)
+
+        with self.profiler.duration("scheduler.dispatch", step=self._step):
+            if (feeds or overlays) and jax.default_backend() != "cpu":
+                from .compiler import _device_params
+                if feeds and not self._multihost:
+                    feeds = _device_params(feeds)
+                if overlays:
+                    overlays = _device_params(overlays)
+            while True:
+                try:
+                    new_states, sink_ins = c.step(self._states, params_base,
+                                                  feeds, overlays)
+                    break
+                except GrError as e:
+                    # first-dispatch trace failures: zombie-prune + retry the
+                    # same super-step on the surviving graph
+                    if self.on_block_error != "prune" or not e.block:
+                        raise
+                    self._zombify(e.block, str(e))
+                    self._recompile(reset_state=False)
+                    c = self.compiled
+                    zf = c.zero_feeds()
+                    feeds = {
+                        uname: {p: np.stack([_pad_to(
+                            np.asarray(fl[uname][p])[
+                                ..., :zf[uname][p].shape[-1]],
+                            zf[uname][p].shape, zf[uname][p].dtype)
+                            for fl in feeds_list])
+                            for p in zf[uname]}
+                        for uname in zf if uname in feeds_list[0]} \
+                        if feeds_list and feeds_list[0] else {}
+                    params_base = c.gather_params()
+                    alive = {b.unique_name for b in c.order}
+                    overlays = {u: o for u, o in overlays.items()
+                                if u in alive}
+            self._states = new_states
+
+        self._inflight.append(_InFlight(
+            step=sub_meta[0].step, sink_ins=sink_ins,
+            sink_tags=sub_meta[0].sink_tags, n_valid=sub_meta[0].n_valid,
+            abs_in=sub_meta[0].abs_in, t_dispatch=time.monotonic(),
+            n_valid_ports=sub_meta[0].n_valid_ports, batch=sub_meta))
+        self._last_progress = time.monotonic()
+
+        # post-batch: prune feed-failed blocks (kept alive through the batch
+        # so the compiled program's states stayed intact), apply deferred
+        # state resets
+        for blk, err in feed_failures:
+            if blk.unique_name not in self.zombies and blk.name not in self.zombies:
+                self._zombify(blk.name, f"host_feed: {err}")
+                self._dirty = True
+        for blk in deferred_resets:
+            uname = blk.unique_name
+            if uname in self._states:
+                self._states[uname] = blk.init_state(c.block_ctx[uname])
+
+        sources = [uname for _b, uname, is_feed, has_ins, *_ in c.pump_plan()
+                   if not has_ins or is_feed]
+        all_done = sources and all(u in self._finished_sources
+                                   for u in sources)
+        if (all_done and not produced_any) or graph_done:
+            return False
+        return True
+
+    def _build_overlays(self, c, snaps: dict[str, dict[int, dict]],
+                        params_base: dict, S: int) -> dict:
+        """Per-sub-step params snapshots → stacked overlay pytree
+        ``{uname: {key: leaf[S, ...]}}`` for the batched dispatch's scan xs.
+
+        Sub-steps without a snapshot forward-fill from the latest snapshot
+        (or the batch-start base params). Mixed scalar/per-sample leaves for
+        one key (a ramp in one sub-step) broadcast every sub-step to the
+        common shape — constant per-sample arrays are semantically identical
+        to the scalar (e.g. cumsum of a constant dphi)."""
+        if not snaps:
+            return {}
+        overlays: dict[str, dict] = {}
+        for uname, by_k in snaps.items():
+            base = dict(params_base.get(uname, {}))
+            per_step: list[dict] = []
+            cur = base
+            for k in range(S):
+                if k in by_k:
+                    cur = by_k[k]
+                per_step.append(cur)
+            keys = set().union(*[set(d) for d in per_step])
+            od = {}
+            for key in keys:
+                leaves = []
+                for k in range(S):
+                    v = per_step[k].get(key, base.get(key))
+                    if v is None:
+                        # key introduced mid-batch (ramp-only param): before
+                        # the event the block ran on its scalar path — the
+                        # ramp array's first element IS the pre-tag value
+                        first = np.asarray(next(
+                            per_step[j][key] for j in range(S)
+                            if key in per_step[j]))
+                        v = (np.full_like(first, first.flat[0])
+                             if first.ndim else first)
+                    leaves.append(np.asarray(v))
+                tgt = np.broadcast_shapes(*[lv.shape for lv in leaves])
+                dt = np.result_type(*[lv.dtype for lv in leaves])
+                od[key] = np.stack([
+                    np.broadcast_to(lv.astype(dt, copy=False), tgt)
+                    for lv in leaves])
+            overlays[uname] = od
+        return overlays
 
     def _drain(self) -> None:
         if self._async_delivery_active():
@@ -722,6 +1014,39 @@ class Scheduler:
         return routes
 
     def _deliver(self, rec: _InFlight, deferred: list | None = None) -> None:
+        if rec.batch is None:
+            return self._deliver_one(rec, deferred)
+        # batched record: ONE device→host transfer per sink port for the whole
+        # batch (leading [S] axis), then S logical deliveries from host slices
+        c = self.compiled
+        host_cache: dict[str, dict[str, np.ndarray]] = {}
+        for uname, ins in rec.sink_ins.items():
+            block = next((b for b in c.order if b.unique_name == uname), None)
+            if block is None:
+                continue
+            wants_host = getattr(block, "WANTS_HOST_DATA", True) \
+                or getattr(block, "EMITS_HOST_TAGS", False)
+            if not wants_host:
+                continue
+            if self._multihost:
+                from ..parallel.multihost import drain_local
+                host_cache[uname] = {p: drain_local(a) for p, a in ins.items()}
+            else:
+                host_cache[uname] = {p: host_array(a) for p, a in ins.items()}
+        for k, meta in enumerate(rec.batch):
+            sub_ins = {
+                uname: {p: (host_cache[uname][p][k] if uname in host_cache
+                            else a[k])
+                        for p, a in ins.items()}
+                for uname, ins in rec.sink_ins.items()}
+            self._deliver_one(_InFlight(
+                step=meta.step, sink_ins=sub_ins, sink_tags=meta.sink_tags,
+                n_valid=meta.n_valid, abs_in=meta.abs_in,
+                t_dispatch=rec.t_dispatch, n_valid_ports=meta.n_valid_ports),
+                deferred, pre_host=True)
+
+    def _deliver_one(self, rec: _InFlight, deferred: list | None = None,
+                     pre_host: bool = False) -> None:
         c = self.compiled
         with self.profiler.duration("scheduler.deliver", step=rec.step):
             # pass 1: data-derived tags from emitting blocks (topological) —
@@ -732,7 +1057,7 @@ class Scheduler:
                 if uname not in rec.sink_ins or \
                         not getattr(b, "EMITS_HOST_TAGS", False):
                     continue
-                arrays = {p: host_array(a)
+                arrays = {p: (a if pre_host else host_array(a))
                           for p, a in rec.sink_ins[uname].items()}
                 emitted = b.host_emit_tags(
                     arrays, rec.sink_tags.get(uname, {}),
@@ -752,7 +1077,9 @@ class Scheduler:
                                          or getattr(block, "HOST_TAP", False)):
                     continue
                 if getattr(block, "WANTS_HOST_DATA", True):
-                    if self._multihost:
+                    if pre_host:   # batched delivery already landed the data
+                        arrays = dict(ins)
+                    elif self._multihost:
                         # only this process's shards are addressable; sinks
                         # receive the local time slice (global gather is the
                         # application's job if it wants it)
@@ -896,9 +1223,18 @@ class Scheduler:
         return sink_tags
 
     # -- settings --------------------------------------------------------------
-    def _apply_staged_settings(self, exclude: set[str] = frozenset()) -> None:
+    def _apply_staged_settings(self, exclude: set[str] = frozenset(),
+                               defer_state_reset: list | None = None
+                               ) -> list[str]:
+        """Apply staged settings on every block. Returns the unique_names of
+        blocks whose settings actually changed (the batched pump snapshots
+        their params per sub-step). With ``defer_state_reset`` (batched
+        planning — the states pytree is mid-scan), requested state resets are
+        recorded there instead of applied, and land at the super-step
+        boundary."""
+        applied_unames: list[str] = []
         if self.compiled is None:
-            return
+            return applied_unames
         for b in self.compiled.order:
             if b.unique_name in exclude or not b.settings.changed():
                 continue
@@ -909,8 +1245,11 @@ class Scheduler:
                 # block asked for a fresh state after this settings change
                 # (e.g. FunctionGenerator restarting its segment clock)
                 b._state_reset = False
-                self._states[b.unique_name] = b.init_state(
-                    self.compiled.block_ctx[b.unique_name])
+                if defer_state_reset is not None:
+                    defer_state_reset.append(b)
+                else:
+                    self._states[b.unique_name] = b.init_state(
+                        self.compiled.block_ctx[b.unique_name])
             if res.static_changed:
                 self._dirty = True
             if res.forward:
@@ -918,7 +1257,9 @@ class Scheduler:
                     self._pending_out_tags.setdefault(
                         (b.unique_name, p.name), []).append(Tag(0, dict(res.forward)))
             if res.applied:
+                applied_unames.append(b.unique_name)
                 self.bus.notify(b.name, Property.SETTING, dict(res.applied))
+        return applied_unames
 
     # -- messages --------------------------------------------------------------
     def _process_messages(self) -> None:
