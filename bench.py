@@ -23,7 +23,7 @@ import numpy as np
 NORTH_STAR_PER_CHIP_MSPS = 625.0
 
 
-def build_step(block_len: int):
+def build_step(block_len: int, batch_steps: int = 1):
     import jax
     import gnuradio4_tpu as gr
     from gnuradio4_tpu.blocks.basic import ComplexToneSource
@@ -47,7 +47,8 @@ def build_step(block_len: int):
     g.connect_chain(src, fir, fft, s1)
     g.connect(fir, dem)
     g.connect_chain(dem, audio, s2)
-    compiled = gr.compile_graph(g, block_len=block_len, sample_rate=fs)
+    compiled = gr.compile_graph(g, block_len=block_len, sample_rate=fs,
+                                batch_steps=batch_steps)
     return compiled
 
 
@@ -124,10 +125,17 @@ def main() -> None:
     # an outage window (it is, for hours at a time), the bench falls back to
     # the dispatch-rate number and SAYS SO in the metric + 'verified' field.
     platform = jax.devices()[0].platform
-    # 8 Mi samples/step on accelerators; CPU smoke runs use small windows
+    # 8 Mi samples/step on accelerators; CPU smoke runs use small windows.
+    # Step batching (round-5): GR4TPU_BENCH_BATCH sub-steps fuse into one
+    # dispatch (lax.scan), amortizing the measured ~6 ms/dispatch relay
+    # floor; default 1 until a sweep window verifies the batched points.
     block_len = (1 << 23) if platform != "cpu" else (1 << 18)
+    batch = max(1, int(os.environ.get("GR4TPU_BENCH_BATCH", "1")))
     win_small, win_big = (64, 512) if platform != "cpu" else (4, 16)
-    compiled = build_step(block_len)
+    if batch > 1:   # same sample budget per window
+        win_small = max(2, win_small // batch)
+        win_big = max(win_small * 4, win_big // batch)
+    compiled = build_step(block_len, batch_steps=batch)
     states = compiled.init_states()
     params = compiled.gather_params()
 
@@ -194,7 +202,7 @@ def main() -> None:
                       f"stall during a window; falling back", file=sys.stderr)
                 verified = False
             else:
-                msps = block_len / dt_per_step / 1e6
+                msps = block_len * batch / dt_per_step / 1e6
                 print(f"# verified: readback-terminated differential timing, "
                       f"walls {walls}", file=sys.stderr)
 
@@ -224,7 +232,7 @@ def main() -> None:
                 dt = dispatch_dt
             else:
                 dt = time.perf_counter() - t0
-            best_rate = max(best_rate, done * block_len / dt)
+            best_rate = max(best_rate, done * block_len * batch / dt)
         msps = best_rate / 1e6
         print(f"# UNVERIFIED: D2H outage ({probe.get('error', '?')}) — this is "
               f"the host dispatch rate, not measured device compute",
@@ -240,6 +248,7 @@ def main() -> None:
         "unit": "Msps",
         "vs_baseline": round(msps / NORTH_STAR_PER_CHIP_MSPS, 4),
         "verified": verified,
+        "batch_steps": batch,
     }), flush=True)
     _regression_gate(msps, platform, verified)
     if wedged:

@@ -93,7 +93,7 @@ def _run(compiled, steps: int, block_len: int) -> tuple[float, bool]:
     return steps * block_len / dt / 1e6, False
 
 
-def config1(block_len):
+def config1(block_len, batch=1):
     import gnuradio4_tpu as gr
     from gnuradio4_tpu.blocks.basic import ComplexToneSource
     from gnuradio4_tpu.blocks.filter import FirFilter
@@ -107,10 +107,11 @@ def config1(block_len):
                                        f_low=2e6).astype(np.float32))
     fft = FFT(fft_size=4096, window="Hann", output="magnitude", calibrate=False)
     g.connect_chain(src, fir, fft, NullSink())
-    return gr.compile_graph(g, block_len=block_len, sample_rate=fs)
+    return gr.compile_graph(g, block_len=block_len, sample_rate=fs,
+                            batch_steps=batch)
 
 
-def config2(block_len):
+def config2(block_len, batch=1):
     import gnuradio4_tpu as gr
     from gnuradio4_tpu.blocks.basic import NoiseSource
     from gnuradio4_tpu.blocks.filter import RationalResampler
@@ -119,10 +120,11 @@ def config2(block_len):
     g.connect_chain(g.add(NoiseSource()),
                     g.add(RationalResampler(interp=3, decim=2)),
                     g.add(NullSink()))
-    return gr.compile_graph(g, block_len=block_len, sample_rate=1e6)
+    return gr.compile_graph(g, block_len=block_len, sample_rate=1e6,
+                            batch_steps=batch)
 
 
-def config3(block_len):
+def config3(block_len, batch=1):
     import gnuradio4_tpu as gr
     from gnuradio4_tpu.blocks.basic import ComplexToneSource
     from gnuradio4_tpu.blocks.sdr import make_wbfm_receiver
@@ -135,10 +137,11 @@ def config3(block_len):
     g.add(rx)
     g.connect(src, rx["in"])
     g.connect(rx["out"], snk)
-    return gr.compile_graph(g, block_len=block_len, sample_rate=quad_rate)
+    return gr.compile_graph(g, block_len=block_len, sample_rate=quad_rate,
+                            batch_steps=batch)
 
 
-def config4(block_len):
+def config4(block_len, batch=1):
     import gnuradio4_tpu as gr
     from gnuradio4_tpu.blocks.basic import NoiseSource
     from gnuradio4_tpu.blocks.channelizer import PFBChannelizer
@@ -148,7 +151,8 @@ def config4(block_len):
     src = NoiseSource(noise="complex_gaussian")
     chan = PFBChannelizer(n_channels=64, taps_per_phase=8)
     g.connect_chain(g.add(src), g.add(chan), g.add(Abs()), g.add(NullSink()))
-    return gr.compile_graph(g, block_len=block_len, sample_rate=1e9)
+    return gr.compile_graph(g, block_len=block_len, sample_rate=1e9,
+                            batch_steps=batch)
 
 
 def _run_sched(build, block_len, steps) -> tuple[float, bool]:
@@ -184,7 +188,7 @@ def _run_sched(build, block_len, steps) -> tuple[float, bool]:
     return n * block_len / dt / 1e6, False
 
 
-def config5_scheduler(block_len, steps):
+def config5_scheduler(block_len, steps, batch=1):
     """Config 5 shape through the REAL scheduler loop (tag plane, message pump,
     pipelined delivery): 256-ch channelizer + per-channel demod + tag source.
     Returns (Msps, verified)."""
@@ -202,7 +206,8 @@ def config5_scheduler(block_len, steps):
         snk = NullSink()
         g.connect_chain(g.add(src), g.add(chan), g.add(dem), g.add(snk))
         return gr.Scheduler(g, block_len=block_len, sample_rate=1e9,
-                            pipeline_depth=2, async_delivery=True)
+                            pipeline_depth=2, async_delivery=True,
+                            batch_steps=batch)
 
     return _run_sched(build, block_len, steps)
 
@@ -300,11 +305,19 @@ def _run_one(key: str, block_len: int, steps: int) -> dict:
     if on_cpu:
         bl = min(bl, 1 << 18)
         steps = min(steps, 8)
-    rec: dict = {"config": key, "platform": platform, "block_len": bl}
+    # step batching (round-5): amortize the measured ~6 ms/dispatch relay
+    # floor. GR4_SUITE_BATCH overrides; per-config defaults below are the
+    # sweep-measured operating points (1 until a window verifies otherwise).
+    batch = int(os.environ.get("GR4_SUITE_BATCH", "0")) \
+        or _BATCH_DEFAULTS.get(key, 1)
+    if on_cpu:
+        batch = min(batch, 2)
+    rec: dict = {"config": key, "platform": platform, "block_len": bl,
+                 "batch_steps": batch}
     try:
         if key == "5":
             rec["name"] = "scheduler loop: 256ch PFB + demod + tags"
-            msps, verified = config5_scheduler(bl, steps)
+            msps, verified = config5_scheduler(bl, steps, batch)
         elif key == "6":
             bl = min(bl, 1 << 16)      # overhead shows at small blocks
             rec.update(name="scheduler overhead: 40-block cascade "
@@ -318,13 +331,19 @@ def _run_one(key: str, block_len: int, steps: int) -> dict:
         else:
             name, builder = builders[key]
             rec["name"] = name
-            compiled = builder(bl)
-            msps, verified = _run(compiled, steps, bl)
+            compiled = builder(bl, batch)
+            # one dispatch covers batch sub-steps of bl samples each
+            msps, verified = _run(compiled, steps, bl * batch)
         rec.update(msps=round(msps, 1), verified=verified)
     except Exception as e:
         rec["error"] = f"{type(e).__name__}: {e}"
     return rec
 
+
+# Per-config step-batching defaults (GR4_SUITE_BATCH overrides). Start at 1;
+# updated to the sweep-measured operating points once a window verifies them
+# (SWEEP_r05 batch group).
+_BATCH_DEFAULTS: dict[str, int] = {}
 
 ALL_CONFIGS = "1,2,3,3t,4,5,6,7"
 

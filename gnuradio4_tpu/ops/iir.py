@@ -81,8 +81,12 @@ def one_pole_apply(x: jnp.ndarray, pole: complex | jnp.ndarray,
     elif isinstance(pole, (complex, np.complexfloating)):
         host_pole = complex(pole)
     t = x.shape[-1]
+    import os
     if host_pole is not None and abs(host_pole) <= 1.0 and t >= 4096 \
-            and t % _BLK == 0:
+            and t % _BLK == 0 \
+            and os.environ.get("GR4TPU_NO_BLOCKED_ONEPOLE") != "1":
+        # GR4TPU_NO_BLOCKED_ONEPOLE=1: A/B escape to the associative scan
+        # (the round-3 lowering) for within-window comparisons
         return _one_pole_blocked(x, host_pole, y_prev)
     if isinstance(pole, (complex, np.complexfloating)):
         # lax.complex from float halves: jnp.asarray(<python complex>) would

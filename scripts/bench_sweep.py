@@ -241,6 +241,22 @@ def group_fft(n):
             yield measure(f"fft_matmul[n1={n1},{mode}]",
                           lambda jm=jm: jm(x0), n)
 
+    # round-5: the IFFT matmul engine shipped round-4 with no device number —
+    # measure conj-four-step vs the IFFT HLO (VERDICT r4 item 5)
+    def inative(x):
+        return checksum(jnp.abs(jnp.fft.ifft(x.reshape(-1, 4096), axis=-1)))
+
+    def imm(x, mode):
+        y = jnp.conj(matmul_fft(jnp.conj(x.reshape(-1, 4096)), 4096,
+                                mode=mode)) * jnp.float32(1.0 / 4096)
+        return checksum(jnp.abs(y))
+
+    ji = jax.jit(inative)
+    yield measure("ifft_hlo", lambda: ji(x0), n)
+    for mode in ("high", "bf16"):
+        jim = jax.jit(lambda x, mode=mode: imm(x, mode))
+        yield measure(f"ifft_matmul[{mode}]", lambda jim=jim: jim(x0), n)
+
 
 def _chain_step(block_len):
     import bench
@@ -302,8 +318,92 @@ def group_wbfm(n):
                       wins=(4, 32) if bl >= (1 << 22) else (16, 128))
 
 
+def group_batch(n):
+    """Round-5 step batching: the headline chain and the wbfm config-3 chain
+    at several batch_steps. The round-4 sweep measured ~6 ms/dispatch nearly
+    independent of block size (wbfm 6.09 ms at 2^18 vs 6.63 at 2^23) — one
+    scan-fused dispatch of S sub-steps should amortize that floor S-fold.
+    msps counts block_len·S samples per dispatch."""
+    import jax
+    import jax.numpy as jnp
+    import bench
+    import bench_suite
+    cs = jax.jit(lambda t: jnp.broadcast_to(
+        sum(jnp.sum(jnp.abs(v)) for ins in t.values()
+            for v in ins.values()).astype(jnp.float32), (8,)))
+
+    def rows(builder, label, bl, batches, wins_of):
+        for S in batches:
+            compiled = builder(bl, S)
+            states = compiled.init_states()
+            params = compiled.gather_params()
+            box = {"s": states}
+
+            def call(compiled=compiled, params=params, box=box):
+                box["s"], sink_ins = compiled.step(box["s"], params, {}, {}) \
+                    if compiled.batch_steps > 1 else \
+                    compiled.step(box["s"], params, {})
+                return cs(sink_ins)
+
+            yield measure(f"{label}[bl=2^{bl.bit_length()-1},batch={S}]",
+                          call, bl * S, wins=wins_of(S))
+
+    yield from rows(lambda bl, S: bench.build_step(bl, batch_steps=S),
+                    "chain", n, (1, 2, 4, 8),
+                    lambda S: (4, 32) if S <= 2 else (2, 16))
+    small = min(n, 1 << 18)
+    yield from rows(bench_suite.config3, "wbfm", small, (1, 8, 32),
+                    lambda S: (16, 128) if S == 1 else (4, 32))
+    if n > small:
+        yield from rows(bench_suite.config3, "wbfm", n, (1, 4, 8),
+                        lambda S: (4, 32) if S <= 2 else (2, 16))
+
+
+def group_ab(n):
+    """Round-5 within-window headline A/B (VERDICT r4 weak #2): the
+    round-3-equivalent chain vs current defaults in the SAME window/process.
+    r3-equivalent = no rotation absorption (full-rate de-rotation NCO pass
+    after the heterodyned-taps FIR) + associative-scan one-pole. Each leg is
+    the same compile_graph program the bench measures."""
+    import jax
+    import jax.numpy as jnp
+    import bench
+    cs = jax.jit(lambda t: jnp.broadcast_to(
+        sum(jnp.sum(jnp.abs(v)) for ins in t.values()
+            for v in ins.values()).astype(jnp.float32), (8,)))
+
+    def leg(label, env):
+        saved = {k: os.environ.get(k) for k in env}
+        os.environ.update(env)
+        try:
+            compiled = bench.build_step(n)
+            states = compiled.init_states()
+            params = compiled.gather_params()
+            box = {"s": states}
+
+            def call(compiled=compiled, params=params, box=box):
+                box["s"], sink_ins = compiled.step(box["s"], params, {})
+                return cs(sink_ins)
+
+            return measure(label, call, n)
+        finally:
+            for k, v in saved.items():
+                os.environ.pop(k, None) if v is None \
+                    else os.environ.__setitem__(k, v)
+
+    yield leg("chain_r3equiv[no_absorb,scan_onepole]",
+              {"GR4TPU_NO_ROTATION_ABSORB": "1",
+               "GR4TPU_NO_BLOCKED_ONEPOLE": "1"})
+    yield leg("chain_current[defaults]", {})
+    # and once more in reverse order so a mid-group window drift shows up
+    yield leg("chain_r3equiv_rep", {"GR4TPU_NO_ROTATION_ABSORB": "1",
+                                    "GR4TPU_NO_BLOCKED_ONEPOLE": "1"})
+    yield leg("chain_current_rep", {})
+
+
 GROUPS = {"tone": group_tone, "fir": group_fir, "fft": group_fft,
-          "chain": group_chain, "wbfm": group_wbfm}
+          "chain": group_chain, "wbfm": group_wbfm, "batch": group_batch,
+          "ab": group_ab}
 
 
 def main():
