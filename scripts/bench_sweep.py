@@ -401,9 +401,77 @@ def group_ab(n):
     yield leg("chain_current_rep", {})
 
 
+def group_cfg5(n):
+    """Round-5 config-5 stage times for SCALING_r05.json's model slots:
+    PFB256 alone, per-channel demod alone, per-channel audio FIR alone, and
+    the full compiled config-5 chain (unbatched + batch=4). Replaces the
+    model's measured-proxy/analytic assumptions with verified device rows."""
+    import jax
+    import jax.numpy as jnp
+    import gnuradio4_tpu as gr
+    from gnuradio4_tpu.ops.channelizer import (design_pfb_taps, pfb_analyze,
+                                               pfb_init_state)
+    from gnuradio4_tpu.ops.demod import quadrature_demod
+    from gnuradio4_tpu.ops import filter_design as fd
+    from gnuradio4_tpu.ops.fir import fir_apply, fir_init_state
+    from gnuradio4_tpu.ops.signal import complex_exp_ramp
+    checksum = _checksum_fn()
+    nch = 256
+    taps = design_pfb_taps(nch, 8)
+    nn = (n // nch) * nch
+    x0 = jax.jit(lambda: complex_exp_ramp(
+        jnp.uint32(0), jnp.uint32(round(0.003 * 2**32)), nn))()
+    st0 = pfb_init_state(nch, 8)
+
+    def pfb(x, st):
+        y, _ = pfb_analyze(x, taps, st)
+        return checksum(jnp.abs(y))
+
+    jp = jax.jit(pfb)
+    yield measure(f"pfb{nch}", lambda: jp(x0, st0), nn)
+
+    # per-channel stages on the channelized [256, T/256] layout
+    chx = jax.jit(lambda x, st: pfb_analyze(x, taps, st)[0])(x0, st0)
+    from gnuradio4_tpu.utils.transfer import device_zeros
+    last0 = device_zeros((nch,), jnp.complex64)
+    jd = jax.jit(lambda c, l: checksum(
+        quadrature_demod(c, l, gain=1.0)[0]))
+    yield measure("demod_perchan", lambda: jd(chx, last0), nn)
+    ataps = fd.design_fir("lowpass", 17, sample_rate=1.0,
+                          f_low=0.1).astype(np.float32)
+    h0 = jax.jit(lambda: fir_init_state(nch, 17, jnp.float32))()
+
+    def audio(c, h):
+        y, _ = fir_apply(jnp.real(c), ataps, h, decim=4)
+        return checksum(y)
+
+    ja = jax.jit(audio)
+    yield measure("audio_perchan_d4", lambda: ja(chx, h0), nn)
+
+    # full config-5 compiled chain, unbatched and batched
+    from audit_collectives import build_config5
+    cs = jax.jit(lambda t: jnp.broadcast_to(
+        sum(jnp.sum(jnp.abs(v)) for ins in t.values()
+            for v in ins.values()).astype(jnp.float32), (8,)))
+    for S in (1, 4):
+        compiled = gr.compile_graph(
+            build_config5(nn, None).graph, block_len=nn, sample_rate=1e9,
+            batch_steps=S) if S > 1 else build_config5(nn, None)
+        states = compiled.init_states()
+        params = compiled.gather_params()
+        box = {"s": states}
+
+        def call(compiled=compiled, params=params, box=box):
+            box["s"], sink_ins = compiled.step(box["s"], params, {})
+            return cs(sink_ins)
+
+        yield measure(f"cfg5_chain[batch={S}]", call, nn * S,
+                      wins=(4, 32) if S == 1 else (2, 16))
+
+
 GROUPS = {"tone": group_tone, "fir": group_fir, "fft": group_fft,
           "chain": group_chain, "wbfm": group_wbfm, "batch": group_batch,
-          "ab": group_ab}
+          "ab": group_ab, "cfg5": group_cfg5}
 
 
 def main():
