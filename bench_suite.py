@@ -332,6 +332,12 @@ def _run_one(key: str, block_len: int, steps: int) -> dict:
             name, builder = builders[key]
             rec["name"] = name
             compiled = builder(bl, batch)
+            # small-block configs need MANY steps for a meaningful slope:
+            # at ~ms-scale steps a (2, 20)-step differential drowns in the
+            # readback-latency noise (the SUITE_r04 config-3 row measured a
+            # physically-implausible 11 Gsps that way — window too small)
+            if bl * batch <= (1 << 19) and not on_cpu:
+                steps = max(steps, 200)
             # one dispatch covers batch sub-steps of bl samples each
             msps, verified = _run(compiled, steps, bl * batch)
         rec.update(msps=round(msps, 1), verified=verified)

@@ -30,7 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def measure(block_len: int, pipeline_depth: int, steps: int,
-            async_delivery: bool = False) -> dict:
+            async_delivery: bool = False, batch: int = 1) -> dict:
     import jax
     import gnuradio4_tpu as gr
     from gnuradio4_tpu.core.block import Port, SinkBlock
@@ -55,7 +55,7 @@ def measure(block_len: int, pipeline_depth: int, steps: int,
     g.connect_chain(src, fir, snk)
     sched = gr.Scheduler(g, block_len=block_len, sample_rate=1e6,
                          pipeline_depth=pipeline_depth,
-                         async_delivery=async_delivery)
+                         async_delivery=async_delivery, batch_steps=batch)
     sched.init()
 
     dispatches: list[float] = []
@@ -73,8 +73,14 @@ def measure(block_len: int, pipeline_depth: int, steps: int,
     sched._drain()
     wall = time.perf_counter() - t0
 
-    # skip the first delivery (jit compile rides on it)
-    lat = [a - d for a, d in zip(arrivals, dispatches)][1:]
+    # skip the first super-step's deliveries (jit compile rides on them).
+    # Under batching, one dispatch covers ``batch`` logical blocks: each
+    # arrival maps to its super-step's dispatch stamp, so the per-LOGICAL-
+    # block round trip measured here directly shows the S-times-coarser
+    # progress granularity batching trades for throughput (sub-blocks of one
+    # batch share a dispatch time; the early ones wait out the whole scan).
+    lat = [a - dispatches[min(i // batch, len(dispatches) - 1)]
+           for i, a in enumerate(arrivals)][batch:]
     if not lat:
         return {"error": "no deliveries"}
     lat = np.asarray(lat)
@@ -82,6 +88,7 @@ def measure(block_len: int, pipeline_depth: int, steps: int,
         "block_len": block_len,
         "pipeline_depth": pipeline_depth,
         "async_delivery": async_delivery,
+        "batch_steps": batch,
         "steps_delivered": int(len(lat)),
         "latency_p50_ms": round(float(np.percentile(lat, 50)) * 1e3, 3),
         "latency_p95_ms": round(float(np.percentile(lat, 95)) * 1e3, 3),
@@ -98,6 +105,9 @@ def main() -> None:
     ap.add_argument("--block-lens", default="1024,16384,262144,2097152,8388608")
     ap.add_argument("--async-modes", default="0,1",
                     help="comma list of 0/1: sync and/or async delivery rows")
+    ap.add_argument("--batches", default="1",
+                    help="comma list of batch_steps values (latency-under-"
+                         "batching rows; one dispatch = S logical blocks)")
     ap.add_argument("--out", default=None,
                     help="also write all rows to this JSON file")
     ap.add_argument("--budget-s", type=float, default=900.0,
@@ -114,18 +124,21 @@ def main() -> None:
     if platform == "cpu":
         lens = [n for n in lens if n <= (1 << 18)]
     rows = []
-    for mode in [int(m) for m in args.async_modes.split(",")]:
-        for depth in [int(d) for d in args.depths.split(",")]:
-            for bl in lens:
-                try:
-                    r = measure(bl, depth, args.steps, async_delivery=bool(mode))
-                except Exception as e:
-                    r = {"block_len": bl, "pipeline_depth": depth,
-                         "async_delivery": bool(mode),
-                         "error": f"{type(e).__name__}: {e}"}
-                r["platform"] = platform
-                rows.append(r)
-                print(json.dumps(r), flush=True)
+    for batch in [int(b) for b in args.batches.split(",")]:
+        for mode in [int(m) for m in args.async_modes.split(",")]:
+            for depth in [int(d) for d in args.depths.split(",")]:
+                for bl in lens:
+                    try:
+                        r = measure(bl, depth, max(args.steps, 2 * batch),
+                                    async_delivery=bool(mode), batch=batch)
+                    except Exception as e:
+                        r = {"block_len": bl, "pipeline_depth": depth,
+                             "async_delivery": bool(mode),
+                             "batch_steps": batch,
+                             "error": f"{type(e).__name__}: {e}"}
+                    r["platform"] = platform
+                    rows.append(r)
+                    print(json.dumps(r), flush=True)
     if args.out:
         import datetime
         with open(args.out, "w") as f:

@@ -43,6 +43,7 @@ FILES = [
     "test_resample_channelize.py",
     "test_fm_receiver.py",
     "test_tag_accurate_settings.py",
+    "test_step_batching.py",
     "test_steady_state.py",
     "test_async_delivery.py",
     "test_pallas_kernels.py",
