@@ -648,10 +648,21 @@ class _ExpressionBase(Block):
     _ARGS: tuple[str, ...] = ("x",)
     _OUT_VAR = "y"
 
+    # string variables (≈ ExprTk symbol_table.add_stringvar): "k=v,k2=v2";
+    # trace-time host values, so changes re-jit at the step boundary like
+    # any static setting (a string cannot vary per sample on the device)
+    strings = Setting(default="", kind="static",
+                      description="expression string variables as "
+                                  "'name=value[,name2=value2…]' — trace-"
+                                  "time constants (ExprTk stringvar)")
+
     def __init__(self, name=None, expr_string=None, functions=None,
-                 **settings):
+                 string_vars=None, **settings):
         if expr_string is not None:      # reference setting-name alias
             settings.setdefault("expression", expr_string)
+        if string_vars:                  # dict convenience constructor form
+            settings.setdefault("strings", ",".join(
+                f"{k}={v}" for k, v in string_vars.items()))
         # per-block user functions (≈ ExprTk symbol_table.add_function,
         # ExpressionBlocks.hpp:68): name -> JAX callable (or (fn, arity)),
         # traced into the XLA program; layered over the global
@@ -660,21 +671,34 @@ class _ExpressionBase(Block):
         super().__init__(name=name, **settings)
         self._compile_expr()
 
+    def _string_vars(self) -> dict[str, str]:
+        raw = str(self.settings.get("strings")).strip()
+        out: dict[str, str] = {}
+        for part in (p for p in raw.split(",") if p.strip()):
+            if "=" not in part:
+                from ..core.errors import GrError
+                raise GrError(f"{self.name}: strings entry {part!r} is not "
+                              f"'name=value'")
+            k, v = part.split("=", 1)
+            out[k.strip()] = v.strip()
+        return out
+
     def _compile_expr(self):
         from ..ops.expression import compile_expression
         self._fn = compile_expression(
             str(self.settings.get("expression")),
-            self._ARGS + ("a", "b", "c"), out_var=self._OUT_VAR,
-            functions=self._user_functions)
+            self._ARGS + ("a", "b", "c") + tuple(self._string_vars()),
+            out_var=self._OUT_VAR, functions=self._user_functions)
 
     def on_settings_applied(self, result):
-        if "expression" in result.applied:
+        if "expression" in result.applied or "strings" in result.applied:
             self._compile_expr()
 
     def _abc(self, ctx) -> dict:
         return {"a": jnp.asarray(ctx.p("param_a", 1.0), jnp.float32),
                 "b": jnp.asarray(ctx.p("param_b", 0.0), jnp.float32),
-                "c": jnp.asarray(ctx.p("param_c", 0.0), jnp.float32)}
+                "c": jnp.asarray(ctx.p("param_c", 0.0), jnp.float32),
+                **self._string_vars()}
 
 
 @register_block("ExpressionSISO")

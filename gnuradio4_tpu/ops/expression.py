@@ -28,9 +28,19 @@ the XLA compiler is the JIT.  Supported ExprTk subset:
   callable receives traced JAX arrays and is traced into the XLA program
   like any built-in.
 
+- **strings** (≈ the ExprTk string type, round-5): literals ``'…'``/``"…"``,
+  string variables (inputs or ``var s := '…'``), concatenation ``+``, all
+  six comparisons, single-char indexing ``s[i]``, and
+  ``size/lower/upper/trim/like/ilike/contains``. Strings are HOST values
+  resolved at trace time — they cannot vary per sample on an XLA device —
+  so a string comparison yields a host bool and
+  ``mode == 'fm' ? a*x : b*x`` folds the branch at trace time (the ExprTk
+  mode-switch idiom at zero runtime cost). Mixing strings into arithmetic
+  raises ``GrError`` at trace time.
+
 Explicitly NOT supported (load-time ``GrError``, never a silent misparse):
-string literals/variables (no XLA lowering for the ExprTk string type) and
-data-dependent loop bounds.
+data-dependent loop bounds, and per-sample-varying strings (no XLA string
+type — use the trace-time semantics above or a user function).
 
 Recursive self-reference (ExprTk's ``y := y + 0.1*x`` IIR idiom,
 ExpressionBlocks.hpp doc examples) is detected statically: if the output
@@ -47,6 +57,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.errors import GrError
 
@@ -71,14 +82,8 @@ def _tokenize(src: str) -> list[tuple[str, str]]:
         if kind == "ws":
             continue
         if kind == "str":
-            # explicit LOAD-TIME rejection (round-2 verdict #7): the
-            # reference embeds full ExprTk incl. strings
-            # (ExpressionBlocks.hpp:68); this build's traced subset has no
-            # string type — fail at compile, never silently misparse
-            raise GrError(
-                f"expression: string literals ({m.group()}) are not "
-                f"supported in this build — the ExprTk string type has no "
-                f"XLA lowering; numeric expressions only")
+            toks.append(("str", m.group()[1:-1]))
+            continue
         if kind == "bad":
             raise GrError(f"expression: unexpected character {m.group()!r} "
                           f"at position {m.start()} in {src!r}")
@@ -94,6 +99,11 @@ def _tokenize(src: str) -> list[tuple[str, str]]:
 @dataclass
 class Num:
     value: float
+
+
+@dataclass
+class Str:
+    value: str
 
 
 @dataclass
@@ -361,6 +371,8 @@ class _Parser:
         kind, val = self.next()
         if kind == "num":
             return Num(float(val))
+        if kind == "str":
+            return Str(val)
         if val == "(":
             node = self.parse_expr()
             self.expect(")")
@@ -383,6 +395,12 @@ class _Parser:
 # ---------------------------------------------------------------------------
 # Function / constant tables (ExprTk names + NumPy aliases for back-compat)
 # ---------------------------------------------------------------------------
+
+_STRING_FUNCTIONS: dict[str, int] = {
+    "size": 1, "lower": 1, "upper": 1, "trim": 1,
+    "like": 2, "ilike": 2, "contains": 2,
+}
+
 
 def _clamp(lo, v, hi):
     return jnp.clip(v, lo, hi)
@@ -625,10 +643,22 @@ class _Evaluator:
             return self.exec(node)
         if isinstance(node, Num):
             return node.value
+        if isinstance(node, Str):
+            return node.value
         if isinstance(node, Var):
             return self._lookup(node.name)
         if isinstance(node, Index):
             base = self._lookup(node.base)
+            if isinstance(base, str):
+                # ExprTk string indexing: s[i] → one-character string
+                idx = self.eval(node.index)
+                if not _is_concrete(idx):
+                    raise GrError("expression: string indices must be static")
+                i = int(idx)
+                if not 0 <= i < len(base):
+                    raise GrError(f"expression: string access [{i}] outside "
+                                  f"of [0, {len(base)})")
+                return base[i]
             i = self._static_index(self.eval(node.index), base)
             return jnp.asarray(base)[..., i]
         if isinstance(node, UnOp):
@@ -640,6 +670,8 @@ class _Evaluator:
         if isinstance(node, BinOp):
             a, b = self.eval(node.lhs), self.eval(node.rhs)
             op = node.op
+            if isinstance(a, str) or isinstance(b, str):
+                return self._str_binop(op, a, b)
             if op == "+":
                 return a + b
             if op == "-":
@@ -674,10 +706,18 @@ class _Evaluator:
                     else (bool(a) or bool(b))
             raise GrError(f"expression: unknown operator {op!r}")
         if isinstance(node, Ternary):
-            return _if(self.eval(node.cond), self.eval(node.then),
-                       self.eval(node.other))
+            cond = self.eval(node.cond)
+            if isinstance(cond, (bool, np.bool_)) or _is_concrete(cond):
+                # host-decidable condition (e.g. a string comparison):
+                # short-circuit like ExprTk — this also lets the branches be
+                # strings, which have no XLA select
+                return self.eval(node.then) if bool(cond) \
+                    else self.eval(node.other)
+            return _if(cond, self.eval(node.then), self.eval(node.other))
         if isinstance(node, Call):
             args = [self.eval(a) for a in node.args]
+            if any(isinstance(a, str) for a in args):
+                return self._str_call(node.name, args)
             # ExprTk in-expression aggregators (round-2 verdict #7): with ONE
             # vector argument, sum/avg/min/max/mul REDUCE over the vector
             # (the chunk axis in Bulk mode); with 2+ args they stay
@@ -693,12 +733,66 @@ class _Evaluator:
             fn = _FUNCTIONS.get(node.name)
             if fn is None and node.name in self.funcs:
                 fn = self.funcs[node.name][0]
+            if fn is None and node.name in _STRING_FUNCTIONS:
+                if node.name == "size":
+                    # size() also works on vectors (ExprTk vector size)
+                    return float(jnp.shape(jnp.asarray(args[0]))[-1])
+                raise GrError(f"expression: {node.name}() needs string "
+                              f"arguments, got {args!r}")
             if fn is None:
                 raise GrError(f"expression uses unknown function "
                               f"{node.name!r}; allowed: "
                               f"{sorted(set(_FUNCTIONS) | set(self.funcs))}")
             return fn(*args)
         raise GrError(f"expression: cannot evaluate {node!r}")
+
+    # -- string subset (≈ ExprTk string type, ExpressionBlocks.hpp:68) -----
+    # Strings are HOST values resolved at trace time (they cannot vary per
+    # sample on an XLA device): literals, variables, concatenation '+',
+    # the six comparisons, indexing, and the functions below. A string
+    # comparison yields a host bool, so `s == 'fm' ? a*x : b*x` folds the
+    # branch at trace time — the ExprTk mode-switch idiom at zero runtime
+    # cost. Mixing strings into arithmetic raises at trace time.
+    def _str_binop(self, op: str, a, b):
+        if not (isinstance(a, str) and isinstance(b, str)):
+            raise GrError(
+                f"expression: operator {op!r} cannot mix a string with a "
+                f"number ({a!r} {op} {b!r}); strings combine only with "
+                f"strings")
+        if op == "+":
+            return a + b
+        cmps = {"<": a < b, "<=": a <= b, ">": a > b, ">=": a >= b,
+                "==": a == b, "!=": a != b, "<>": a != b}
+        if op in cmps:
+            return bool(cmps[op])
+        raise GrError(f"expression: operator {op!r} is not defined for "
+                      f"strings (supported: + and comparisons)")
+
+    def _str_call(self, name: str, args: list):
+        import fnmatch
+        fns = {
+            "size": lambda s: float(len(s)),
+            "lower": lambda s: s.lower(),
+            "upper": lambda s: s.upper(),
+            "trim": lambda s: s.strip(),
+            # ExprTk exposes like/ilike as wildcard string matchers
+            "like": lambda s, p: bool(fnmatch.fnmatchcase(s, p)),
+            "ilike": lambda s, p: bool(
+                fnmatch.fnmatchcase(s.lower(), p.lower())),
+            "contains": lambda s, p: bool(p in s),
+        }
+        fn = fns.get(name)
+        if fn is None:
+            if name in self.funcs:      # user functions may take strings
+                return self.funcs[name][0](*args)
+            raise GrError(
+                f"expression: function {name!r} does not accept string "
+                f"arguments; string functions: {sorted(fns)}")
+        try:
+            return fn(*args)
+        except TypeError:
+            raise GrError(f"expression: {name}() called with wrong "
+                          f"arguments {args!r}") from None
 
 
 # ---------------------------------------------------------------------------
@@ -735,9 +829,19 @@ def _collect_reads(node, reads: set, writes: set,
         for n in (node.cond, node.then, node.other):
             _collect_reads(n, reads, writes, funcs)
     elif isinstance(node, Call):
-        if node.name not in _FUNCTIONS and node.name not in funcs:
+        if node.name not in _FUNCTIONS and node.name not in funcs \
+                and node.name not in _STRING_FUNCTIONS:
+            allowed = sorted(set(_FUNCTIONS) | set(funcs)
+                             | set(_STRING_FUNCTIONS))
             raise GrError(f"expression uses unknown function {node.name!r}; "
-                          f"allowed: {sorted(set(_FUNCTIONS) | set(funcs))}")
+                          f"allowed: {allowed}")
+        if node.name in _STRING_FUNCTIONS \
+                and node.name not in _FUNCTIONS and node.name not in funcs \
+                and len(node.args) != _STRING_FUNCTIONS[node.name]:
+            raise GrError(
+                f"expression: {node.name}() takes "
+                f"{_STRING_FUNCTIONS[node.name]} argument(s), called with "
+                f"{len(node.args)}")
         if node.name in funcs:
             # parse-time arity check (≈ ExprTk's compile error on a
             # wrong-arity call into a registered function)
