@@ -28,6 +28,10 @@ class QuadratureDemod(Block):
     IN = (Port("in", dtype="complex64"),)
     OUT = (Port("out", dtype="float32"),)
     SAMPLE_ACCURATE = frozenset({"gain"})
+    # single-reader elementwise consumer: its producer's edge barrier may be
+    # skipped under GR4TPU_FUSE_EPILOGUE=1 (compiler epilogue fusion) — the
+    # intermediate complex stream then never round-trips HBM
+    EPILOGUE_FUSABLE = True
     gain = Setting(default=1.0, description="rad→output scaling (fs/(2π·Δf))")
 
     def init_state(self, ctx):

@@ -525,6 +525,25 @@ def compile_graph(graph: Graph, *, block_len: int = 1 << 16,
                     e.dst._absorbed_rotation = {}
                 e.dst._absorbed_rotation[e.dst_port] = desc
 
+    # epilogue fusion (opt-in, GR4TPU_FUSE_EPILOGUE=1): the per-edge
+    # optimization_barrier exists to stop XLA fusing expensive producers
+    # into MULTI-read consumers (measured 2× on the headline chain) — but a
+    # SINGLE-reader elementwise consumer (quadrature demod: arg(v·conj v⁻¹))
+    # is exactly where producer fusion saves a full HBM round trip of the
+    # intermediate. Blocks declare EPILOGUE_FUSABLE; the barrier is skipped
+    # on edges whose one consumer opts in.
+    out_consumers: dict[tuple[str, str], int] = {}
+    for e in flat.edges:
+        k = (e.src.unique_name, e.src_port)
+        out_consumers[k] = out_consumers.get(k, 0) + 1
+    epilogue_ok: set[tuple[str, str]] = set()
+    if os.environ.get("GR4TPU_FUSE_EPILOGUE") == "1":
+        for e in flat.edges:
+            k = (e.src.unique_name, e.src_port)
+            if out_consumers[k] == 1 and not e.feedback \
+                    and getattr(e.dst, "EPILOGUE_FUSABLE", False):
+                epilogue_ok.add(k)
+
     fed_blocks = [b for b in order if getattr(b, "FEED", False)]
     fed_names = {b.unique_name for b in fed_blocks}
     # sinks: terminal blocks + HOST_TAP blocks (mid-graph blocks whose inputs
@@ -667,7 +686,8 @@ def compile_graph(graph: Graph, *, block_len: int = 1 << 16,
                               block=b.name) from e
             new_states[uname] = st
             for pname, arr in outs.items():
-                if barrier_edges and hasattr(arr, "dtype"):
+                if barrier_edges and hasattr(arr, "dtype") \
+                        and (uname, pname) not in epilogue_ok:
                     # Materialize each block's output once (the analog of the
                     # reference's per-edge ring buffer, CircularBuffer.hpp:75):
                     # without this, XLA fuses expensive producers INTO

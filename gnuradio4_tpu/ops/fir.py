@@ -620,6 +620,46 @@ def _ilv_prep(xc: jnp.ndarray, taps_np: np.ndarray, decim: int):
     return z, w_lo, jnp.asarray(w_hi_np), n, n_out_true, tile
 
 
+def fir_quad_demod_fused(xc: jnp.ndarray, taps_np: np.ndarray, decim: int,
+                         prev: jnp.ndarray, gain: float) -> jnp.ndarray:
+    """Fused banded FIR + quadrature demod in ONE Pallas VMEM pass (round-5
+    MFU move: the complex FIR intermediate never round-trips HBM — only the
+    f32 demod output is written). Same framing as _fir_matmul_pallas;
+    falls back to FIR-then-demod composition when the shape doesn't fit the
+    MXU tiles. ``xc``: [1, T + K - 1] history-prefixed complex stream;
+    ``prev``: carried v[-1] (complex scalar)."""
+    b, tc = xc.shape
+    k = taps_np.shape[-1]
+    t = tc - (k - 1)
+    tile = _choose_tile(t, k, decim)
+    c = tile // decim
+    if b != 1 or c % 128 or tile % 128 \
+            or jax.default_backend() not in ("tpu", "cpu"):
+        from .demod import quadrature_demod
+        y = _fir_matmul(xc, taps_np, decim)
+        d, _ = quadrature_demod(y[0], jnp.asarray(prev, jnp.complex64),
+                                gain=gain)
+        return d[None, :]
+    t_pad = -(-t // tile) * tile
+    n = t_pad // tile
+    total = (n + 1) * tile
+    if total != tc:
+        xc = jnp.pad(xc, ((0, 0), (0, total - tc)))
+    n_out_true = t // decim
+    h = np.asarray(taps_np, np.complex128)
+    w = _toeplitz_np(tuple(h.tolist()), k, tile, decim)
+    w_lo = w[:tile]
+    w_hi = np.zeros_like(w_lo)
+    w_hi[: k - 1] = w[tile:]
+    xr = jnp.real(xc[0]).astype(jnp.float32).reshape(n + 1, tile)
+    xi = jnp.imag(xc[0]).astype(jnp.float32).reshape(n + 1, tile)
+    from .pallas_kernels import fir_demod_planar_pallas
+    y = fir_demod_planar_pallas(
+        xr, xi, w_lo, w_hi, jnp.real(prev), jnp.imag(prev), gain,
+        precision=_PRECISION, interpret=jax.default_backend() != "tpu")
+    return y.reshape(-1)[:n_out_true][None, :]
+
+
 def _fir_matmul_ilv(xc: jnp.ndarray, taps_np: np.ndarray, decim: int
                     ) -> jnp.ndarray:
     """Interleaved-rail MXU path: bitcast complex64 → f32, two banded dots

