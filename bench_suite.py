@@ -192,6 +192,10 @@ def config5_scheduler(block_len, steps, batch=1):
     """Config 5 shape through the REAL scheduler loop (tag plane, message pump,
     pipelined delivery): 256-ch channelizer + per-channel demod + tag source.
     Returns (Msps, verified)."""
+    # the differential's SHORT leg must still contain data super-steps after
+    # its warm-up batch (s1 = steps//4 ≥ 2·batch), else it times only the
+    # EOS dispatch and the slope is meaningless (measured on CPU smoke)
+    steps = max(steps, 8 * batch)
     import gnuradio4_tpu as gr
     from gnuradio4_tpu.blocks.basic import NoiseSource
     from gnuradio4_tpu.blocks.channelizer import PFBChannelizer
