@@ -803,14 +803,19 @@ class Scheduler:
             graph_done = graph_done or done_k
             self._step += 1
 
-        # stack feeds [S, ...] (every sub-step's dict has identical structure:
-        # zero_feeds fills finished sources)
+        # stack feeds [S, ...]. Port sets are normally identical across
+        # sub-steps (zero_feeds fills finished sources); a feed returning a
+        # port in SOME sub-steps only gets zero-filled in the others — the
+        # scan needs one static structure (union of ports seen).
         feeds: dict[str, dict[str, np.ndarray]] = {}
         if feeds_list and feeds_list[0]:
-            for uname, d0 in feeds_list[0].items():
+            zf = c.zero_feeds()
+            for uname in feeds_list[0]:
+                ports = {p for fl in feeds_list for p in fl[uname]}
                 feeds[uname] = {
-                    p: np.stack([fl[uname][p] for fl in feeds_list])
-                    for p in d0}
+                    p: np.stack([fl[uname].get(p, zf[uname][p])
+                                 for fl in feeds_list])
+                    for p in ports}
         overlays = self._build_overlays(c, snaps, params_base, S)
         if self._multihost and feeds:
             feeds = self._globalize_feeds(feeds)
