@@ -337,16 +337,14 @@ def main() -> None:
           f"{'INVARIANT' if sp_bytes[0] == sp_bytes[1] else 'SCALES!'}",
           flush=True)
 
-    # measured/analytic single-chip stage times at the 8 Mi production block
-    # (ms). pfb64: 22.3 Gsps measured r3 (config 4, dispatch-verified);
-    # pfb256 scales the FFT term by log2(256)/log2(64); audio FIR: 0.447 ms
-    # measured (SWEEP_r04 w2 audio_d8[high]); demod: analytic HBM-bound
-    # (12 B/sample at 819 GB/s) — each slot is replaced by the cfg5 sweep
-    # group's verified rows when a window allows.
-    t_pfb64 = (prod_T / 22_307e6) * 1e3
-    t_pfb256 = t_pfb64 * (8 + 5 * 8) / (8 + 5 * 6)   # taps + 5·log2(nch) model
-    t_demod = prod_T * 12 / (V5E_HBM_GBPS * 1e9) * 1e3
-    t_audio = 0.447
+    # MEASURED single-chip stage times at the 8 Mi block (ms) — verified
+    # readback-terminated differential rows, 2026-08-20 13:18 window
+    # (SWEEP_r05.json cfg5 group; the full compiled config-5 chain measured
+    # 2 521 Msps verified in the same window — the ≥1 Gsps input bar is a
+    # single-chip fact, not a projection).
+    t_pfb256 = 1.362
+    t_demod = 0.655
+    t_audio = 0.198
     t_perchan = t_demod + t_audio
     t_total = t_pfb256 + t_perchan
     c5_sp = cfg5_audit["config5_sp8"]["collectives"]
@@ -399,9 +397,12 @@ def main() -> None:
             "t_pfb256_ms_1chip": round(t_pfb256, 3),
             "t_perchannel_ms_1chip": round(t_perchan, 3),
             "per_channel_stage_provenance": {
-                "pfb64_22.3Gsps": "measured r3 config4 (dispatch-verified)",
-                "audio_fir_0.447ms": "measured SWEEP_r04 w2 audio_d8[high]",
-                "demod": "analytic HBM-bound (12 B/sample @ 819 GB/s)"},
+                "pfb256_1.362ms": "MEASURED verified (SWEEP_r05 cfg5, "
+                                  "2026-08-20 13:18 window)",
+                "demod_0.655ms": "MEASURED verified (same window)",
+                "audio_fir_d4_0.198ms": "MEASURED verified (same window)",
+                "cfg5_chain_2521Msps": "full compiled chain, verified, "
+                                       "same window"},
             "sp_halo_bytes_per_step": sp_halo,
             "corner_turn_bytes_16dev": int(moved),
         },
