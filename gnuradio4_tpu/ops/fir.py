@@ -651,8 +651,14 @@ def fir_quad_demod_fused(xc: jnp.ndarray, taps_np: np.ndarray, decim: int,
     w_lo = w[:tile]
     w_hi = np.zeros_like(w_lo)
     w_hi[: k - 1] = w[tile:]
-    xr = jnp.real(xc[0]).astype(jnp.float32).reshape(n + 1, tile)
-    xi = jnp.imag(xc[0]).astype(jnp.float32).reshape(n + 1, tile)
+    # barrier the rails: without it XLA fuses the complex→rail extraction
+    # into the Mosaic custom call's operands in a layout the TPU backend
+    # rejects (opaque UNIMPLEMENTED over the relay; bisected 2026-08-20 —
+    # the barrier forces a clean materialized operand and fixes it)
+    xr = jax.lax.optimization_barrier(
+        jnp.real(xc[0]).astype(jnp.float32)).reshape(n + 1, tile)
+    xi = jax.lax.optimization_barrier(
+        jnp.imag(xc[0]).astype(jnp.float32)).reshape(n + 1, tile)
     from .pallas_kernels import fir_demod_planar_pallas
     y = fir_demod_planar_pallas(
         xr, xi, w_lo, w_hi, jnp.real(prev), jnp.imag(prev), gain,

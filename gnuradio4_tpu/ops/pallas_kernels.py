@@ -241,6 +241,24 @@ def _fir_planar_kernel(g: int, cx_taps: bool, prec,
         yi_ref[:, :] = ii
 
 
+def _atan2_poly(yv: jnp.ndarray, xv: jnp.ndarray) -> jnp.ndarray:
+    """atan2 from Mosaic-supported primitives (the atan2 primitive has no
+    Pallas TPU lowering): octant fold to r = min/max ∈ [0, 1], degree-9
+    odd minimax arctan (~1e-5 rad), then quadrant reconstruction."""
+    ax = jnp.abs(xv)
+    ay = jnp.abs(yv)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    r = lo / jnp.maximum(hi, jnp.float32(1e-30))
+    r2 = r * r
+    a = r * (0.99997726 + r2 * (-0.33262347 + r2 * (
+        0.19354346 + r2 * (-0.11643287 + r2 * (
+            0.05265332 - r2 * 0.01172120)))))
+    a = jnp.where(ay > ax, jnp.float32(np.pi / 2) - a, a)
+    a = jnp.where(xv < 0, jnp.float32(np.pi) - a, a)
+    return jnp.where(yv < 0, -a, a)
+
+
 def _fir_demod_planar_kernel(g: int, cx_taps: bool, prec, gain: float,
                              n_prog: int,
                              ar_ref, br_ref, ai_ref, bi_ref,
@@ -283,9 +301,14 @@ def _fir_demod_planar_kernel(g: int, cx_taps: bool, prec, gain: float,
 
     # prev-last scalar: out[i·g−1, C−1] recomputed as a banded matvec of the
     # last weight column against (z[i·g−1], z[i·g]) — two (1,L)·(L,1) dots
-    # per rail (or four with complex taps); program 0 substitutes the carry
-    frr = fr_r_ref[0:1, :]
-    fri = fr_i_ref[0:1, :]
+    # per rail (or four with complex taps); program 0 substitutes the carry.
+    # fr_*_ref hold ALL programs' prev rows ([n_prog, L], constant index map
+    # — a (1, L) per-program block would violate Mosaic's (8, 128) block
+    # divisibility; the whole array is T/g·4 bytes, VMEM-trivial): select
+    # this program's row with a dynamic sublane slice.
+    i = pl.program_id(0)
+    frr = fr_r_ref[pl.ds(i, 1), :]
+    fri = fr_i_ref[pl.ds(i, 1), :]
     a0r = ar_ref[0:1, :]
     a0i = ai_ref[0:1, :]
     lo_c = lor_ref[:, c - 1:c]
@@ -302,7 +325,7 @@ def _fir_demod_planar_kernel(g: int, cx_taps: bool, prec, gain: float,
     else:
         pr = rr_p
         pi = ii_p
-    first = pl.program_id(0) == 0
+    first = i == 0
     pr = jnp.where(first, carry_ref[0:1, 0:1], pr)      # [1, 1]
     pi = jnp.where(first, carry_ref[0:1, 1:2], pi)
 
@@ -321,7 +344,7 @@ def _fir_demod_planar_kernel(g: int, cx_taps: bool, prec, gain: float,
     prev_i = prev_of(yi, pi)
     d_re = yr * prev_r + yi * prev_i
     d_im = yi * prev_r - yr * prev_i
-    y_ref[:, :] = jnp.arctan2(d_im, d_re) * jnp.float32(gain)
+    y_ref[:, :] = _atan2_poly(d_im, d_re) * jnp.float32(gain)
 
 
 def fir_demod_planar_pallas(xr: jnp.ndarray, xi: jnp.ndarray,
@@ -350,11 +373,16 @@ def fir_demod_planar_pallas(xr: jnp.ndarray, xi: jnp.ndarray,
     # prev input rows per program: z[i·g − 1] (program 0: zeros, unused)
     idx = np.arange(n_prog) * g - 1
     idx[0] = 0
-    fr_r = xr[jnp.asarray(idx)]
-    fr_i = xi[jnp.asarray(idx)]
-    carry = jnp.stack([jnp.asarray(prev_r, jnp.float32).reshape(()),
-                       jnp.asarray(prev_i, jnp.float32).reshape(())]
-                      ).reshape(1, 2)
+    # barrier every derived operand entering the Mosaic call: XLA otherwise
+    # fuses the gather / complex-scalar extraction into the custom call's
+    # operands in a layout the TPU backend rejects (opaque UNIMPLEMENTED
+    # over the relay; bisected 2026-08-20)
+    fr_r = jax.lax.optimization_barrier(xr[jnp.asarray(idx)])
+    fr_i = jax.lax.optimization_barrier(xi[jnp.asarray(idx)])
+    carry = jax.lax.optimization_barrier(
+        jnp.stack([jnp.asarray(prev_r, jnp.float32).reshape(()),
+                   jnp.asarray(prev_i, jnp.float32).reshape(())]
+                  ).reshape(1, 2))
     f32 = lambda a: jnp.asarray(np.ascontiguousarray(a, np.float32))
     import functools as _ft
     blk = lambda idx_map: pl.BlockSpec((g, l), idx_map,
@@ -367,9 +395,9 @@ def fir_demod_planar_pallas(xr: jnp.ndarray, xi: jnp.ndarray,
         grid=(n_prog,),
         in_specs=[blk(lambda i: (i, 0)), blk(lambda i: (i + 1, 0)),
                   blk(lambda i: (i, 0)), blk(lambda i: (i + 1, 0)),
-                  pl.BlockSpec((1, l), lambda i: (i, 0),
+                  pl.BlockSpec((n_prog, l), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, l), lambda i: (i, 0),
+                  pl.BlockSpec((n_prog, l), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((1, 2), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),

@@ -186,19 +186,24 @@ def group_fir(n):
     # composition (xlate_old + demod_only rows).
     from gnuradio4_tpu.ops.demod import quadrature_demod
     from gnuradio4_tpu.ops.fir import fir_quad_demod_fused
-    from gnuradio4_tpu.utils.transfer import device_zeros
-    prev0 = jax.jit(lambda: jnp.ones((), jnp.complex64))()
+    # prev rides the HISTORY arg (h[-1] is an arbitrary but valid complex
+    # sample): a concrete device complex scalar CLOSED OVER as a jit
+    # constant forces a trace-time D2H the relay rejects (capability
+    # matrix; bisected r5) — deriving it from a traced argument is the
+    # proven-deterministic form
 
     def xlate_demod_fused(x, h):
         xc = jnp.concatenate([h.astype(x.dtype), x])[None, :]
-        return checksum(fir_quad_demod_fused(xc, ctaps, 1, prev0, 1.0))
+        return checksum(fir_quad_demod_fused(xc, ctaps, 1,
+                                             h[-1] + (1 + 0j), 1.0))
 
     def fir_demod_fused(x, h):
         xc = jnp.concatenate([h.astype(x.dtype), x])[None, :]
-        return checksum(fir_quad_demod_fused(xc, taps, 1, prev0, 1.0))
+        return checksum(fir_quad_demod_fused(xc, taps, 1,
+                                             h[-1] + (1 + 0j), 1.0))
 
     def demod_only(x, h):
-        y, _ = quadrature_demod(x, prev0, gain=1.0)
+        y, _ = quadrature_demod(x, h[-1] + (1 + 0j), gain=1.0)
         return checksum(y)
 
     def audio(x, h):
