@@ -350,10 +350,14 @@ def _run_one(key: str, block_len: int, steps: int) -> dict:
     return rec
 
 
-# Per-config step-batching defaults (GR4_SUITE_BATCH overrides). Start at 1;
-# updated to the sweep-measured operating points once a window verifies them
-# (SWEEP_r05 batch group).
-_BATCH_DEFAULTS: dict[str, int] = {}
+# Per-config step-batching defaults (GR4_SUITE_BATCH overrides) — the
+# SWEEP_r05 measured operating points (verified rows, 2026-08-20 13:0x
+# window): wbfm at the 2^18 latency block 154 → 1186 Msps at batch=8
+# (batch=32 slightly worse); large blocks neutral-to-worse (headline chain
+# 2271 → 1797 at batch=8 on 2^23) so configs 1/2/3t/4 stay unbatched;
+# config 5's compiled chain measured +1% at batch=4 and its Scheduler loop
+# adds per-dispatch host work that batching amortizes further.
+_BATCH_DEFAULTS: dict[str, int] = {"3": 8, "5": 4}
 
 ALL_CONFIGS = "1,2,3,3t,4,5,6,7"
 
