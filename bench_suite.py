@@ -60,8 +60,12 @@ def _readback(tree, deadline_s: float = 240.0) -> float | None:
 
 
 def _run(compiled, steps: int, block_len: int) -> tuple[float, bool]:
-    """Readback-terminated differential timing (same protocol as bench.py);
-    falls back to the labeled dispatch rate when D2H is out. Returns
+    """Readback-terminated differential timing (same protocol as bench.py)
+    with a THREE-point linearity guard: the two independent slopes must
+    agree within 40% or the window is drifting and the row is demoted to
+    the labeled dispatch-rate fallback. (SUITE_r05's first pass produced
+    physically-impossible 21/38 Gsps rows from a two-point slope in a
+    flapping window — drift swamps short differentials.) Returns
     (Msps, verified)."""
     states = compiled.init_states()
     params = compiled.gather_params()
@@ -69,7 +73,7 @@ def _run(compiled, steps: int, block_len: int) -> tuple[float, bool]:
         states, sink_ins = compiled.step(states, params, {})
     if _readback(sink_ins) is not None:
         walls = {}
-        wins = (max(steps // 8, 2), steps)
+        wins = (max(steps // 8, 2), max(steps // 2, 4), steps)
         ok = True
         for n in wins:
             t0 = time.perf_counter()
@@ -80,9 +84,15 @@ def _run(compiled, steps: int, block_len: int) -> tuple[float, bool]:
                 break
             walls[n] = time.perf_counter() - t0
         if ok:
-            dt = (walls[wins[1]] - walls[wins[0]]) / (wins[1] - wins[0])
-            if dt > 0:
+            dt_a = (walls[wins[1]] - walls[wins[0]]) / (wins[1] - wins[0])
+            dt_b = (walls[wins[2]] - walls[wins[1]]) / (wins[2] - wins[1])
+            dt = (walls[wins[2]] - walls[wins[0]]) / (wins[2] - wins[0])
+            if dt_a > 0 and dt_b > 0 \
+                    and abs(dt_a - dt_b) <= 0.4 * max(dt_a, dt_b):
                 return block_len / dt / 1e6, True
+            print(f"# drift guard: slopes {dt_a * 1e3:.3f} vs "
+                  f"{dt_b * 1e3:.3f} ms/step disagree — demoting to "
+                  f"dispatch-rate", file=sys.stderr)
     # dispatch-rate fallback
     import jax
     t0 = time.perf_counter()
@@ -179,11 +189,20 @@ def _run_sched(build, block_len, steps) -> tuple[float, bool]:
         return sched._step - n0, time.perf_counter() - t0, ok
 
     s1 = max(steps // 4, 2)
+    s2 = max(steps // 2, s1 + 1)
     n1, t1, ok1 = one(s1, True)
     if ok1:
-        n2, t2, ok2 = one(steps, True)
-        if ok2 and n2 > n1 and t2 > t1:
-            return (n2 - n1) * block_len / (t2 - t1) / 1e6, True
+        n2, t2, ok2 = one(s2, True)
+        n3, t3, ok3 = (0, 0.0, False) if not ok2 else one(steps, True)
+        if ok3 and n3 > n2 > n1 and t3 > t2 > t1:
+            # three-point linearity guard (see _run): drifting windows lie
+            dt_a = (t2 - t1) / (n2 - n1)
+            dt_b = (t3 - t2) / (n3 - n2)
+            if abs(dt_a - dt_b) <= 0.4 * max(dt_a, dt_b):
+                return (n3 - n1) * block_len / (t3 - t1) / 1e6, True
+            print(f"# drift guard (sched): slopes {dt_a * 1e3:.3f} vs "
+                  f"{dt_b * 1e3:.3f} ms/step disagree — demoting",
+                  file=sys.stderr)
     n, dt, _ = one(steps, False)
     return n * block_len / dt / 1e6, False
 

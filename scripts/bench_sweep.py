@@ -40,15 +40,20 @@ def _checksum_fn():
 
 
 def measure(name: str, call, n_samples: int, wins=(4, 32)) -> dict:
-    """Differential timing of ``call`` (returns an 8-lane checksum array)."""
+    """Differential timing of ``call`` (returns an 8-lane checksum array).
+
+    Three-point linearity guard (round-5): a mid window is timed too and the
+    two independent slopes must agree within 40%, else the window is
+    drifting and the row reports the drift instead of a fake number."""
     rec = {"name": name}
     try:
         h = np.asarray(call())
         if not (np.isfinite(h[0]) and h[0] > 0):
             rec.update(error=f"bad checksum {h[0]}")
             return rec
+        pts = (wins[0], max((wins[0] + wins[1]) // 2, wins[0] + 1), wins[1])
         walls = {}
-        for steps in wins:
+        for steps in pts:
             t0 = time.perf_counter()
             out = None
             for _ in range(steps):
@@ -58,9 +63,15 @@ def measure(name: str, call, n_samples: int, wins=(4, 32)) -> dict:
                 rec.update(error="checksum went bad mid-window")
                 return rec
             walls[steps] = time.perf_counter() - t0
-        dt = (walls[wins[1]] - walls[wins[0]]) / (wins[1] - wins[0])
-        if dt <= 0:
+        dt_a = (walls[pts[1]] - walls[pts[0]]) / (pts[1] - pts[0])
+        dt_b = (walls[pts[2]] - walls[pts[1]]) / (pts[2] - pts[1])
+        dt = (walls[pts[2]] - walls[pts[0]]) / (pts[2] - pts[0])
+        if dt_a <= 0 or dt_b <= 0:
             rec.update(error=f"non-positive slope {walls}")
+            return rec
+        if abs(dt_a - dt_b) > 0.4 * max(dt_a, dt_b):
+            rec.update(error=f"window drift: slopes {dt_a * 1e3:.3f} vs "
+                             f"{dt_b * 1e3:.3f} ms/step")
             return rec
         rec.update(ms_per_step=round(dt * 1e3, 3),
                    msps=round(n_samples / dt / 1e6, 1), verified=True)
