@@ -298,3 +298,42 @@ class TestProgressGranularity:
         assert snk.data().shape[-1] == 0
         sched._drain()
         assert snk.data().shape[-1] == 4096
+
+
+class TestDeviceTagPathUnderBatching:
+    """WANTS_TAG_ARRAYS blocks (TriggerGate) derive device params from the
+    per-sub-step tag walk — under batching these ride the per-sub-step
+    overlay, so a trigger landing in sub-step k must gate exactly its
+    samples, including windows carried across sub-step boundaries."""
+
+    def test_trigger_gate_windows_exact_under_batching(self):
+        from gnuradio4_tpu.core.tags import Keys
+        tags = [Tag(100, {Keys.TRIGGER_NAME: "T"}),
+                Tag(500, {Keys.TRIGGER_NAME: "T"}),
+                Tag(1000, {Keys.TRIGGER_NAME: "X"})]  # filtered out
+        g = gr.Graph()
+        src = g.emplace("TagSource", value=1.0, n_samples=2048,
+                        tags=[Tag(t.index, dict(t.map)) for t in tags])
+        gate = g.emplace("TriggerGate", filter="T", n_pre=10, n_post=50)
+        snk = gr.global_registry.create("VectorSink")
+        g.connect_chain(src, gate, snk)
+        gr.Scheduler(g, block_len=256, pipeline_depth=1,
+                     batch_steps=4).run_and_wait()
+        expect = np.zeros(2048, np.float32)
+        for i in (100, 500):
+            expect[i - 10:i + 50] = 1.0
+        np.testing.assert_array_equal(snk.data(), expect)
+
+    def test_window_carries_across_substep_boundary(self):
+        from gnuradio4_tpu.core.tags import Keys
+        g = gr.Graph()
+        src = g.emplace("TagSource", value=1.0, n_samples=1024,
+                        tags=[Tag(250, {Keys.TRIGGER_NAME: "T"})])
+        gate = g.emplace("TriggerGate", filter="T", n_post=100)
+        snk = gr.global_registry.create("VectorSink")
+        g.connect_chain(src, gate, snk)
+        gr.Scheduler(g, block_len=256, pipeline_depth=1,
+                     batch_steps=2).run_and_wait()
+        expect = np.zeros(1024, np.float32)
+        expect[250:350] = 1.0
+        np.testing.assert_array_equal(snk.data(), expect)
