@@ -172,7 +172,9 @@ def main() -> None:
         # THREE windows (round-5): the two independent slopes must agree
         # within 40% or the window is drifting and the number is a lie
         # (drift produced physically-impossible suite rows on 2026-08-20).
-        win_mid = max((win_small + win_big) // 2, win_small + 1)
+        from gnuradio4_tpu.utils.bench_timing import (guarded_slope,
+                                                       three_windows)
+        win_small, win_mid, win_big = three_windows(win_small, win_big)
         walls: dict[int, float] = {}
         for steps in (win_small, win_mid, win_big):
             t0 = time.perf_counter()
@@ -196,22 +198,13 @@ def main() -> None:
                 break
             walls[steps] = time.perf_counter() - t0
         if verified:
-            dt_a = (walls[win_mid] - walls[win_small]) \
-                / (win_mid - win_small)
-            dt_b = (walls[win_big] - walls[win_mid]) / (win_big - win_mid)
-            dt_per_step = (walls[win_big] - walls[win_small]) \
-                / (win_big - win_small)
-            if dt_a <= 0 or dt_b <= 0:
-                # a transport stall inside a window made it slower
-                # than a bigger one — the slope is meaningless; fall back to
-                # the labeled dispatch-rate path rather than print nonsense
-                print(f"# differential slope non-positive (walls {walls}) — "
-                      f"stall during a window; falling back", file=sys.stderr)
-                verified = False
-            elif abs(dt_a - dt_b) > 0.4 * max(dt_a, dt_b):
-                print(f"# drift guard: slopes {dt_a * 1e3:.3f} vs "
-                      f"{dt_b * 1e3:.3f} ms/step disagree (walls {walls}) — "
-                      f"window drifting; falling back", file=sys.stderr)
+            dt_per_step, why = guarded_slope(
+                (win_small, win_mid, win_big), walls)
+            if dt_per_step is None:
+                # stalls/drift make the slope meaningless; fall back to the
+                # labeled dispatch-rate path rather than print nonsense
+                print(f"# drift guard: {why} — falling back",
+                      file=sys.stderr)
                 verified = False
             else:
                 msps = block_len * batch / dt_per_step / 1e6

@@ -72,8 +72,9 @@ def _run(compiled, steps: int, block_len: int) -> tuple[float, bool]:
     for _ in range(3):
         states, sink_ins = compiled.step(states, params, {})
     if _readback(sink_ins) is not None:
+        from gnuradio4_tpu.utils.bench_timing import guarded_slope, three_windows
         walls = {}
-        wins = (max(steps // 8, 2), max(steps // 2, 4), steps)
+        wins = three_windows(steps // 8, steps)
         ok = True
         for n in wins:
             t0 = time.perf_counter()
@@ -84,15 +85,11 @@ def _run(compiled, steps: int, block_len: int) -> tuple[float, bool]:
                 break
             walls[n] = time.perf_counter() - t0
         if ok:
-            dt_a = (walls[wins[1]] - walls[wins[0]]) / (wins[1] - wins[0])
-            dt_b = (walls[wins[2]] - walls[wins[1]]) / (wins[2] - wins[1])
-            dt = (walls[wins[2]] - walls[wins[0]]) / (wins[2] - wins[0])
-            if dt_a > 0 and dt_b > 0 \
-                    and abs(dt_a - dt_b) <= 0.4 * max(dt_a, dt_b):
+            dt, why = guarded_slope(wins, walls)
+            if dt is not None:
                 return block_len / dt / 1e6, True
-            print(f"# drift guard: slopes {dt_a * 1e3:.3f} vs "
-                  f"{dt_b * 1e3:.3f} ms/step disagree — demoting to "
-                  f"dispatch-rate", file=sys.stderr)
+            print(f"# drift guard: {why} — demoting to dispatch-rate",
+                  file=sys.stderr)
     # dispatch-rate fallback
     import jax
     t0 = time.perf_counter()
@@ -188,20 +185,18 @@ def _run_sched(build, block_len, steps) -> tuple[float, bool]:
             jax.block_until_ready(sched._states)
         return sched._step - n0, time.perf_counter() - t0, ok
 
-    s1 = max(steps // 4, 2)
-    s2 = max(steps // 2, s1 + 1)
+    from gnuradio4_tpu.utils.bench_timing import guarded_slope, three_windows
+    s1, s2, s3 = three_windows(steps // 4, steps)
     n1, t1, ok1 = one(s1, True)
     if ok1:
         n2, t2, ok2 = one(s2, True)
-        n3, t3, ok3 = (0, 0.0, False) if not ok2 else one(steps, True)
+        n3, t3, ok3 = (0, 0.0, False) if not ok2 else one(s3, True)
         if ok3 and n3 > n2 > n1 and t3 > t2 > t1:
             # three-point linearity guard (see _run): drifting windows lie
-            dt_a = (t2 - t1) / (n2 - n1)
-            dt_b = (t3 - t2) / (n3 - n2)
-            if abs(dt_a - dt_b) <= 0.4 * max(dt_a, dt_b):
+            dt, why = guarded_slope((n1, n2, n3), {n1: t1, n2: t2, n3: t3})
+            if dt is not None:
                 return (n3 - n1) * block_len / (t3 - t1) / 1e6, True
-            print(f"# drift guard (sched): slopes {dt_a * 1e3:.3f} vs "
-                  f"{dt_b * 1e3:.3f} ms/step disagree — demoting",
+            print(f"# drift guard (sched): {why} — demoting",
                   file=sys.stderr)
     n, dt, _ = one(steps, False)
     return n * block_len / dt / 1e6, False

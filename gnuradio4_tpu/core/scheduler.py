@@ -752,7 +752,20 @@ class Scheduler:
         produced_any = False
         graph_done = False
 
+        done_planning = False
         for k in range(S):
+            if done_planning:
+                # a terminate-graph block (HeadBlock) completed in an earlier
+                # sub-step: the remaining sub-steps are INERT — no host_feed
+                # calls (a live source's read position must not advance past
+                # the stop), zero validity everywhere, no counter advance.
+                # The scan still needs S slices; delivery clamps them to 0.
+                sub_meta.append(_SubStep(
+                    step=self._step, sink_tags={},
+                    n_valid={b.unique_name: 0 for b in c.order},
+                    abs_in=dict(self._abs_in), n_valid_ports={}))
+                feeds_list.append(c.zero_feeds())
+                continue
             planned = self._plan_substep(c, feed_failures=feed_failures)
             if planned is None:   # only reachable when on_block_error=shutdown
                 return True
@@ -801,6 +814,7 @@ class Scheduler:
             feeds_list.append(feeds_k)
             produced_any = produced_any or produced_k
             graph_done = graph_done or done_k
+            done_planning = done_planning or done_k
             self._step += 1
 
         # stack feeds [S, ...]. Port sets are normally identical across
@@ -841,15 +855,24 @@ class Scheduler:
                     self._recompile(reset_state=False)
                     c = self.compiled
                     zf = c.zero_feeds()
+                    # refit from the PLANNED host feeds (missing ports
+                    # zero-fill, matching the primary stacking path), then
+                    # re-apply the same multihost/relay conversions as the
+                    # first dispatch
                     feeds = {
                         uname: {p: np.stack([_pad_to(
-                            np.asarray(fl[uname][p])[
+                            np.asarray(fl[uname].get(p, zf[uname][p]))[
                                 ..., :zf[uname][p].shape[-1]],
                             zf[uname][p].shape, zf[uname][p].dtype)
                             for fl in feeds_list])
                             for p in zf[uname]}
                         for uname in zf if uname in feeds_list[0]} \
                         if feeds_list and feeds_list[0] else {}
+                    if self._multihost and feeds:
+                        feeds = self._globalize_feeds(feeds)
+                    elif feeds and jax.default_backend() != "cpu":
+                        from .compiler import _device_params
+                        feeds = _device_params(feeds)
                     params_base = c.gather_params()
                     alive = {b.unique_name for b in c.order}
                     overlays = {u: o for u, o in overlays.items()

@@ -735,8 +735,14 @@ class _Evaluator:
                 fn = self.funcs[node.name][0]
             if fn is None and node.name in _STRING_FUNCTIONS:
                 if node.name == "size":
-                    # size() also works on vectors (ExprTk vector size)
-                    return float(jnp.shape(jnp.asarray(args[0]))[-1])
+                    # size() also works on vectors (ExprTk vector size) —
+                    # but a SCALAR has no size; fail with GrError, not a
+                    # bare IndexError (round-5 review finding)
+                    shape = jnp.shape(jnp.asarray(args[0]))
+                    if not shape:
+                        raise GrError("expression: size() needs a string "
+                                      "or a vector, got a scalar")
+                    return float(shape[-1])
                 raise GrError(f"expression: {node.name}() needs string "
                               f"arguments, got {args!r}")
             if fn is None:

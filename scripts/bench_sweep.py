@@ -51,7 +51,9 @@ def measure(name: str, call, n_samples: int, wins=(4, 32)) -> dict:
         if not (np.isfinite(h[0]) and h[0] > 0):
             rec.update(error=f"bad checksum {h[0]}")
             return rec
-        pts = (wins[0], max((wins[0] + wins[1]) // 2, wins[0] + 1), wins[1])
+        from gnuradio4_tpu.utils.bench_timing import (guarded_slope,
+                                                       three_windows)
+        pts = three_windows(wins[0], wins[1])
         walls = {}
         for steps in pts:
             t0 = time.perf_counter()
@@ -63,15 +65,9 @@ def measure(name: str, call, n_samples: int, wins=(4, 32)) -> dict:
                 rec.update(error="checksum went bad mid-window")
                 return rec
             walls[steps] = time.perf_counter() - t0
-        dt_a = (walls[pts[1]] - walls[pts[0]]) / (pts[1] - pts[0])
-        dt_b = (walls[pts[2]] - walls[pts[1]]) / (pts[2] - pts[1])
-        dt = (walls[pts[2]] - walls[pts[0]]) / (pts[2] - pts[0])
-        if dt_a <= 0 or dt_b <= 0:
-            rec.update(error=f"non-positive slope {walls}")
-            return rec
-        if abs(dt_a - dt_b) > 0.4 * max(dt_a, dt_b):
-            rec.update(error=f"window drift: slopes {dt_a * 1e3:.3f} vs "
-                             f"{dt_b * 1e3:.3f} ms/step")
+        dt, why = guarded_slope(pts, walls)
+        if dt is None:
+            rec.update(error=why)
             return rec
         rec.update(ms_per_step=round(dt * 1e3, 3),
                    msps=round(n_samples / dt / 1e6, 1), verified=True)

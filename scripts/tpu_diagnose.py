@@ -39,11 +39,22 @@ def main() -> None:
                       "fresh pytest process per file, no -x",
               "files": []}
     for f in files:
-        r = subprocess.run(
-            [sys.executable, "-m", "pytest", os.path.join("tests", f),
-             "-q", "-rf", "--no-header", "-p", "no:cacheprovider"],
-            env={**os.environ, "GR4TPU_TEST_TPU": "1"},
-            capture_output=True, text=True, cwd=HERE, timeout=args.timeout)
+        try:
+            r = subprocess.run(
+                [sys.executable, "-m", "pytest", os.path.join("tests", f),
+                 "-q", "-rf", "--no-header", "-p", "no:cacheprovider"],
+                env={**os.environ, "GR4TPU_TEST_TPU": "1"},
+                capture_output=True, text=True, cwd=HERE,
+                timeout=args.timeout)
+        except subprocess.TimeoutExpired:
+            # a hung file (transport wedge / compile hang) must not lose the
+            # rest of the diagnosis — record it and keep going
+            rec = {"file": f, "rc": -1, "failed": [],
+                   "summary": f"TIMEOUT after {args.timeout}s (transport "
+                              f"wedge or compile hang)"}
+            report["files"].append(rec)
+            print(json.dumps(rec), flush=True)
+            continue
         failed = re.findall(r"^FAILED (\S+)(?: - (.*))?$", r.stdout,
                             re.MULTILINE)
         tail = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""

@@ -337,3 +337,37 @@ class TestDeviceTagPathUnderBatching:
         expect = np.zeros(1024, np.float32)
         expect[250:350] = 1.0
         np.testing.assert_array_equal(snk.data(), expect)
+
+
+def test_graph_done_mid_batch_stops_host_feeds():
+    """Round-5 review finding: when HeadBlock terminates the graph at
+    sub-step k, the remaining sub-steps of the batch must be INERT — a live
+    host source's read position must not advance past the stop, and sinks
+    must not receive post-stop samples."""
+    from gnuradio4_tpu.core.block import Block, Port
+
+    calls = []
+
+    class CountingFeed(Block):
+        OUT = (Port("out", dtype="float32"),)
+        FEED = True
+
+        def host_feed(self, n, abs_index):
+            calls.append(abs_index)
+            return {"out": np.full(n, 1.0, np.float32)}
+
+        def apply(self, state, ins, ctx):
+            return state, {"out": ins["out"]}
+
+    g = gr.Graph()
+    src = g.add(CountingFeed())
+    head = g.emplace("HeadBlock", n_samples=600)   # stops in sub-step 2 of 8
+    snk = g.emplace("VectorSink")
+    g.connect_chain(src, head, snk)
+    gr.Scheduler(g, block_len=256, pipeline_depth=1,
+                 batch_steps=8).run_and_wait()
+    assert snk.data().shape[-1] == 600
+    # 600 samples need 3 blocks of 256; the terminating sub-step may fetch
+    # one block — anything beyond 4 fetched blocks means the batch kept
+    # pulling the source after the stop
+    assert len(calls) <= 4, calls
