@@ -286,6 +286,23 @@ def config7_ldpc(block_len, steps):
     return _run_sched(build, bl, steps)
 
 
+def config7k(block_len, batch=1):
+    """LDPC decode KERNEL rate: device-born random LLRs (decode cost is
+    content-independent for fixed iterations) -> dense min-sum decoder ->
+    sink, one compiled graph. Measures the DECODER, not the relay's H2D of
+    host LLR feeds (config 7 measures the full scheduler loop, which on this
+    transport is feed-bound)."""
+    import gnuradio4_tpu as gr
+    from gnuradio4_tpu.blocks.basic import NoiseSource
+    from gnuradio4_tpu.blocks.testing import NullSink
+    g = gr.Graph()
+    src = NoiseSource(noise="gaussian")
+    dec = g.emplace("LdpcDecoder", n=256, m=128, seed=0)
+    g.connect_chain(g.add(src), dec, g.add(NullSink()))
+    return gr.compile_graph(g, block_len=(block_len // 256) * 256,
+                            sample_rate=1e9, batch_steps=batch)
+
+
 def _run_one(key: str, block_len: int, steps: int) -> dict:
     """Run one config in THIS process; returns its result record."""
     import jax
@@ -309,7 +326,9 @@ def _run_one(key: str, block_len: int, steps: int) -> dict:
                 "2": ("polyphase resampler 3/2", config2),
                 "3": ("WBFM receiver (latency block)", config3),
                 "3t": ("WBFM receiver (throughput block)", config3),
-                "4": ("PFB channelizer 64ch", config4)}
+                "4": ("PFB channelizer 64ch", config4),
+                "7k": ("LDPC min-sum decode kernel rate (n=256 R=1/2 "
+                       "25 iters, dense), coded Mbit/s", config7k)}
     # per-config operating points (CPU smoke uses small windows)
     bl = block_len
     if key == "3":
@@ -320,6 +339,8 @@ def _run_one(key: str, block_len: int, steps: int) -> dict:
         bl = max(bl, 1 << 21) if not on_cpu else bl
     elif key in ("1", "2", "4") and not on_cpu:
         bl = max(bl, 1 << 22)          # amortize per-step relay overhead
+    elif key == "7k":
+        bl = min(bl, 1 << 19)          # decode-bound; keep compile light
     if on_cpu:
         bl = min(bl, 1 << 18)
         steps = min(steps, 8)
@@ -356,6 +377,10 @@ def _run_one(key: str, block_len: int, steps: int) -> dict:
             # physically-implausible 11 Gsps that way — window too small)
             if bl * batch <= (1 << 19) and not on_cpu:
                 steps = max(steps, 200)
+            # very fast configs (resampler/channelizer at ~0.1-0.3 ms/step)
+            # need hundreds of steps for the slope to clear readback noise
+            if key in ("2", "4") and not on_cpu:
+                steps = max(steps, 256)
             # one dispatch covers batch sub-steps of bl samples each
             msps, verified = _run(compiled, steps, bl * batch)
         rec.update(msps=round(msps, 1), verified=verified)
