@@ -48,6 +48,17 @@ def main() -> int:
     sched.run_and_wait()
     local = snk.data()
 
+    # round-5: the SAME chain with step batching — global feeds are stacked
+    # [S, ...] before _globalize_feeds; both processes must agree
+    g2 = gr.Graph()
+    src2 = VectorSource(x)
+    fir2 = FirFilter(taps=taps)
+    snk2 = VectorSink()
+    g2.connect_chain(src2, fir2, snk2)
+    gr.Scheduler(g2, block_len=n // 4, mesh=mesh, pipeline_depth=1,
+                 batch_steps=2).run_and_wait()
+    local_b = snk2.data()
+
     # numpy reference, then this process's per-step local slices
     ref = np.convolve(x, taps)[:n].astype(np.float32)
     t_step = n // 2
@@ -58,7 +69,17 @@ def main() -> int:
     assert local.shape == expect.shape, (local.shape, expect.shape)
     err = float(np.max(np.abs(local - expect)))
     assert err < 1e-5, f"process {pid}: max err {err}"
-    print(f"[{pid}] OK shard={local.shape} err={err:.2e}", flush=True)
+
+    t_step_b = n // 4
+    t_loc_b = t_step_b // nproc
+    expect_b = np.concatenate([
+        ref[s * t_step_b + pid * t_loc_b: s * t_step_b + (pid + 1) * t_loc_b]
+        for s in range(4)])
+    assert local_b.shape == expect_b.shape, (local_b.shape, expect_b.shape)
+    err_b = float(np.max(np.abs(local_b - expect_b)))
+    assert err_b < 1e-5, f"process {pid} (batched): max err {err_b}"
+    print(f"[{pid}] OK shard={local.shape} err={err:.2e} "
+          f"batched_err={err_b:.2e}", flush=True)
     return 0
 
 
