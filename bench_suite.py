@@ -396,7 +396,7 @@ def _run_one(key: str, block_len: int, steps: int) -> dict:
 # 2271 → 1797 at batch=8 on 2^23) so configs 1/2/3t/4 stay unbatched;
 # config 5's compiled chain measured +1% at batch=4 and its Scheduler loop
 # adds per-dispatch host work that batching amortizes further.
-_BATCH_DEFAULTS: dict[str, int] = {"3": 8, "5": 4}
+_BATCH_DEFAULTS: dict[str, int] = {"3": 8, "5": 8}
 
 ALL_CONFIGS = "1,2,3,3t,4,5,6,7"
 

@@ -80,16 +80,22 @@ class CompiledGraph:
 
     _params_cache: Any = None
 
-    def gather_params(self) -> dict[str, dict[str, Any]]:
+    def gather_params(self, refresh: bool = True) -> dict[str, dict[str, Any]]:
         """Dynamic params for the next step. Blocks that override
         ``prepare_params`` (tag-derived values) refresh every step; the rest are
-        cached until :meth:`invalidate_params` (settings applied)."""
+        cached until :meth:`invalidate_params` (settings applied).
+
+        ``refresh=False`` (batched pump): skip the per-step refresh — the
+        batched dispatch carries per-sub-step overlay snapshots for every
+        prepare_params-overriding block, so refreshing the base too is a
+        redundant relay H2D every super-step (measured ~ms each on the axon
+        transport, a real fraction of the config-5 host floor)."""
         from .block import Block
         if self._params_cache is None:
             self._params_cache = _device_params({
                 b.unique_name: b.prepare_params(b.settings.dynamic_params())
                 for b in self.order})
-        else:
+        elif refresh:
             for b in self.order:
                 if type(b).prepare_params is not Block.prepare_params:
                     self._params_cache[b.unique_name] = _device_params(

@@ -738,8 +738,9 @@ class Scheduler:
 
         # params snapshot for the whole batch; blocks whose params change
         # mid-batch (or that derive params from the per-step tag walk) get
-        # per-sub-step overlays instead
-        params_base = c.gather_params()
+        # per-sub-step overlays instead — so the base needs no per-step
+        # refresh (overlays supersede those keys every sub-step)
+        params_base = c.gather_params(refresh=False)
         by_uname = {b.unique_name: b for b in c.order}
         prep_overriders = [b.unique_name for b in c.order
                            if type(b).prepare_params is not Block.prepare_params]
