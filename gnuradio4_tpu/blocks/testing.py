@@ -182,6 +182,7 @@ class VectorSink(SinkBlock):
 class NullSink(SinkBlock):
     IN = (Port("in"),)
     WANTS_HOST_DATA = False  # count only — no device→host copy
+    CONSUME_IGNORES_DATA = True  # counters never read array contents
 
     def __init__(self, name=None, **settings):
         super().__init__(name=name, **settings)
@@ -349,6 +350,7 @@ class PerformanceMonitor(SinkBlock):
 
     IN = (Port("in"),)
     WANTS_HOST_DATA = False
+    CONSUME_IGNORES_DATA = True   # rate metering never reads contents
 
     def __init__(self, name=None, **settings):
         super().__init__(name=name, **settings)

@@ -441,6 +441,14 @@ class SinkBlock(Block):
 
     OUT: ClassVar[tuple[Port, ...]] = ()
     WANTS_HOST_DATA: ClassVar[bool] = True
+    # True → consume() never reads the array CONTENTS (pure metrics sinks:
+    # counters, shape checks). The batched delivery then skips the per-sub-
+    # step device slicing — each eager slice is an unjitted dispatch
+    # (~ms-class on CPU, worse over the relay) and measured as the dominant
+    # host-pump cost of the config-5 chain under batching. consume() still
+    # runs once per logical step with correct tags/n_valid/abs_index; the
+    # arrays dict holds the SUPER-step's stacked leaves.
+    CONSUME_IGNORES_DATA: ClassVar[bool] = False
 
     def apply(self, state, ins, ctx):
         return state, {}

@@ -1062,11 +1062,17 @@ class Scheduler:
                 host_cache[uname] = {p: drain_local(a) for p, a in ins.items()}
             else:
                 host_cache[uname] = {p: host_array(a) for p, a in ins.items()}
+        skip_slice = {
+            uname for uname in rec.sink_ins
+            if uname not in host_cache and getattr(
+                next((b for b in c.order if b.unique_name == uname), None),
+                "CONSUME_IGNORES_DATA", False)}
         for k, meta in enumerate(rec.batch):
             sub_ins = {
-                uname: {p: (host_cache[uname][p][k] if uname in host_cache
-                            else a[k])
-                        for p, a in ins.items()}
+                uname: (ins if uname in skip_slice else
+                        {p: (host_cache[uname][p][k] if uname in host_cache
+                             else a[k])
+                         for p, a in ins.items()})
                 for uname, ins in rec.sink_ins.items()}
             self._deliver_one(_InFlight(
                 step=meta.step, sink_ins=sub_ins, sink_tags=meta.sink_tags,
