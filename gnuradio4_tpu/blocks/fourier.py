@@ -201,12 +201,19 @@ class IFFT(Block):
 
     def apply(self, state, ins, ctx):
         import os
+        import jax
         x = ins["in"]
         n = int(self.settings.get("fft_size"))
         xr = x.reshape(*x.shape[:-1], -1, n)
         eng = str(self.settings.get("engine"))
         if eng == "auto":
-            eng = os.environ.get("GR4TPU_FFT_ENGINE", "xla").lower()
+            # MEASURED (SWEEP_r05 ffttone window, within-window A/B): the
+            # conjugate four-step MXU inverse runs 0.92 ms/8Mi vs the IFFT
+            # HLO's 2.06 — the inverse HLO lowers much worse than the
+            # forward one, so 'auto' takes the matmul engine on TPU (the
+            # forward FFT keeps the HLO, which stays fastest there)
+            default = "matmul" if jax.default_backend() == "tpu" else "xla"
+            eng = os.environ.get("GR4TPU_IFFT_ENGINE", default).lower()
         # same 64..65536 bounds as FFT._fft (dense host factor matrices)
         if eng in ("matmul", "matmul_bf16") and 64 <= n <= 65536 \
                 and (n & (n - 1)) == 0:
