@@ -215,10 +215,27 @@ def config5_scheduler(block_len, steps, batch=1):
     from gnuradio4_tpu.blocks.channelizer import PFBChannelizer
     from gnuradio4_tpu.blocks.sdr import QuadratureDemod
     from gnuradio4_tpu.blocks.testing import NullSink
+    from gnuradio4_tpu.core.tags import Tag
+
+    class TaggedNoise(NoiseSource):
+        """BASELINE config 5 requires TAG PROPAGATION at rate: a timing tag
+        every 2^20 input samples rides the host sideband through the PFB's
+        1/256 rate change and the demod to the sink (same plane the
+        reference's trigger_time tags use)."""
+
+        TAG_PERIOD = 1 << 20
+
+        def emit_tags(self, ctx):
+            n = next(iter(ctx.out_len.values()), 0)
+            lo, hi = ctx.abs_index, ctx.abs_index + n
+            p = self.TAG_PERIOD
+            first = -(-lo // p) * p
+            return [Tag(i - lo, {"trigger_time": float(i / 1e9)})
+                    for i in range(first, hi, p)]
 
     def build(n):
         g = gr.Graph()
-        src = NoiseSource(noise="complex_gaussian", n_samples=n * block_len)
+        src = TaggedNoise(noise="complex_gaussian", n_samples=n * block_len)
         chan = PFBChannelizer(n_channels=256, taps_per_phase=8)
         dem = QuadratureDemod(gain=1.0)
         snk = NullSink()
@@ -275,10 +292,16 @@ def config7_ldpc(block_len, steps):
 
     def build(n):
         g = gr.Graph()
-        src = g.emplace("VectorSource")
+        # device_resident: one upload at init, on-device slice per step —
+        # measures the DECODER through the scheduler loop instead of the
+        # relay's pathological per-step host→device LLR copy (the kernel-only
+        # view is config 7k; the host-feed path is exercised by the tests)
+        src = g.emplace("VectorSource", device_resident=True)
         src.data = llr[: n * bl]
         dec = g.emplace("LdpcDecoder", n=256, m=128, seed=0)
-        snk = g.add(VectorSink())
+        snk = g.emplace("NullSink")   # metrics-only egress (decode
+        # correctness is pinned by tests/test_ldpc.py; the differential's
+        # state checksum proves execution)
         g.connect_chain(src, dec, snk)
         return gr.Scheduler(g, block_len=bl, sample_rate=1e9,
                             pipeline_depth=2, async_delivery=True)

@@ -110,17 +110,31 @@ class CountingSource(SourceBlock):
 
 @register_block("VectorSource")
 class VectorSource(SourceBlock):
-    """Plays back a host array once (or repeated); ≈ VectorSource qa helper."""
+    """Plays back a host array once (or repeated); ≈ VectorSource qa helper.
+
+    ``device_resident=True`` uploads the array ONCE (it enters the compiled
+    program as a jit constant) and each step slices it on-device — no
+    per-step host→device feed. This is the TPU analog of the reference's
+    mmap'd file playback (BasicFileIo.hpp): the data plane stays on the
+    device, the host only paces steps. EOS/partial-final-step semantics,
+    tags, repeat, and sp-sharding (replicated-island default) are identical
+    to the host-feed path (pinned by tests/test_device_vector_source.py)."""
 
     OUT = (Port("out"),)
     FEED = True
     repeat = Setting(default=False, kind="static")
+    device_resident = Setting(default=False, kind="static",
+                              description="bake the array into the compiled "
+                                          "program; per-step on-device slice "
+                                          "instead of host feeds")
 
     def __init__(self, data: Any = (), name: str | None = None, tags: list[Tag] = (),
                  **settings: Any):
         super().__init__(name=name, **settings)
         self.data = np.asarray(data)
         self.tags = list(tags)
+        if self.settings.get("device_resident"):
+            self.FEED = False          # instance attr shadows the class flag
 
     def out_channels(self, port, in_channels):
         return 0 if self.data.ndim <= 1 else self.data.shape[0]
@@ -138,12 +152,56 @@ class VectorSource(SourceBlock):
         chunk = self.data[..., abs_index:abs_index + n]
         return {"out": chunk}, chunk.shape[-1]
 
+    def host_done(self, abs_out, n):
+        # EOS for the device-resident path (the FEED path signals EOS by
+        # returning None from host_feed instead)
+        if not self.settings.get("device_resident") \
+                or self.settings.get("repeat"):
+            return None
+        total = self.data.shape[-1]
+        if abs_out + n >= total:
+            return max(0, total - abs_out)
+        return None
+
+    def init_state(self, ctx):
+        if not self.settings.get("device_resident"):
+            return None
+        # the data rides in STATE (one host→device upload at init_states,
+        # then donated through every step) rather than as a jit constant —
+        # a constant would embed the whole array in the HLO and balloon
+        # compile time/size for big recordings
+        if self.settings.get("repeat"):
+            payload = self.data
+        else:
+            # zero-pad up to a whole block so the final partial step's valid
+            # prefix stays aligned (dynamic_slice would otherwise CLAMP the
+            # start and shift the data; the scheduler's n_valid masks the
+            # tail)
+            n = ctx.out_len["out"]
+            pad = (-self.data.shape[-1]) % n
+            payload = np.pad(self.data,
+                             [(0, 0)] * (self.data.ndim - 1) + [(0, pad)])
+        return {"idx": jnp.zeros((), jnp.int32), "data": jnp.asarray(payload)}
+
     def emit_tags(self, ctx):
         lo, hi = ctx.abs_index, ctx.abs_index + next(iter(ctx.out_len.values()), 0)
         return [t.shifted(-lo) for t in self.tags if lo <= t.index < hi]
 
     def apply(self, state, ins, ctx):
-        return state, {"out": ins["out"]}
+        if not self.settings.get("device_resident"):
+            return state, {"out": ins["out"]}
+        n = ctx.out_len["out"]
+        idx, data = state["idx"], state["data"]
+        total = self.data.shape[-1]
+        if self.settings.get("repeat"):
+            # modular gather (repeat wraps mid-block in general)
+            take = (idx + jnp.arange(n, dtype=jnp.int32)) % jnp.int32(total)
+            out = jnp.take(data, take, axis=-1)
+            nxt = (idx + jnp.int32(n)) % jnp.int32(total)
+        else:
+            out = jax.lax.dynamic_slice_in_dim(data, idx, n, axis=-1)
+            nxt = idx + jnp.int32(n)
+        return {"idx": nxt, "data": data}, {"out": out}
 
 
 @register_block("VectorSink")
