@@ -250,6 +250,43 @@ def group_fir(n):
     fir_mod._PRECISION = jax.lax.Precision.HIGH
 
 
+def group_firtile(n):
+    """FIR tile-size A/B (round-5): the banded-Toeplitz FIR is the headline
+    chain's biggest stage at ~7x its HBM floor; GR4TPU_FIR_TILE shipped in
+    round 4 with no device rows. Cost model: tile L does 2L MACs/sample
+    (vs ntaps ideal) in [n/L, L]x[L, L] dots — bigger tiles buy fewer,
+    bigger dots at more redundant FLOPs. Measures where the trade lands."""
+    import jax
+    import jax.numpy as jnp
+    from gnuradio4_tpu.ops import filter_design as fd
+    from gnuradio4_tpu.ops.fir import fir_apply, fir_init_state, \
+        freq_xlating_taps
+    from gnuradio4_tpu.ops.signal import complex_exp_ramp
+    checksum = _checksum_fn()
+    fs = 20e6
+    taps = fd.design_fir("lowpass", 127, sample_rate=fs,
+                         f_low=2e6).astype(np.float32)
+    ctaps = freq_xlating_taps(taps, 3e6, fs)
+    x0 = jax.jit(lambda: complex_exp_ramp(
+        jnp.uint32(0), jnp.uint32(round(0.05 * 2**32)), n))()
+    hist = jax.jit(lambda: fir_init_state(0, 127, jnp.complex64))()
+    saved = os.environ.get("GR4TPU_FIR_TILE")
+    try:
+        for tile in (0, 256, 512, 1024):
+            os.environ["GR4TPU_FIR_TILE"] = str(tile)
+            # fresh trace per tile (weights/shapes are trace-time constants)
+            jf = jax.jit(lambda x, h: checksum(fir_apply(x, taps, h)[0]))
+            jx = jax.jit(lambda x, h: checksum(fir_apply(x, ctaps, h)[0]))
+            lbl = tile or 128
+            yield measure(f"fir127[tile={lbl}]",
+                          lambda jf=jf: jf(x0, hist), n)
+            yield measure(f"xlate_old[tile={lbl}]",
+                          lambda jx=jx: jx(x0, hist), n)
+    finally:
+        os.environ.pop("GR4TPU_FIR_TILE", None) if saved is None \
+            else os.environ.__setitem__("GR4TPU_FIR_TILE", saved)
+
+
 def group_fft(n):
     import jax
     import jax.numpy as jnp
@@ -514,6 +551,7 @@ def group_cfg5(n):
 
 
 GROUPS = {"tone": group_tone, "fir": group_fir, "fft": group_fft,
+          "firtile": group_firtile,
           "chain": group_chain, "wbfm": group_wbfm, "batch": group_batch,
           "ab": group_ab, "cfg5": group_cfg5}
 
