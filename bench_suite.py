@@ -208,8 +208,14 @@ def config5_scheduler(block_len, steps, batch=1):
     Returns (Msps, verified)."""
     # the differential's SHORT leg must still contain data super-steps after
     # its warm-up batch (s1 = steps//4 ≥ 2·batch), else it times only the
-    # EOS dispatch and the slope is meaningless (measured on CPU smoke)
-    steps = max(steps, 8 * batch)
+    # EOS dispatch and the slope is meaningless (measured on CPU smoke).
+    # On TPU the legs also need ENOUGH super-steps that per-leg constants
+    # (init, pipeline fill, readback jitter) cancel in the slope — 2/4/8
+    # super-step legs drift-guarded three windows running at 4-9 Gsps
+    # (19:02 window, slopes 0.231 vs 0.538 ms/step)
+    import jax as _jax
+    floor = 32 if _jax.default_backend() != "cpu" else 8
+    steps = max(steps, floor * batch)
     import gnuradio4_tpu as gr
     from gnuradio4_tpu.blocks.basic import NoiseSource
     from gnuradio4_tpu.blocks.channelizer import PFBChannelizer
@@ -404,6 +410,10 @@ def _run_one(key: str, block_len: int, steps: int) -> dict:
             # need hundreds of steps for the slope to clear readback noise
             if key in ("2", "4") and not on_cpu:
                 steps = max(steps, 256)
+            # 7k decodes ~1 ms/step: the 18:53 window's 200-step legs
+            # differed by less than the readback jitter (walls 0.49/0.48/0.69)
+            if key == "7k" and not on_cpu:
+                steps = max(steps, 1000)
             # one dispatch covers batch sub-steps of bl samples each
             msps, verified = _run(compiled, steps, bl * batch)
         rec.update(msps=round(msps, 1), verified=verified)
