@@ -116,9 +116,9 @@ def group_tone(n):
         return checksum(jax.lax.complex(cosv, sinv))
 
     jd, jf, jp = jax.jit(direct), jax.jit(factored), jax.jit(poly)
-    yield measure("tone_direct", lambda: jd(), n)
-    yield measure("tone_factored", lambda: jf(), n)
-    yield measure("tone_poly", lambda: jp(), n)
+    yield measure("tone_direct", lambda: jd(), n, wins=(128, 1024))
+    yield measure("tone_factored", lambda: jf(), n, wins=(128, 1024))
+    yield measure("tone_poly", lambda: jp(), n, wins=(128, 1024))
 
 
 def group_fir(n):
@@ -279,9 +279,9 @@ def group_firtile(n):
             jx = jax.jit(lambda x, h: checksum(fir_apply(x, ctaps, h)[0]))
             lbl = tile or 128
             yield measure(f"fir127[tile={lbl}]",
-                          lambda jf=jf: jf(x0, hist), n)
+                          lambda jf=jf: jf(x0, hist), n, wins=(16, 128))
             yield measure(f"xlate_old[tile={lbl}]",
-                          lambda jx=jx: jx(x0, hist), n)
+                          lambda jx=jx: jx(x0, hist), n, wins=(16, 128))
     finally:
         os.environ.pop("GR4TPU_FIR_TILE", None) if saved is None \
             else os.environ.__setitem__("GR4TPU_FIR_TILE", saved)
@@ -307,12 +307,12 @@ def group_fft(n):
         return checksum(jnp.abs(matmul_fft(fr, 4096, n1=n1, mode=mode)))
 
     jn = jax.jit(native)
-    yield measure("fft_hlo", lambda: jn(x0), n)
+    yield measure("fft_hlo", lambda: jn(x0), n, wins=(16, 128))
     for n1 in (64, 128):
         for mode in ("high", "bf16"):
             jm = jax.jit(lambda x, n1=n1, mode=mode: mm(x, n1, mode))
             yield measure(f"fft_matmul[n1={n1},{mode}]",
-                          lambda jm=jm: jm(x0), n)
+                          lambda jm=jm: jm(x0), n, wins=(16, 128))
 
     # round-5: the IFFT matmul engine shipped round-4 with no device number —
     # measure conj-four-step vs the IFFT HLO (VERDICT r4 item 5)
@@ -325,10 +325,11 @@ def group_fft(n):
         return checksum(jnp.abs(y))
 
     ji = jax.jit(inative)
-    yield measure("ifft_hlo", lambda: ji(x0), n)
+    yield measure("ifft_hlo", lambda: ji(x0), n, wins=(16, 128))
     for mode in ("high", "bf16"):
         jim = jax.jit(lambda x, mode=mode: imm(x, mode))
-        yield measure(f"ifft_matmul[{mode}]", lambda jim=jim: jim(x0), n)
+        yield measure(f"ifft_matmul[{mode}]", lambda jim=jim: jim(x0), n,
+                      wins=(16, 128))
 
 
 def _chain_step(block_len):
