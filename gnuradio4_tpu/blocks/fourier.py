@@ -43,11 +43,15 @@ class FFT(Block):
     calibrate = Setting(default=True, kind="static",
                         description="scale by window coherent gain / N")
     engine = Setting(default="auto", kind="static",
-                     choices=("auto", "xla", "matmul", "matmul_bf16"),
+                     choices=("auto", "xla", "matmul", "matmul_exact",
+                              "matmul_bf16"),
                      description="auto/xla → FFT HLO; matmul → four-step MXU "
-                                 "FFT at ~f32 (3-pass); matmul_bf16 → one-pass "
-                                 "MXU FFT (~50 dB, monitoring-grade). 'auto' "
-                                 "honors GR4TPU_FFT_ENGINE for perf sweeps")
+                                 "FFT (bf16x3: ~95 dB on-chip, exact on CPU); "
+                                 "matmul_exact → f32-exact MXU four-step "
+                                 "(>120 dB, measured at parity with the HLO "
+                                 "on-chip); matmul_bf16 → one-pass MXU FFT "
+                                 "(~50 dB, monitoring-grade). 'auto' honors "
+                                 "GR4TPU_FFT_ENGINE for perf sweeps")
 
     def _engine(self) -> str:
         import os
@@ -62,11 +66,12 @@ class FFT(Block):
         # complex128 of ~n entries each in an lru_cache — unbounded n would
         # exhaust host memory (n=2²⁴ → ~3×256 MB per entry). Above 65536 the
         # FFT HLO wins anyway; fall back to it (mirrors the n >= 64 guard).
-        if eng in ("matmul", "matmul_bf16") and 64 <= n <= 65536 \
-                and (n & (n - 1)) == 0:
+        if eng in ("matmul", "matmul_exact", "matmul_bf16") \
+                and 64 <= n <= 65536 and (n & (n - 1)) == 0:
             from ..ops.fft import matmul_fft
-            return matmul_fft(frames, n,
-                              mode="bf16" if eng.endswith("bf16") else "high")
+            mode = {"matmul": "high", "matmul_exact": "highest",
+                    "matmul_bf16": "bf16"}[eng]
+            return matmul_fft(frames, n, mode=mode)
         return jnp.fft.fft(frames, axis=-1)
 
     def absorb_rotation(self, desc, port) -> bool:
@@ -193,7 +198,8 @@ class IFFT(Block):
     OUT = (Port("out", dtype="complex64"),)
     fft_size = Setting(default=1024, kind="static", limits=(2, 1 << 24))
     engine = Setting(default="auto", kind="static",
-                     choices=("auto", "xla", "matmul", "matmul_bf16"))
+                     choices=("auto", "xla", "matmul", "matmul_exact",
+                              "matmul_bf16"))
 
     @property
     def alignment(self):
@@ -207,20 +213,23 @@ class IFFT(Block):
         xr = x.reshape(*x.shape[:-1], -1, n)
         eng = str(self.settings.get("engine"))
         if eng == "auto":
-            # MEASURED (SWEEP_r05 ffttone window, within-window A/B): the
-            # conjugate four-step MXU inverse runs 0.92 ms/8Mi vs the IFFT
-            # HLO's 2.06 — the inverse HLO lowers much worse than the
-            # forward one, so 'auto' takes the matmul engine on TPU (the
-            # forward FFT keeps the HLO, which stays fastest there)
-            default = "matmul" if jax.default_backend() == "tpu" else "xla"
+            # MEASURED (SWEEP_r05 w3/w4, within-window A/Bs): the conjugate
+            # four-step MXU inverse beats the IFFT HLO 2.2-2.3x — and the
+            # HIGHEST rung (f32-exact, 1.103 ms/8Mi vs hlo 2.444) still
+            # does, so 'auto' takes the EXACT matmul engine on TPU: no
+            # accuracy trade (the on-chip probe measured the 'high' rung at
+            # only ~95 dB — scripts/tpu_precision_probe.py). The forward
+            # FFT keeps the HLO (parity with matmul-highest there).
+            default = "matmul_exact" if jax.default_backend() == "tpu" \
+                else "xla"
             eng = os.environ.get("GR4TPU_IFFT_ENGINE", default).lower()
         # same 64..65536 bounds as FFT._fft (dense host factor matrices)
-        if eng in ("matmul", "matmul_bf16") and 64 <= n <= 65536 \
-                and (n & (n - 1)) == 0:
+        if eng in ("matmul", "matmul_exact", "matmul_bf16") \
+                and 64 <= n <= 65536 and (n & (n - 1)) == 0:
             from ..ops.fft import matmul_fft
-            y = jnp.conj(matmul_fft(
-                jnp.conj(xr), n,
-                mode="bf16" if eng.endswith("bf16") else "high")) \
+            mode = {"matmul": "high", "matmul_exact": "highest",
+                    "matmul_bf16": "bf16"}[eng]
+            y = jnp.conj(matmul_fft(jnp.conj(xr), n, mode=mode)) \
                 * jnp.float32(1.0 / n)
             y = y.astype(jnp.complex64)
         else:

@@ -83,8 +83,12 @@ def _put_leaf(x: Any, device=None):
     if _is_complex(x):
         a = np.asarray(x)
         real_dt = "float32" if a.dtype != np.complex128 else "float64"
-        r = jax.device_put(np.ascontiguousarray(a.real), device)
-        i = jax.device_put(np.ascontiguousarray(a.imag), device)
+        # ascontiguousarray PROMOTES 0-d to 1-d — reshape back so a complex
+        # scalar round-trips as a scalar (caught by the biquad carry tests)
+        r = jax.device_put(np.ascontiguousarray(a.real).reshape(a.shape),
+                           device)
+        i = jax.device_put(np.ascontiguousarray(a.imag).reshape(a.shape),
+                           device)
         return _combiner(real_dt)(r, i)
     return jax.device_put(x, device)
 

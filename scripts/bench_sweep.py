@@ -309,7 +309,7 @@ def group_fft(n):
     jn = jax.jit(native)
     yield measure("fft_hlo", lambda: jn(x0), n, wins=(16, 128))
     for n1 in (64, 128):
-        for mode in ("high", "bf16"):
+        for mode in ("high", "bf16", "highest"):
             jm = jax.jit(lambda x, n1=n1, mode=mode: mm(x, n1, mode))
             yield measure(f"fft_matmul[n1={n1},{mode}]",
                           lambda jm=jm: jm(x0), n, wins=(16, 128))
@@ -326,7 +326,7 @@ def group_fft(n):
 
     ji = jax.jit(inative)
     yield measure("ifft_hlo", lambda: ji(x0), n, wins=(16, 128))
-    for mode in ("high", "bf16"):
+    for mode in ("high", "bf16", "highest"):
         jim = jax.jit(lambda x, mode=mode: imm(x, mode))
         yield measure(f"ifft_matmul[{mode}]", lambda jim=jim: jim(x0), n,
                       wins=(16, 128))

@@ -18,6 +18,15 @@ if not os.environ.get("GR4TPU_TEST_TPU"):
     # default: CPU (the axon plugin would otherwise force the TPU backend);
     # set GR4TPU_TEST_TPU=1 to run the suite against the real chip
     jax.config.update("jax_platforms", "cpu")
+else:
+    # On the chip, unpinned dots (test-side ``@``, interpret-mode Pallas)
+    # default to bf16 operands: measured 2.4e-3 relative error
+    # (scripts/tpu_precision_probe.py) — which fails every f32-tolerance
+    # equivalence assert while saying nothing about the op under test. The
+    # SUITE's correctness contract is f32: pin the *default* to HIGHEST.
+    # Ops that explicitly choose a perf rung (precision=HIGH/bf16/int8
+    # arguments) are unaffected — their contracts are asserted separately.
+    jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,5 +1,11 @@
 """Equivalence of the three FIR lowering strategies (conv HLO, MXU matmul framing,
-FFT overlap-save) — all must match the NumPy reference within f32 tolerance."""
+FFT overlap-save) — all must match the NumPy reference within f32 tolerance.
+
+The equivalence asserts request ``precision="highest"`` explicitly: the
+production default rung 'high' is bf16x3 on the MXU — measured 1.3e-5
+relative ON-CHIP (scripts/tpu_precision_probe.py), which is its documented
+perf/accuracy trade, not an equivalence bug. Its contract is pinned by
+TestHighRungContract below (>= 90 dB), and the int8 rung by TestInt8Matmul."""
 
 import jax.numpy as jnp
 import numpy as np
@@ -19,7 +25,8 @@ def test_real_matches_reference(method, ntaps, rng):
     x = rng.standard_normal(2048).astype(np.float32)
     ref = np.convolve(x.astype(np.float64), taps)[: len(x)]
     y, _ = fir_apply(dev_put(x), dev_put(taps),
-                     fir_init_state(0, ntaps, jnp.float32), method=method)
+                     fir_init_state(0, ntaps, jnp.float32), method=method,
+                     precision="highest")
     np.testing.assert_allclose(to_host(y), ref, atol=ntaps * 3e-6)
 
 
@@ -30,7 +37,8 @@ def test_complex_input_real_taps(method, rng):
          ).astype(np.complex64)
     ref = np.convolve(x.astype(np.complex128), taps)[: len(x)]
     y, _ = fir_apply(dev_put(x), dev_put(taps),
-                     fir_init_state(0, 63, jnp.complex64), method=method)
+                     fir_init_state(0, 63, jnp.complex64), method=method,
+                     precision="highest")
     np.testing.assert_allclose(to_host(y), ref, atol=3e-4)
 
 
@@ -43,7 +51,8 @@ def test_complex_taps(method, rng):
     ref = np.convolve(x.astype(np.complex128), taps.astype(np.complex128)
                       )[: len(x)]
     y, _ = fir_apply(dev_put(x), dev_put(taps),
-                     fir_init_state(0, 31, jnp.complex64), method=method)
+                     fir_init_state(0, 31, jnp.complex64), method=method,
+                     precision="highest")
     np.testing.assert_allclose(to_host(y), ref, atol=3e-4)
 
 
@@ -55,7 +64,7 @@ def test_decimation(method, decim, rng):
     ref = np.convolve(x.astype(np.float64), taps)[: len(x)][::decim]
     y, _ = fir_apply(dev_put(x), dev_put(taps),
                      fir_init_state(0, 32, jnp.float32), decim=decim,
-                     method=method)
+                     method=method, precision="highest")
     np.testing.assert_allclose(to_host(y), ref, atol=2e-4)
 
 
@@ -68,7 +77,7 @@ def test_streaming_continuity(method, rng):
     parts = []
     for chunk in x.reshape(4, 1024):
         y, state = fir_apply(dev_put(chunk), dev_put(taps), state,
-                             method=method)
+                             method=method, precision="highest")
         parts.append(to_host(y))
     np.testing.assert_allclose(np.concatenate(parts), ref, atol=3e-4)
 
@@ -78,7 +87,8 @@ def test_multichannel(method, rng):
     taps = rng.standard_normal(17).astype(np.float32)
     x = rng.standard_normal((5, 512)).astype(np.float32)
     y, _ = fir_apply(dev_put(x), dev_put(taps),
-                     fir_init_state(5, 17, jnp.float32), method=method)
+                     fir_init_state(5, 17, jnp.float32), method=method,
+                     precision="highest")
     for c in range(5):
         ref = np.convolve(x[c].astype(np.float64), taps)[:512]
         np.testing.assert_allclose(to_host(y)[c], ref, atol=2e-4)
@@ -91,7 +101,8 @@ def test_odd_sizes(method, rng):
     x = rng.standard_normal(700).astype(np.float32)
     ref = np.convolve(x.astype(np.float64), taps)[:700]
     y, _ = fir_apply(dev_put(x), dev_put(taps),
-                     fir_init_state(0, 40, jnp.float32), method=method)
+                     fir_init_state(0, 40, jnp.float32), method=method,
+                     precision="highest")
     assert to_host(y).shape == (700,)
     np.testing.assert_allclose(to_host(y), ref, atol=2e-4)
 
@@ -254,3 +265,35 @@ def test_explicit_precision_unsatisfiable_raises(rng):
                      fir_init_state(0, len(taps), np.float32))
     ref = np.convolve(x.astype(np.float64), taps.astype(np.float64))[:4096]
     assert np.max(np.abs(np.asarray(y) - ref)) < 1e-2
+
+
+class TestHighRungContract:
+    """The production default rung 'high' (bf16x3 on the MXU): >= 90 dB vs
+    the f64 reference on every rail combination — the measured on-chip
+    figure is ~98 dB (einsum relerr 1.3e-5); CPU runs it exact."""
+
+    def _snr(self, y, ref):
+        err = np.abs(np.asarray(y, dtype=np.complex128) - ref)
+        return 10 * np.log10(np.mean(np.abs(ref) ** 2)
+                             / (np.mean(err ** 2) + 1e-300))
+
+    def test_real(self, rng):
+        taps = rng.standard_normal(127).astype(np.float32)
+        x = rng.standard_normal(4096).astype(np.float32)
+        ref = np.convolve(x.astype(np.float64), taps)[: len(x)]
+        y, _ = fir_apply(dev_put(x), taps,
+                         fir_init_state(0, 127, jnp.float32),
+                         method="matmul", precision="high")
+        assert self._snr(to_host(y), ref) > 90.0
+
+    def test_complex(self, rng):
+        taps = (rng.standard_normal(63) + 1j * rng.standard_normal(63)
+                ).astype(np.complex64)
+        x = (rng.standard_normal(2048) + 1j * rng.standard_normal(2048)
+             ).astype(np.complex64)
+        ref = np.convolve(x.astype(np.complex128),
+                          taps.astype(np.complex128))[: len(x)]
+        y, _ = fir_apply(dev_put(x), taps,
+                         fir_init_state(0, 63, jnp.complex64),
+                         method="matmul", precision="high")
+        assert self._snr(to_host(y), ref) > 90.0

@@ -5,6 +5,10 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+from gnuradio4_tpu.utils.transfer import (device_zeros,
+                                          host_array as to_host,
+                                          safe_put as dev_put)
+
 from gnuradio4_tpu.ops import filter_design as fd
 from gnuradio4_tpu.ops.iir import sos_apply, sos_init_state
 from gnuradio4_tpu.ops.pallas_kernels import iir_sos_pallas, nco_mix_pallas
@@ -50,15 +54,15 @@ class TestNcoMixPallas:
         n = 2048
         x = (np.ones(n) + 0j).astype(np.complex64)
         dphi = phase_increment(f_shift, fs)
-        y, ph = nco_mix_pallas(jnp.asarray(x), np.uint32(0), dphi,
+        y, ph = nco_mix_pallas(dev_put(x), np.uint32(0), dphi,
                                interpret=True)
         t = np.arange(n)
         ref = np.exp(2j * np.pi * (float(dphi) / 2**32) * t)
-        np.testing.assert_allclose(np.asarray(y), ref, atol=2e-3)
+        np.testing.assert_allclose(to_host(y), ref, atol=2e-3)
         # phase carry: continuing must be seamless
-        y2, _ = nco_mix_pallas(jnp.asarray(x), ph, dphi, interpret=True)
+        y2, _ = nco_mix_pallas(dev_put(x), ph, dphi, interpret=True)
         ref2 = np.exp(2j * np.pi * (float(dphi) / 2**32) * (t + n))
-        np.testing.assert_allclose(np.asarray(y2), ref2, atol=4e-3)
+        np.testing.assert_allclose(to_host(y2), ref2, atol=4e-3)
 
 
 class TestFirIlvPallas:
@@ -72,11 +76,11 @@ class TestFirIlvPallas:
         taps = rng.standard_normal(ntaps).astype(np.float32)
         x = (rng.standard_normal(4096) + 1j * rng.standard_normal(4096)
              ).astype(np.complex64)
-        y, _ = fir_apply(jnp.asarray(x), taps,
+        y, _ = fir_apply(dev_put(x), taps,
                          fir_init_state(0, ntaps, jnp.complex64),
                          decim=decim, method="pallas")
         ref = np.convolve(x.astype(np.complex128), taps)[:4096][::decim]
-        np.testing.assert_allclose(np.asarray(y), ref, atol=2e-4)
+        np.testing.assert_allclose(to_host(y), ref, atol=2e-4)
 
     def test_streaming_state_carry(self, rng):
         from gnuradio4_tpu.ops.fir import fir_apply, fir_init_state
@@ -87,9 +91,9 @@ class TestFirIlvPallas:
         st = fir_init_state(0, 65, jnp.complex64)
         parts = []
         for chunk in x.reshape(2, 4096):
-            y, st = fir_apply(jnp.asarray(chunk), taps, st,
+            y, st = fir_apply(dev_put(chunk), taps, st,
                               method="pallas")
-            parts.append(np.asarray(y))
+            parts.append(to_host(y))
         np.testing.assert_allclose(np.concatenate(parts), ref, atol=2e-4)
 
 
@@ -109,14 +113,14 @@ class TestFusedFirDemod:
         taps = (rng.standard_normal(k) / 8).astype(np.float32)
         x = (rng.standard_normal(t + k - 1)
              + 1j * rng.standard_normal(t + k - 1)).astype(np.complex64)
-        prev = jnp.asarray(np.complex64(0.3 + 0.1j))
-        got = fir_quad_demod_fused(jnp.asarray(x)[None, :], taps, decim,
+        prev = dev_put(np.complex64(0.3 + 0.1j))
+        got = fir_quad_demod_fused(dev_put(x)[None, :], taps, decim,
                                    prev, 1.5)
-        y, _ = fir_apply(jnp.asarray(x[k - 1:]), taps,
-                         jnp.asarray(x[:k - 1]), decim=decim)
+        y, _ = fir_apply(dev_put(x[k - 1:]), taps,
+                         dev_put(x[: k - 1]), decim=decim)
         ref, _ = quadrature_demod(y, prev, gain=1.5)
         assert got.shape[-1] == ref.shape[-1]
-        assert float(jnp.max(jnp.abs(got[0] - ref))) < 2e-3
+        assert float(np.max(to_host(jnp.abs(got[0] - ref)))) < 2e-3
 
     def test_complex_taps_and_streaming_carry(self):
         """Heterodyned (complex) taps — the wbfm xlating form — streamed in
@@ -134,16 +138,17 @@ class TestFusedFirDemod:
         x = (rng.standard_normal(2 * n + k - 1)
              + 1j * rng.standard_normal(2 * n + k - 1)).astype(np.complex64)
         # reference: one-shot composition
-        y, _ = fir_apply(jnp.asarray(x[k - 1:]), jnp.asarray(taps),
-                         jnp.asarray(x[:k - 1]))
-        ref, _ = quadrature_demod(y, jnp.ones((), jnp.complex64), gain=1.0)
+        one = device_zeros((), np.complex64) + 1     # relay-safe ones()
+        y, _ = fir_apply(dev_put(x[k - 1:]), dev_put(np.asarray(taps)),
+                         dev_put(x[: k - 1]))
+        ref, _ = quadrature_demod(y, one, gain=1.0)
         # streamed: two fused chunks with the carried v[-1] in between
-        c1 = fir_quad_demod_fused(jnp.asarray(x[:n + k - 1])[None, :],
-                                  np.asarray(taps), 1,
-                                  jnp.ones((), jnp.complex64), 1.0)
-        v_last, _ = fir_apply(jnp.asarray(x[k - 1:n + k - 1]),
-                              jnp.asarray(taps), jnp.asarray(x[:k - 1]))
-        c2 = fir_quad_demod_fused(jnp.asarray(x[n:2 * n + k - 1])[None, :],
+        c1 = fir_quad_demod_fused(dev_put(x[: n + k - 1])[None, :],
+                                  np.asarray(taps), 1, one, 1.0)
+        v_last, _ = fir_apply(dev_put(x[k - 1: n + k - 1]),
+                              dev_put(np.asarray(taps)),
+                              dev_put(x[: k - 1]))
+        c2 = fir_quad_demod_fused(dev_put(x[n: 2 * n + k - 1])[None, :],
                                   np.asarray(taps), 1, v_last[-1], 1.0)
         got = jnp.concatenate([c1[0], c2[0]])
-        assert float(jnp.max(jnp.abs(got - ref))) < 2e-3
+        assert float(np.max(to_host(jnp.abs(got - ref)))) < 2e-3
