@@ -47,6 +47,7 @@ FILES = [
     "test_steady_state.py",
     "test_async_delivery.py",
     "test_pallas_kernels.py",
+    "test_device_vector_source.py",
     "test_dsp_extras.py",
     "test_math_golden.py",
     "test_signal_core_golden.py",
