@@ -43,7 +43,15 @@ def make_constellation(kind: str) -> np.ndarray:
 
 def symbols_to_iq(symbols: jnp.ndarray, constellation: np.ndarray) -> jnp.ndarray:
     """Map integer symbols [..., N] → complex64 points (table gather)."""
-    table = jnp.asarray(constellation)
+    if isinstance(constellation, np.ndarray) \
+            and np.iscomplexobj(constellation):
+        # eager complex H2D is UNIMPLEMENTED on the axon relay — route the
+        # host table through the float-plane shim (no-op under a trace /
+        # on healthy backends beyond a reshape)
+        from ..utils.transfer import safe_put
+        table = safe_put(constellation)
+    else:
+        table = jnp.asarray(constellation)
     return jnp.take(table, symbols.astype(jnp.int32), axis=0, mode="clip")
 
 

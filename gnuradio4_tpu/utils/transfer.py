@@ -235,3 +235,24 @@ def safe_scalar(x) -> float:
     v = jax.jit(lambda t: jnp.broadcast_to(
         jnp.asarray(t, jnp.float32).reshape(()), (8,)))(x)
     return float(np.asarray(v)[0])
+
+
+@functools.lru_cache(maxsize=1)
+def host_callbacks_supported() -> bool:
+    """Whether the active backend supports host send/recv callbacks
+    (``jax.pure_callback`` / ``io_callback`` / ``debug.callback``).
+
+    The axon PJRT relay does NOT ("axon_pjrt does not support host
+    send/recv callbacks") — blocks built on callbacks (PolarDecoder's SC
+    walk, ReedSolomon stream blocks, PythonBlock host mode) cannot run
+    there, while real TPU runtimes support them. Detected from the PJRT
+    platform_version string, never by probing (a failed call would poison
+    the client)."""
+    import jax
+    if jax.default_backend() == "cpu":
+        return True
+    try:
+        ver = getattr(jax.devices()[0].client, "platform_version", "")
+    except Exception:
+        return True
+    return "axon" not in str(ver)

@@ -9,6 +9,7 @@ from gnuradio4_tpu.blocks.dsp_extras import (Agc, FarrowResampler,
                                              PllCarrierTracking)
 from gnuradio4_tpu.blocks.basic import ComplexToneSource
 from gnuradio4_tpu.blocks.testing import VectorSink, VectorSource
+from gnuradio4_tpu.utils.transfer import host_array as to_host
 
 
 def run_chain(*blocks, block_len=1024, sample_rate=1.0):
@@ -152,7 +153,7 @@ class TestCoarseCfo:
         import jax.numpy as jnp
         n = 32768
         syms = rng.integers(0, 4, n)
-        iq = np.asarray(symbols_to_iq(jnp.asarray(syms), make_constellation("QPSK")))
+        iq = to_host(symbols_to_iq(jnp.asarray(syms), make_constellation("QPSK")))
         w = 2 * np.pi * 0.003  # offset well within bin resolution
         rot = iq * np.exp(1j * w * np.arange(n))
         g = gr.Graph()
@@ -247,7 +248,7 @@ class TestFllBandEdge:
         src.close()
         sch = gr.Scheduler(g, block_len=8192, sample_rate=1e6)
         sch.run_and_wait()
-        est = float(np.asarray(sch._states[fll.unique_name]["freq"]))
+        est = float(to_host(sch._states[fll.unique_name]["freq"]))
         assert abs(est - cfo) < 0.005, f"estimate {est} vs true {cfo}"
 
     def test_fll_costas_cascade_zeroes_cfo(self):
@@ -373,36 +374,48 @@ class TestComplexExpRamp:
     the direct per-sample sin/cos NCO to f32 rounding, across the small-n
     direct path, non-power-of-two lengths, and phase/dphi wraps."""
 
+    # NB: the ramp calls run under jax.jit — production always traces them
+    # (compiled block programs), and EAGER complex ops ship python complex
+    # scalar operands through complex H2D, which poisons the axon relay
+    # (diagnosed round-5; jitted, the constants embed in the program).
+
     def test_matches_direct_form(self):
+        import jax
         import jax.numpy as jnp
         from gnuradio4_tpu.ops.signal import (complex_exp, complex_exp_ramp,
                                               nco_phases, phase_to_frac)
         for n in (64, 8192, 16384, 40960, 12288 * 3):
             for dphi in (7, 123456789, 0x80000001, 0):
                 for ph0 in (0, 0xDEADBEEF):
-                    direct = complex_exp(phase_to_frac(nco_phases(
-                        jnp.uint32(ph0), jnp.uint32(dphi), n)))
-                    fact = complex_exp_ramp(jnp.uint32(ph0),
-                                            jnp.uint32(dphi), n)
+                    direct = jax.jit(lambda p, d, n=n: complex_exp(
+                        phase_to_frac(nco_phases(p, d, n))))(
+                        jnp.uint32(ph0), jnp.uint32(dphi))
+                    fact = jax.jit(lambda p, d, n=n: complex_exp_ramp(
+                        p, d, n))(jnp.uint32(ph0), jnp.uint32(dphi))
                     np.testing.assert_allclose(
-                        np.asarray(fact), np.asarray(direct), atol=2e-6,
+                        to_host(fact), to_host(direct), atol=2e-6,
                         err_msg=f"n={n} dphi={dphi} ph0={ph0}")
 
     def test_amplitude_folded(self):
+        import jax
         import jax.numpy as jnp
         from gnuradio4_tpu.ops.signal import complex_exp_ramp
-        y = complex_exp_ramp(jnp.uint32(0), jnp.uint32(1 << 20), 16384,
-                             amplitude=jnp.float32(2.5))
-        np.testing.assert_allclose(np.abs(np.asarray(y)), 2.5, atol=1e-5)
+        y = jax.jit(lambda: complex_exp_ramp(
+            jnp.uint32(0), jnp.uint32(1 << 20), 16384,
+            amplitude=jnp.float32(2.5)))()
+        np.testing.assert_allclose(np.abs(to_host(y)), 2.5, atol=1e-5)
 
     def test_phase_continuity_across_steps(self):
         # two steps of n/2 starting from the carried phase == one step of n
+        import jax
         import jax.numpy as jnp
         from gnuradio4_tpu.ops.signal import complex_exp_ramp
         n, dphi = 32768, 987654321
-        full = np.asarray(complex_exp_ramp(jnp.uint32(5), jnp.uint32(dphi), n))
-        a = np.asarray(complex_exp_ramp(jnp.uint32(5), jnp.uint32(dphi), n // 2))
+        ramp = lambda nn: jax.jit(
+            lambda p, d: complex_exp_ramp(p, d, nn))
+        full = to_host(ramp(n)(jnp.uint32(5), jnp.uint32(dphi)))
+        a = to_host(ramp(n // 2)(jnp.uint32(5), jnp.uint32(dphi)))
         ph2 = np.uint32((5 + np.uint64(dphi) * (n // 2)) % (1 << 32))
-        b = np.asarray(complex_exp_ramp(jnp.asarray(ph2, jnp.uint32),
-                                        jnp.uint32(dphi), n // 2))
+        b = to_host(ramp(n // 2)(jnp.asarray(ph2, jnp.uint32),
+                                 jnp.uint32(dphi)))
         np.testing.assert_allclose(np.concatenate([a, b]), full, atol=4e-7)

@@ -5,6 +5,7 @@ import numpy as np
 import pytest
 
 import gnuradio4_tpu as gr
+from gnuradio4_tpu.utils.transfer import host_array as to_host
 
 
 def _qpsk(n, seed=0):
@@ -81,7 +82,7 @@ def test_divergence_guard_and_validation():
     sch = gr.Scheduler(g, block_len=4096, sample_rate=1e6)
     sch.run_and_wait()
     assert np.all(np.isfinite(np.asarray(snk.data())))
-    taps = np.asarray(sch._states[cma.unique_name]["taps"])
+    taps = to_host(sch._states[cma.unique_name]["taps"])   # complex D2H
     assert np.linalg.norm(taps) <= 4.001                 # guard held
     with pytest.raises(Exception, match="constellation"):
         gr.Graph().emplace("LmsDDEqualizer", constellation="qam4096")

@@ -2,6 +2,7 @@
 validated separately on the TPU)."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -22,9 +23,9 @@ class TestIirSosPallas:
         x = rng.standard_normal((8, 256)).astype(np.float32)
         y_ref, s_ref = sos_apply(jnp.asarray(x), res.sos,
                                  sos_init_state(8, res.sos.shape[0]))
-        y, s = iir_sos_pallas(jnp.asarray(x), res.sos,
-                              sos_init_state(8, res.sos.shape[0]),
-                              interpret=True)
+        y, s = jax.jit(lambda v, st: iir_sos_pallas(
+            v, res.sos, st, interpret=True))(
+            jnp.asarray(x), sos_init_state(8, res.sos.shape[0]))
         np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                    rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref),
@@ -34,14 +35,14 @@ class TestIirSosPallas:
         res = fd.design_iir("chebyshev1", "lowpass", 2, sample_rate=50.0,
                             f_low=5.0)
         x = rng.standard_normal(512).astype(np.float32)
-        y1, _ = iir_sos_pallas(jnp.asarray(x), res.sos,
-                               sos_init_state(0, res.sos.shape[0]),
-                               interpret=True)
+        y1, _ = jax.jit(lambda v, st: iir_sos_pallas(
+            v, res.sos, st, interpret=True))(
+            jnp.asarray(x), sos_init_state(0, res.sos.shape[0]))
         state = sos_init_state(0, res.sos.shape[0])
         parts = []
         for chunk in x.reshape(2, 256):
-            y, state = iir_sos_pallas(jnp.asarray(chunk), res.sos, state,
-                                      interpret=True)
+            y, state = jax.jit(lambda v, st: iir_sos_pallas(
+                v, res.sos, st, interpret=True))(jnp.asarray(chunk), state)
             parts.append(np.asarray(y))
         np.testing.assert_allclose(np.concatenate(parts), np.asarray(y1),
                                    rtol=1e-4, atol=1e-5)
@@ -54,13 +55,15 @@ class TestNcoMixPallas:
         n = 2048
         x = (np.ones(n) + 0j).astype(np.complex64)
         dphi = phase_increment(f_shift, fs)
-        y, ph = nco_mix_pallas(dev_put(x), np.uint32(0), dphi,
-                               interpret=True)
+        # under jit: EAGER pallas dispatch is UNIMPLEMENTED on the relay
+        y, ph = jax.jit(lambda v: nco_mix_pallas(
+            v, np.uint32(0), dphi, interpret=True))(dev_put(x))
         t = np.arange(n)
         ref = np.exp(2j * np.pi * (float(dphi) / 2**32) * t)
         np.testing.assert_allclose(to_host(y), ref, atol=2e-3)
         # phase carry: continuing must be seamless
-        y2, _ = nco_mix_pallas(dev_put(x), ph, dphi, interpret=True)
+        y2, _ = jax.jit(lambda v, p: nco_mix_pallas(
+            v, p, dphi, interpret=True))(dev_put(x), ph)
         ref2 = np.exp(2j * np.pi * (float(dphi) / 2**32) * (t + n))
         np.testing.assert_allclose(to_host(y2), ref2, atol=4e-3)
 
@@ -76,9 +79,9 @@ class TestFirIlvPallas:
         taps = rng.standard_normal(ntaps).astype(np.float32)
         x = (rng.standard_normal(4096) + 1j * rng.standard_normal(4096)
              ).astype(np.complex64)
-        y, _ = fir_apply(dev_put(x), taps,
-                         fir_init_state(0, ntaps, jnp.complex64),
-                         decim=decim, method="pallas")
+        y, _ = jax.jit(lambda v, st: fir_apply(
+            v, taps, st, decim=decim, method="pallas"))(
+            dev_put(x), fir_init_state(0, ntaps, jnp.complex64))
         ref = np.convolve(x.astype(np.complex128), taps)[:4096][::decim]
         np.testing.assert_allclose(to_host(y), ref, atol=2e-4)
 
@@ -91,8 +94,8 @@ class TestFirIlvPallas:
         st = fir_init_state(0, 65, jnp.complex64)
         parts = []
         for chunk in x.reshape(2, 4096):
-            y, st = fir_apply(dev_put(chunk), taps, st,
-                              method="pallas")
+            y, st = jax.jit(lambda v, s0: fir_apply(
+                v, taps, s0, method="pallas"))(dev_put(chunk), st)
             parts.append(to_host(y))
         np.testing.assert_allclose(np.concatenate(parts), ref, atol=2e-4)
 
@@ -114,11 +117,13 @@ class TestFusedFirDemod:
         x = (rng.standard_normal(t + k - 1)
              + 1j * rng.standard_normal(t + k - 1)).astype(np.complex64)
         prev = dev_put(np.complex64(0.3 + 0.1j))
-        got = fir_quad_demod_fused(dev_put(x)[None, :], taps, decim,
-                                   prev, 1.5)
-        y, _ = fir_apply(dev_put(x[k - 1:]), taps,
-                         dev_put(x[: k - 1]), decim=decim)
-        ref, _ = quadrature_demod(y, prev, gain=1.5)
+        got = jax.jit(lambda v, pv: fir_quad_demod_fused(
+            v[None, :], taps, decim, pv, 1.5))(dev_put(x), prev)
+        y, _ = jax.jit(lambda v, st: fir_apply(
+            v, taps, st, decim=decim))(dev_put(x[k - 1:]),
+                                       dev_put(x[: k - 1]))
+        ref, _ = jax.jit(lambda v, pv: quadrature_demod(
+            v, pv, gain=1.5))(y, prev)
         assert got.shape[-1] == ref.shape[-1]
         assert float(np.max(to_host(jnp.abs(got[0] - ref)))) < 2e-3
 
@@ -139,16 +144,18 @@ class TestFusedFirDemod:
              + 1j * rng.standard_normal(2 * n + k - 1)).astype(np.complex64)
         # reference: one-shot composition
         one = device_zeros((), np.complex64) + 1     # relay-safe ones()
-        y, _ = fir_apply(dev_put(x[k - 1:]), dev_put(np.asarray(taps)),
-                         dev_put(x[: k - 1]))
-        ref, _ = quadrature_demod(y, one, gain=1.0)
+        taps_np = np.asarray(taps)
+        y, _ = jax.jit(lambda v, st: fir_apply(v, taps_np, st))(
+            dev_put(x[k - 1:]), dev_put(x[: k - 1]))
+        ref, _ = jax.jit(lambda v, o: quadrature_demod(v, o, gain=1.0))(
+            y, one)
         # streamed: two fused chunks with the carried v[-1] in between
-        c1 = fir_quad_demod_fused(dev_put(x[: n + k - 1])[None, :],
-                                  np.asarray(taps), 1, one, 1.0)
-        v_last, _ = fir_apply(dev_put(x[k - 1: n + k - 1]),
-                              dev_put(np.asarray(taps)),
-                              dev_put(x[: k - 1]))
-        c2 = fir_quad_demod_fused(dev_put(x[n: 2 * n + k - 1])[None, :],
-                                  np.asarray(taps), 1, v_last[-1], 1.0)
+        c1 = jax.jit(lambda v, o: fir_quad_demod_fused(
+            v[None, :], taps_np, 1, o, 1.0))(dev_put(x[: n + k - 1]), one)
+        v_last, _ = jax.jit(lambda v, st: fir_apply(v, taps_np, st))(
+            dev_put(x[k - 1: n + k - 1]), dev_put(x[: k - 1]))
+        c2 = jax.jit(lambda v, pv: fir_quad_demod_fused(
+            v[None, :], taps_np, 1, pv, 1.0))(
+            dev_put(x[n: 2 * n + k - 1]), v_last[-1])
         got = jnp.concatenate([c1[0], c2[0]])
         assert float(np.max(to_host(jnp.abs(got - ref)))) < 2e-3

@@ -10,6 +10,7 @@ import pytest
 import gnuradio4_tpu as gr
 from gnuradio4_tpu.blocks.testing import VectorSink, VectorSource
 from gnuradio4_tpu.core.errors import GrError
+from gnuradio4_tpu.utils.transfer import host_callbacks_supported
 from gnuradio4_tpu.ops.polar import (encode, frozen_mask, polar_decode,
                                      polar_encode)
 
@@ -91,6 +92,10 @@ class TestBlocks:
         gr.Scheduler(g, block_len=2 * K, sample_rate=1e6).run_and_wait()
         np.testing.assert_array_equal(np.asarray(v.data()), host)
 
+    @pytest.mark.skipif(not host_callbacks_supported(),
+                        reason="PolarDecoder's SC walk is a pure_callback; "
+                               "the axon relay has no host send/recv "
+                               "callbacks (real TPU runtimes do)")
     def test_decoder_block_cleans_channel(self):
         rng = np.random.default_rng(3)
         N, K = 256, 128
